@@ -1,0 +1,61 @@
+"""Benchmark harness: run the named query surface and print one JSON line.
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver collect). A warmup query amortizes JVM/session startup out of the
+per-query numbers; total wall (the headline metric) covers the measured
+query executions only, matching how the driver compares against
+BASELINE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from informixcdc_spark.queries import all_queries  # noqa: E402
+from informixcdc_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="informixcdc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: trigger JVM, parquet footer reads, codegen
+    queries["q01_revenue_by_nation"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Fixture-table catalog: load the driver's parquet tables lazily.
+
+The driver generates a TPC-H-ish star schema plus ``events`` (stream
+table), ``documents`` (text corpus) and ``embeddings`` (vector table) at
+``/root/testdata/sf{0.001,0.01,0.1}``; see TESTDATA.md. All reads go
+through :func:`load_table` so filter pushdown and column pruning reach the
+parquet scan (``spark.read.parquet`` + lazy DataFrame ops — Catalyst
+prunes ``ReadSchema`` and pushes ``PushedFilters`` automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region is
+# 5 rows and nation 25 at every SF; TPC-H dims grow sub-linearly). Used by
+# queries to hint broadcast() explicitly rather than trusting the size
+# estimator at 100 TB fact scale.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # runtime-set so it also holds on sessions we didn't build (the
+        # driver harness constructs its own vanilla SparkSession)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
+        # LONG. The data is µs-precision (ns residue is 0 at every SF), so
+        # integer-dividing to µs is lossless. `div` (integer division)
+        # avoids the double round-trip, which would lose precision above
+        # 2^53 ns.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each fixture table as a temp view for ``spark.sql`` use."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

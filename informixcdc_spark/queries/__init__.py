@@ -1,0 +1,57 @@
+"""Named query surface — the registry behind ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 gets a named entry here:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) an equivalent ANSI-SQL string the driver runs through
+DuckDB over the same parquet fixtures. Column names/aliases MUST match
+between the two — the driver sorts columns by name and value-hashes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query and (optionally) its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for side effect: each module registers its queries
+    from informixcdc_spark.queries import (  # noqa: F401
+        cdcq,
+        extensions,
+        relational,
+        streamingq,
+    )
+
+    _LOADED = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def all_oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLE)

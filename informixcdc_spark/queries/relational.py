@@ -1,0 +1,638 @@
+"""Relational query surface (SURVEY.md §2.6 right column).
+
+The reference delegates all general querying to the Informix server; our
+engine delegates to Spark SQL / Catalyst — so this module exercises every
+standard relational operator category over the fixture star schema, each
+query paired with an ANSI-SQL oracle for DuckDB.
+
+Scale notes (these queries must survive 100 TB fact tables):
+- fact⋈fact joins (lineitem⋈orders) shuffle on the join key — correct and
+  unavoidable; AQE handles skew.
+- dimension joins broadcast explicitly (region/nation always; others are
+  under the autoBroadcastJoinThreshold at test SFs and would be bucketed
+  at cluster scale).
+- all aggregates use hash aggregation with map-side partials (Catalyst
+  default); floating sums go through the deterministic decimal-sum
+  pattern in :mod:`informixcdc_spark.functions.numeric`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from informixcdc_spark.catalog import load_table
+from informixcdc_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from informixcdc_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: 5-way join + filter + agg + sort (scan/filter/project/
+# join/agg in one plan; the M0 end-to-end slice from SURVEY §7).
+# ---------------------------------------------------------------------------
+@register(
+    "q01_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q01_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — pricing summary (TPC-H Q1 shape): multi-aggregate hash agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q02_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum("l_quantity", 2)} AS sum_qty,
+           {sql_dsum("l_extendedprice")} AS sum_base_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+           {sql_davg("l_quantity", 2)} AS avg_qty,
+           {sql_davg("l_extendedprice")} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        davg("l_quantity", 2).alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — top-k: join + agg + total sort + limit (deterministic tiebreak).
+# ---------------------------------------------------------------------------
+@register(
+    "q03_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — window function: top-3 customers per nation by balance (rank).
+# ---------------------------------------------------------------------------
+@register(
+    "q04_window_topk_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def q04_window_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — running aggregates per key ordered by time: the relational
+# rendering of the reference's monotonic commit watermark (T3,
+# ext/_informixcdcmodule.ec:735-771 — "lsttxn only advances").
+# ---------------------------------------------------------------------------
+@register(
+    "q05_running_watermark",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           MAX(o_totalprice)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_max_price
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def q05_running_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_spend"),
+        F.max("o_totalprice").over(w).alias("running_max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — semi join (EXISTS): customers having any big order.
+# ---------------------------------------------------------------------------
+@register(
+    "q06_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# q07 — anti join (NOT EXISTS): customers with no orders at all.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# q08 — outer join with null-preserving aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q08_left_join_counts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           COALESCE(MAX(o_totalprice), 0.0) AS max_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q08_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — set operations: EXCEPT and INTERSECT (distinct semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "q09_set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+)
+def q09_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y97 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y98 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y97.subtract(y98)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "q10_set_intersect",
+    oracle="""
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q10_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
+    return r.intersect(a)
+
+
+# ---------------------------------------------------------------------------
+# q11 — distinct aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — rollup (multi-level aggregation).
+# ---------------------------------------------------------------------------
+@register(
+    "q12_rollup",
+    oracle="""
+    SELECT c_mktsegment, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(c_mktsegment, n_name)
+    """,
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — cube.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — scalar string/date/math expression surface (P5's general analog).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LOWER(p_type) AS type_l,
+           SUBSTRING(p_name, 1, 8) AS name_pfx,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           ABS(p_retailprice - 1000.0) AS price_dist,
+           ROUND(p_retailprice, 1) AS price_r1,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           MOD(p_size, 7) AS size_mod7,
+           SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           POWER(CAST(p_size AS DOUBLE), 2) AS size_sq
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+    """,
+)
+def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").where(F.col("p_size").between(10, 40))
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — date functions + CASE banding.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_date_case",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q15_date_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            band.alias("price_band"),
+        )
+        .groupBy("order_year", "order_month", "price_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — JSON extraction from events.props (from_json on Spark side,
+# regexp on the oracle side so it stays ANSI-portable).
+# ---------------------------------------------------------------------------
+@register(
+    "q16_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "k", F.from_json(F.col("props"), "k BIGINT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("k_total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — scalar subquery: orders above the global average price.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_scalar_subquery",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT {sql_davg("o_totalprice")} FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg("o_totalprice").alias("global_avg"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("global_avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — correlated aggregate: suppliers richer than their nation's average
+# (window-function formulation on the Spark side; correlated join oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "q18_correlated_avg",
+    oracle=f"""
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN (SELECT s_nationkey AS nk, {sql_davg("s_acctbal")} AS nation_avg
+          FROM supplier GROUP BY s_nationkey) t
+      ON s_nationkey = nk
+    WHERE s_acctbal > nation_avg
+    """,
+)
+def q18_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    # decimal-sum/count over the window keeps it deterministic
+    nation_avg = (
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count("s_acctbal").over(w)
+    )
+    return (
+        sup.withColumn("nation_avg", nation_avg)
+        .where(F.col("s_acctbal") > F.col("nation_avg"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — pivot (conditional aggregation): event counts per day × type.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "q19_pivot_events",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q19_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    df = (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (day, type) combo is absent; oracle COUNT
+    # gives 0 — normalize.
+    return df.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — non-equi (range/banded) join against a tiny bucket dimension:
+# broadcast-nested-loop on purpose; the dim stays broadcastable at any SF.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_range_join_buckets",
+    oracle="""
+    SELECT b.bucket_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_total
+    FROM events e
+    JOIN (SELECT * FROM (VALUES (0, 0.0, 0.25), (1, 0.25, 0.5),
+                                (2, 0.5, 0.75), (3, 0.75, 1e9))
+          AS v(bucket_id, lo, hi)) b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id
+    """,
+)
+def q20_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 0.25), (1, 0.25, 0.5), (2, 0.5, 0.75), (3, 0.75, 1e9)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        events.join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("value_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — as-of join: for each purchase, the most recent prior 'view' by the
+# same user. Implemented as a window carry-forward (sort-based, single
+# shuffle on user_id) — NOT a self-join, which would be quadratic in events
+# per user at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_asof_prior_view",
+    oracle="""
+    SELECT event_id, user_id, ts, prior_view_ts
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prior_view_ts
+        FROM events
+    ) t
+    WHERE event_type = 'purchase'
+    """,
+)
+def q21_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        events.withColumn(
+            "prior_view_ts",
+            F.last(
+                F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_view_ts")
+    )

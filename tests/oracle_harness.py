@@ -1,0 +1,77 @@
+"""Local stand-in for the driver's DuckDB-oracle comparison.
+
+Runs a named Spark query and its oracle SQL side by side, normalizes both
+results (sort columns by name, sort rows, canonicalize cell values) and
+diffs them. Mirrors the driver contract: row-count + schema +
+order-insensitive value hash. Used by tests so every oracle mismatch is
+caught locally before a round's CORRECTNESS report.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if v == int(v) and abs(v) < 2**53:
+            return float(v)  # normalize -0.0 etc.
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = [tuple(_canon_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    sp = spark_df.toPandas()
+    dk = duckdb_run(oracle_sql, sf_dir)
+    if sorted(sp.columns) != sorted(dk.columns):
+        return False, f"columns differ: spark={sorted(sp.columns)} duckdb={sorted(dk.columns)}"
+    if len(sp) != len(dk):
+        return False, f"row counts differ: spark={len(sp)} duckdb={len(dk)}"
+    a, b = canonicalize(sp), canonicalize(dk)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            return False, f"row {i} differs:\n  spark : {ra}\n  duckdb: {rb}"
+    return True, "ok"

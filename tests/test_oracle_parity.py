@@ -1,0 +1,36 @@
+"""Every registered query with an oracle must match DuckDB exactly.
+
+This mirrors the driver's t2 correctness gate (CORRECTNESS_r{N}.json) at
+sf0.001 so mismatches surface during development, not at round end.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from informixcdc_spark.queries import all_oracle_sql, all_queries
+from tests.oracle_harness import compare
+
+_ORACLE = all_oracle_sql()
+_QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE))
+def test_query_matches_oracle(spark, sf_dir, name):
+    ok, msg = compare(_QUERIES[name](spark, sf_dir), _ORACLE[name], sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_every_query_runs(spark, sf_dir):
+    for name, fn in _QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns

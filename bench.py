@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from informixcdc_spark.queries import all_queries  # noqa: E402
+from informixcdc_spark.queries import bench_queries as all_queries  # noqa: E402
 from informixcdc_spark.session import get_spark  # noqa: E402
 
 

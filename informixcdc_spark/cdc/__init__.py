@@ -1,0 +1,23 @@
+"""CDC layer — the reference-parity core.
+
+The reference (aford4074/informixcdc) is a CDC client that turns an
+Informix change-log byte stream into typed per-event records and
+maintains exactly-once restart state (see SURVEY.md §0–§2). This package
+re-expresses that pipeline Spark-first:
+
+- :mod:`informixcdc_spark.cdc.model`    — record-type tags + changelog schema
+- :mod:`informixcdc_spark.cdc.typemap`  — Informix DDL → Spark StructType
+  (the one-call replacement for the reference's temp-table DESCRIBE trick)
+- :mod:`informixcdc_spark.cdc.binary`   — binary envelope/row-image codec
+  (vectorized decode of the wire format)
+- :mod:`informixcdc_spark.cdc.generator`— deterministic changelog fixtures
+- :mod:`informixcdc_spark.cdc.apply`    — batch net-effect application of a
+  changelog (transaction assembly, replay discard, truncate, upsert)
+- :mod:`informixcdc_spark.cdc.savepoints` — restart-state bookkeeping
+  (opntxns / lsttxn analogs)
+"""
+
+from informixcdc_spark.cdc.apply import apply_changes
+from informixcdc_spark.cdc.model import RecordType
+
+__all__ = ["apply_changes", "RecordType"]

@@ -1,0 +1,160 @@
+"""Batch application of a change log — transaction assembly + net effect.
+
+Reproduces the semantics the reference's consumer must implement on top
+of the raw event stream (the reference emits interleaved events and
+tracks txn lifecycle in its savepoint tables; SURVEY.md §2.4):
+
+- only COMMITTED transactions apply (BEGINTX..COMMTX; RBTX drops all
+  events of the txn — ``ext/_informixcdcmodule.ec:2259-2319``);
+- replayed transactions (commit seq <= the last-committed watermark) are
+  discarded — the reference's ``discard_transaction`` flag
+  (``ext/_informixcdcmodule.ec:1527-1529``), i.e. the exactly-once filter
+  after at-least-once replay;
+- at-least-once duplicate *records* collapse on ``seq_number`` (the
+  stream's total order, ``ext/_informixcdcmodule.ec:747``);
+- TRUNCATE wipes all earlier-applied rows of its table
+  (``ext/_informixcdcmodule.ec:1657-1720``);
+- within a key, the LAST committed event wins (net effect): a trailing
+  DELETE removes the row, a trailing UPDAFT/INSERT defines it. UPDBEF
+  records carry the pre-image only (``ext/_informixcdcmodule.ec:74``)
+  and never define final state.
+
+Scale design: one shuffle to join events to commit outcomes (hash on
+transaction_id — broadcastable when the commit set is small, AQE
+decides), one shuffle for the per-key net-effect window (hash on the
+primary key). No driver-side collection; state never materializes on one
+node.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from informixcdc_spark.cdc.model import RecordType
+
+_IUD = [RecordType.INSERT.name, RecordType.DELETE.name, RecordType.UPDAFT.name]
+
+
+def committed_transactions(changelog: DataFrame, last_committed_seq: int = 0) -> DataFrame:
+    """(transaction_id, commit_seq) of txns that committed past the watermark.
+
+    ``commit_seq > last_committed_seq`` is the replay-discard predicate
+    (T5): after a restart from min(open-txn LSN) the stream re-delivers
+    transactions that already materialized; they must drop exactly-once.
+    """
+    return (
+        changelog.where(F.col("record_type") == RecordType.COMMTX.name)
+        .where(F.col("seq_number") > F.lit(last_committed_seq))
+        .select(
+            F.col("transaction_id").alias("_ct_txid"),
+            F.col("seq_number").alias("_commit_seq"),
+        )
+        .dropDuplicates(["_ct_txid"])
+    )
+
+
+def committed_events(
+    changelog: DataFrame,
+    last_committed_seq: int = 0,
+    record_types: Sequence[str] = tuple(_IUD),
+) -> DataFrame:
+    """IUD events of committed transactions, deduped on seq_number."""
+    commits = committed_transactions(changelog, last_committed_seq)
+    events = changelog.where(F.col("record_type").isin(list(record_types)))
+    return (
+        events.join(
+            commits, events["transaction_id"] == commits["_ct_txid"], "inner"
+        )
+        .drop("_ct_txid")
+        .dropDuplicates(["seq_number"])
+    )
+
+
+def _truncate_floor(changelog: DataFrame, last_committed_seq: int) -> DataFrame:
+    """Per-table max committed TRUNCATE seq: events below it are wiped."""
+    commits = committed_transactions(changelog, last_committed_seq)
+    return (
+        changelog.where(F.col("record_type") == RecordType.TRUNCATE.name)
+        .join(commits, F.col("transaction_id") == F.col("_ct_txid"), "inner")
+        .groupBy("tabname")
+        .agg(F.max("seq_number").alias("_trunc_seq"))
+        .select(F.col("tabname").alias("_tr_tab"), "_trunc_seq")
+    )
+
+
+def apply_changes(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    last_committed_seq: int = 0,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the net effect of a change log; returns the final rows.
+
+    ``changelog`` must have the :func:`informixcdc_spark.cdc.model.
+    changelog_schema` shape with a typed ``row`` struct. ``base`` is an
+    optional already-materialized table (rows behave like inserts at
+    seq = -infinity). Output columns = the fields of ``row``.
+    """
+    events = committed_events(changelog, last_committed_seq)
+
+    truncs = _truncate_floor(changelog, last_committed_seq)
+    if truncs.take(1):  # cheap: truncate events are rare control rows
+        events = events.join(
+            truncs, events["tabname"] == truncs["_tr_tab"], "left"
+        ).where(
+            F.col("_trunc_seq").isNull() | (F.col("seq_number") > F.col("_trunc_seq"))
+        ).drop("_tr_tab", "_trunc_seq")
+
+    flat = events.select(
+        F.col("seq_number"),
+        F.col("record_type"),
+        F.col("row.*"),
+    )
+    if base is not None:
+        base_as_inserts = base.select(
+            F.lit(-(1 << 62)).alias("seq_number"),
+            F.lit(RecordType.INSERT.name).alias("record_type"),
+            "*",
+        ).select(*flat.columns)
+        flat = flat.unionByName(base_as_inserts)
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("seq_number").desc())
+    return (
+        flat.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("record_type") != RecordType.DELETE.name))
+        .drop("_rn", "seq_number", "record_type")
+    )
+
+
+def update_pairs(changelog: DataFrame, last_committed_seq: int = 0) -> DataFrame:
+    """Reconstruct (before, after) row pairs from UPDBEF/UPDAFT records.
+
+    The reference emits an update as two records with adjacent sequence
+    numbers in the same transaction (UPDBEF then UPDAFT,
+    ``ext/_informixcdcmodule.ec:74-75,1848-1856``); a consumer pairs them.
+    Implemented as a per-transaction ordered window (lag) — one shuffle on
+    transaction_id, no self-join.
+    """
+    events = committed_events(
+        changelog,
+        last_committed_seq,
+        record_types=[RecordType.UPDBEF.name, RecordType.UPDAFT.name],
+    )
+    w = Window.partitionBy("transaction_id").orderBy("seq_number")
+    return (
+        events.withColumn("_prev_type", F.lag("record_type").over(w))
+        .withColumn("_prev_row", F.lag("row").over(w))
+        .where(
+            (F.col("record_type") == RecordType.UPDAFT.name)
+            & (F.col("_prev_type") == RecordType.UPDBEF.name)
+        )
+        .select(
+            "transaction_id",
+            F.col("seq_number").alias("updaft_seq"),
+            F.col("_prev_row").alias("before"),
+            F.col("row").alias("after"),
+        )
+    )

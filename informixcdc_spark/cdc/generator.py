@@ -1,0 +1,121 @@
+"""Deterministic change-log fixtures derived from the ``orders`` table.
+
+The reference tests by replaying a recorded binary capture
+(``./tests/data/ifx_lo_read.in``, ``ext/_informixcdcmodule.ec:176-199``).
+Our analog must be (a) deterministic, (b) derivable inside a query so the
+DuckDB oracle can state the expected final table in closed form over the
+same parquet input. So: every order spawns one transaction whose events
+are fixed functions of ``o_orderkey`` (k):
+
+========  ===========================  =======================
+seq        record                       condition
+========  ===========================  =======================
+k*10       BEGINTX                      always
+k*10+1     INSERT (full order row)      always
+k*10+2     UPDBEF (original row)        k % 5 == 0
+k*10+3     UPDAFT (totalprice * 1.1)    k % 5 == 0
+k*10+4     DELETE                       k % 7 == 0
+k*10+9     COMMTX                       k%10 != 3 and k%13 != 11
+k*10+9     RBTX                         k % 10 == 3
+(absent)   still-open transaction       k%10 != 3 and k%13 == 11
+========  ===========================  =======================
+
+The closed-form final state (used by the oracle SQL in
+``queries/cdcq.py``) is therefore: orders with k%10!=3 (not rolled
+back), k%13!=11 (committed), k%7!=0 (not deleted), with totalprice
+multiplied by 1.1 where k%5==0.
+
+Built entirely from narrow projections + unionByName — no shuffle, no
+driver loop; scales linearly with the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from informixcdc_spark.catalog import load_table
+from informixcdc_spark.cdc.model import RecordType
+
+ORDERS_TABID = 101
+ORDERS_TAB = "orders"
+
+_ROW_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _event(
+    df: DataFrame,
+    rtype: RecordType,
+    seq_off: int,
+    row: bool = False,
+    updated_price: bool = False,
+) -> DataFrame:
+    k = F.col("o_orderkey")
+    cols = [
+        (k * 10 + seq_off).cast("long").alias("seq_number"),
+        F.lit(rtype.name).alias("record_type"),
+        k.cast("long").alias("transaction_id"),
+        F.lit(ORDERS_TABID if row else None).cast("int").alias("tabid"),
+        F.lit(ORDERS_TAB if row else None).alias("tabname"),
+        F.lit(0 if row else None).cast("int").alias("flags"),
+        (k * 1000).cast("long").alias("start_time")
+        if rtype == RecordType.BEGINTX
+        else F.lit(None).cast("long").alias("start_time"),
+        (k * 1000 + 9).cast("long").alias("commit_time")
+        if rtype == RecordType.COMMTX
+        else F.lit(None).cast("long").alias("commit_time"),
+        F.lit(1 if rtype == RecordType.BEGINTX else None).cast("int").alias("user_id"),
+    ]
+    if row:
+        price = (
+            F.col("o_totalprice") * 1.1 if updated_price else F.col("o_totalprice")
+        )
+        row_cols = [
+            F.col(c) if c != "o_totalprice" else price.alias("o_totalprice")
+            for c in _ROW_COLS
+        ]
+        cols.append(F.struct(*row_cols).alias("row"))
+    else:
+        cols.append(
+            F.lit(None)
+            .cast(
+                "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+                "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string>"
+            )
+            .alias("row")
+        )
+    return df.select(*cols)
+
+
+def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the deterministic change log described in the module doc."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    begin = _event(orders, RecordType.BEGINTX, 0)
+    insert = _event(orders, RecordType.INSERT, 1, row=True)
+    updbef = _event(orders.where(k % 5 == 0), RecordType.UPDBEF, 2, row=True)
+    updaft = _event(
+        orders.where(k % 5 == 0), RecordType.UPDAFT, 3, row=True, updated_price=True
+    )
+    delete = _event(orders.where(k % 7 == 0), RecordType.DELETE, 4, row=True)
+    commit = _event(
+        orders.where((k % 10 != 3) & (k % 13 != 11)), RecordType.COMMTX, 9
+    )
+    rollback = _event(orders.where(k % 10 == 3), RecordType.RBTX, 9)
+
+    return (
+        begin.unionByName(insert)
+        .unionByName(updbef)
+        .unionByName(updaft)
+        .unionByName(delete)
+        .unionByName(commit)
+        .unionByName(rollback)
+    )

@@ -17,16 +17,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
+_NO_BENCH: set[str] = set()
 _LOADED = False
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a named query and (optionally) its oracle SQL."""
+def register(
+    name: str, oracle: str | None = None, bench: bool = True
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query and (optionally) its oracle SQL.
+
+    ``bench=False`` keeps correctness-parity queries (e.g. binary codec
+    round-trips that are deliberately Python-heavy) out of bench.py's
+    headline numbers while the driver still correctness-checks them.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLE[name] = oracle
+        if not bench:
+            _NO_BENCH.add(name)
         return fn
 
     return deco
@@ -55,3 +65,8 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracle_sql() -> dict[str, str]:
     _load()
     return dict(_ORACLE)
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    _load()
+    return {n: f for n, f in _QUERIES.items() if n not in _NO_BENCH}

@@ -1,0 +1,210 @@
+"""Unit tests for CDC apply semantics — the §2.8 correctness traps,
+exercised with handcrafted interleaved streams (the scenario coverage
+list in FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from informixcdc_spark.cdc.apply import apply_changes, update_pairs
+from informixcdc_spark.cdc.savepoints import (
+    last_committed_seq,
+    open_transactions,
+    restart_state,
+)
+
+ROW = StructType(
+    [StructField("id", LongType()), StructField("val", StringType())]
+)
+SCHEMA = StructType(
+    [
+        StructField("seq_number", LongType(), False),
+        StructField("record_type", StringType(), False),
+        StructField("transaction_id", LongType(), True),
+        StructField("tabid", IntegerType(), True),
+        StructField("tabname", StringType(), True),
+        StructField("flags", IntegerType(), True),
+        StructField("start_time", LongType(), True),
+        StructField("commit_time", LongType(), True),
+        StructField("user_id", IntegerType(), True),
+        StructField("row", ROW, True),
+    ]
+)
+
+
+def _log(spark, events):
+    """events: (seq, type, txid, row_tuple_or_None [, tabname])"""
+    rows = []
+    for e in events:
+        seq, rt, tx, row = e[0], e[1], e[2], e[3]
+        tab = e[4] if len(e) > 4 else ("t" if row is not None or rt == "TRUNCATE" else None)
+        rows.append((seq, rt, tx, 1 if tab else None, tab, 0, None, None, None, row))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(df):
+    return {r["id"]: r["val"] for r in df.collect()}
+
+
+def test_interleaved_transactions(spark):
+    # txn A (1) and txn B (2) interleave by seq; both commit
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "BEGINTX", 2, None),
+            (3, "INSERT", 1, (10, "a1")),
+            (4, "INSERT", 2, (20, "b1")),
+            (5, "UPDBEF", 1, (10, "a1")),
+            (6, "UPDAFT", 1, (10, "a2")),
+            (7, "COMMTX", 1, None),
+            (8, "DELETE", 2, (20, "b1")),
+            (9, "INSERT", 2, (21, "b2")),
+            (10, "COMMTX", 2, None),
+        ],
+    )
+    assert _state(apply_changes(log, ["id"])) == {10: "a2", 21: "b2"}
+
+
+def test_rollback_drops_everything(spark):
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "a")),
+            (3, "BEGINTX", 2, None),
+            (4, "INSERT", 2, (20, "b")),
+            (5, "UPDBEF", 2, (20, "b")),
+            (6, "UPDAFT", 2, (20, "b2")),
+            (7, "RBTX", 2, None),
+            (8, "COMMTX", 1, None),
+        ],
+    )
+    assert _state(apply_changes(log, ["id"])) == {10: "a"}
+
+
+def test_open_txn_not_applied(spark):
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "a")),
+            (3, "COMMTX", 1, None),
+            (4, "BEGINTX", 2, None),
+            (5, "INSERT", 2, (20, "b")),  # never terminated
+        ],
+    )
+    assert _state(apply_changes(log, ["id"])) == {10: "a"}
+    assert [r["transaction_id"] for r in open_transactions(log).collect()] == [2]
+    st = restart_state(log).collect()[0]
+    assert st["restart_seq"] == 4  # min open-txn begin LSN, not last+1
+    assert st["last_committed_seq"] == 3
+
+
+def test_restart_seq_without_open_txns(spark):
+    # §2.8.2: no open txns but a previous commit → last + 1
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "a")),
+            (3, "COMMTX", 1, None),
+        ],
+    )
+    st = restart_state(log).collect()[0]
+    assert st["restart_seq"] == 4
+    # and the empty-stream default is 0
+    empty = _log(spark, [(1, "TIMEOUT", None, None)])
+    st0 = restart_state(empty).collect()[0]
+    assert (st0["restart_seq"], st0["last_committed_seq"]) == (0, 0)
+
+
+def test_replay_discard_watermark(spark):
+    # txn 1 committed at seq 3 BEFORE the watermark (5): must not re-apply
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "stale")),
+            (3, "COMMTX", 1, None),
+            (6, "BEGINTX", 2, None),
+            (7, "INSERT", 2, (20, "fresh")),
+            (8, "COMMTX", 2, None),
+        ],
+    )
+    assert _state(apply_changes(log, ["id"], last_committed_seq=5)) == {20: "fresh"}
+
+
+def test_truncate_wipes_prior_rows(spark):
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "a")),
+            (3, "INSERT", 1, (11, "b")),
+            (4, "COMMTX", 1, None),
+            (5, "BEGINTX", 2, None),
+            (6, "TRUNCATE", 2, None, "t"),
+            (7, "INSERT", 2, (12, "c")),
+            (8, "COMMTX", 2, None),
+        ],
+    )
+    assert _state(apply_changes(log, ["id"])) == {12: "c"}
+
+
+def test_base_table_and_delete(spark):
+    base = spark.createDataFrame([(10, "old"), (11, "keep")], ROW)
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "UPDBEF", 1, (10, "old")),
+            (3, "UPDAFT", 1, (10, "new")),
+            (4, "DELETE", 1, (11, "keep")),
+            (5, "INSERT", 1, (12, "ins")),
+            (6, "COMMTX", 1, None),
+        ],
+    )
+    assert _state(apply_changes(log, ["id"], base=base)) == {10: "new", 12: "ins"}
+
+
+def test_update_pairs_interleaved(spark):
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "BEGINTX", 2, None),
+            (3, "UPDBEF", 1, (10, "a1")),
+            (4, "UPDBEF", 2, (20, "b1")),
+            (5, "UPDAFT", 1, (10, "a2")),
+            (6, "UPDAFT", 2, (20, "b2")),
+            (7, "COMMTX", 1, None),
+            (8, "COMMTX", 2, None),
+        ],
+    )
+    pairs = {
+        r["before"]["id"]: (r["before"]["val"], r["after"]["val"])
+        for r in update_pairs(log).collect()
+    }
+    assert pairs == {10: ("a1", "a2"), 20: ("b1", "b2")}
+
+
+def test_last_committed_monotonic(spark):
+    # §2.8.3: watermark only advances — max over commits regardless of order
+    log = _log(
+        spark,
+        [
+            (9, "COMMTX", 3, None),
+            (3, "COMMTX", 1, None),
+            (6, "COMMTX", 2, None),
+        ],
+    )
+    assert last_committed_seq(log).collect()[0][0] == 9

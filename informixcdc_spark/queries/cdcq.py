@@ -250,3 +250,53 @@ def c08_cdc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = orders.mapInPandas(_encode, schema="record binary")
     log = decode_stream_df(binary, {_ORDERS_TABID: cols}, _ORDERS_TABID, "orders")
     return apply_changes(log, key_cols=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# c09 — the full Structured Streaming pipeline (S1–S6): changelog written
+# to a directory, streamed with maxFilesPerTrigger-batched micro-batches
+# through the exactly-once foreachBatch materializer, final target table
+# must equal the closed-form oracle. Not benched (spins up a streaming
+# query with checkpointing).
+# ---------------------------------------------------------------------------
+@register("c09_cdc_stream_materialize", oracle=_FINAL_STATE_ORACLE, bench=False)
+def c09_cdc_stream_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from informixcdc_spark.streaming.pipeline import CdcEngine
+
+    row_struct = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    log = orders_changelog(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = f"{workdir}/log"
+    # two arrival files split mid-keyspace: transactions whose terminator
+    # lands in file 2 exercise the pending-state carry across batches
+    mid = log.agg((F.max("transaction_id") / 2).cast("long")).collect()[0][0]
+    log.where(F.col("transaction_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    log.where(F.col("transaction_id") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    eng = CdcEngine(spark)
+    eng.connect(src)
+    q, mat = eng.materialize(
+        row_struct, ["o_orderkey"], f"{workdir}/state", f"{workdir}/ckpt"
+    )
+    q.awaitTermination(300)
+    return mat.read_target()

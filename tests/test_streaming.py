@@ -1,0 +1,201 @@
+"""Structured Streaming pipeline tests: exactly-once materialization,
+cross-batch transactions, checkpoint restart (SURVEY §2.8 items 1–3),
+and the applyInPandasWithState transaction assembler."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from informixcdc_spark.streaming.pipeline import CdcEngine, Materializer
+from tests.test_cdc_apply import SCHEMA, _log
+
+ROW = StructType([StructField("id", LongType()), StructField("val", StringType())])
+
+
+def _write(df, path):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _target_state(mat):
+    df = mat.read_target()
+    return {r["id"]: r["val"] for r in df.collect()} if df is not None else {}
+
+
+def _run_stream(spark, src, state_dir, ckpt):
+    eng = CdcEngine(spark)
+    eng.connect(src)
+    q, mat = eng.materialize(ROW, ["id"], state_dir, ckpt)
+    q.awaitTermination(120)
+    return mat
+
+
+def test_end_to_end_materialization(spark, tmp_path):
+    src = str(tmp_path / "log")
+    # file 1: txn 1 commits; txn 2 begins (spans the file boundary)
+    _write(
+        _log(
+            spark,
+            [
+                (1, "BEGINTX", 1, None),
+                (2, "INSERT", 1, (10, "a")),
+                (3, "COMMTX", 1, None),
+                (4, "BEGINTX", 2, None),
+                (5, "INSERT", 2, (20, "b")),
+            ],
+        ),
+        src,
+    )
+    # file 2: txn 2 commits; txn 3 rolls back
+    _write(
+        _log(
+            spark,
+            [
+                (6, "UPDBEF", 2, (20, "b")),
+                (7, "UPDAFT", 2, (20, "b2")),
+                (8, "COMMTX", 2, None),
+                (9, "BEGINTX", 3, None),
+                (10, "INSERT", 3, (30, "x")),
+                (11, "RBTX", 3, None),
+            ],
+        ),
+        src,
+    )
+    mat = _run_stream(spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    assert _target_state(mat) == {10: "a", 20: "b2"}
+    st = mat.read_state()
+    assert st["last_committed_seq"] == 8
+    # with maxFilesPerTrigger=1, txn 2 must have waited in pending state
+    assert st["batch_id"] >= 1
+
+
+def test_restart_resumes_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "log")
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _write(
+        _log(
+            spark,
+            [
+                (1, "BEGINTX", 1, None),
+                (2, "INSERT", 1, (10, "a")),
+                (3, "COMMTX", 1, None),
+            ],
+        ),
+        src,
+    )
+    mat = _run_stream(spark, src, state_dir, ckpt)
+    assert _target_state(mat) == {10: "a"}
+
+    # new events arrive; restart from the SAME checkpoint — the first
+    # file must not re-apply (its txn is behind the watermark even if
+    # the source replays it)
+    _write(
+        _log(
+            spark,
+            [
+                (4, "BEGINTX", 2, None),
+                (5, "UPDBEF", 2, (10, "a")),
+                (6, "UPDAFT", 2, (10, "a2")),
+                (7, "COMMTX", 2, None),
+            ],
+        ),
+        src,
+    )
+    mat = _run_stream(spark, src, state_dir, ckpt)
+    assert _target_state(mat) == {10: "a2"}
+    assert mat.read_state()["last_committed_seq"] == 7
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    # direct probe of the batchId guard: calling process_batch twice with
+    # the same id must be a no-op the second time
+    mat = Materializer(spark, str(tmp_path / "state"), ["id"])
+    batch = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "a")),
+            (3, "COMMTX", 1, None),
+        ],
+    )
+    mat.process_batch(batch, 0)
+    v1 = mat.read_state()
+    mat.process_batch(batch, 0)  # replay
+    assert mat.read_state() == v1
+    assert _target_state(mat) == {10: "a"}
+
+
+def test_watermark_never_regresses(spark, tmp_path):
+    mat = Materializer(spark, str(tmp_path / "state"), ["id"])
+    mat.process_batch(
+        _log(spark, [(9, "BEGINTX", 1, None), (10, "INSERT", 1, (1, "x")), (11, "COMMTX", 1, None)]),
+        0,
+    )
+    assert mat.read_state()["last_committed_seq"] == 11
+    # a later batch containing only lower seqs (replayed tail) must not
+    # move the watermark backwards (§2.8.3)
+    mat.process_batch(
+        _log(spark, [(3, "BEGINTX", 2, None), (4, "INSERT", 2, (2, "y")), (5, "COMMTX", 2, None)]),
+        1,
+    )
+    assert mat.read_state()["last_committed_seq"] == 11
+
+
+def test_engine_api_validation(spark):
+    with pytest.raises(ValueError):
+        CdcEngine(spark, id=0)
+    with pytest.raises(ValueError):
+        CdcEngine(spark, id=40000)
+    with pytest.raises(ValueError):
+        CdcEngine(spark, timeout=-1)
+    with pytest.raises(ValueError):
+        CdcEngine(spark, max_records=0)
+    eng = CdcEngine(spark)
+    assert eng.connect("/tmp/x") == 0 and eng.is_connected
+    assert eng.enable("db", "me", "orders", "o_orderkey, o_totalprice") == 0
+    assert eng.projection("db:me.orders") == ["o_orderkey", "o_totalprice"]
+
+
+def test_stateful_txn_assembly_stream(spark, tmp_path):
+    from informixcdc_spark.sources.changelog import read_changelog_stream
+    from informixcdc_spark.streaming.state import committed_event_stream
+
+    src = str(tmp_path / "log")
+    # batch 1: txn 1 starts; batch 2: txn 1 commits, txn 2 rolls back
+    _write(
+        _log(spark, [(1, "BEGINTX", 1, None), (2, "INSERT", 1, (10, "a"))]), src
+    )
+    _write(
+        _log(
+            spark,
+            [
+                (3, "INSERT", 1, (11, "b")),
+                (4, "COMMTX", 1, None),
+                (5, "BEGINTX", 2, None),
+                (6, "INSERT", 2, (20, "z")),
+                (7, "RBTX", 2, None),
+            ],
+        ),
+        src,
+    )
+    stream = read_changelog_stream(spark, src, ROW, max_files_per_trigger=1)
+    out_dir = str(tmp_path / "out")
+    q = (
+        committed_event_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).orderBy("seq_number").collect()
+    # only txn 1's events, each tagged with the commit seq
+    assert [(r["transaction_id"], r["seq_number"]) for r in rows] == [(1, 2), (1, 3)]
+    assert all(r["commit_seq"] == 4 for r in rows)
+    assert json.loads(rows[0]["row_json"])["val"] == "a"

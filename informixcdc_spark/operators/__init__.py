@@ -1,0 +1,27 @@
+"""Extension operators for large-scale training-data pipelines.
+
+These are first-class engine components beyond the reference's CDC
+surface (BASELINE.json north_star): deduplication, similarity search,
+text analysis, multimodal column handling — each designed for the
+100 TB path (LSH banding instead of all-pairs, broadcast of tiny query
+sets, explode-then-aggregate instead of driver loops).
+"""
+
+from informixcdc_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_bands,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from informixcdc_spark.operators.similarity import brute_force_knn, lsh_bucket
+
+__all__ = [
+    "exact_dedup",
+    "minhash_bands",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "brute_force_knn",
+    "lsh_bucket",
+]

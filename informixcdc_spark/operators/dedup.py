@@ -1,0 +1,141 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+- exact: one hash-aggregate on the content key — a single shuffle whose
+  map-side partials collapse duplicates early.
+- MinHash+LSH: signatures are per-row narrow work; candidate generation
+  is an equi-join on (band_idx, band_key) — duplicates land in the same
+  bucket and everything else never pairs up. All-pairs comparison is
+  O(n²) and does not exist on this path.
+- SimHash: per-row 16-bit sketch from token hashes — explode + two
+  aggregations, linear.
+- n-gram Jaccard: exact verification, run ONLY on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from informixcdc_spark.functions.text import hash16, minhash, tokens, word_shingles
+
+#: LSH layout: 4 bands × 2 rows = 8 minhash functions. With 2-row bands,
+#: a pair with Jaccard s collides with prob 1-(1-s²)⁴ — steep around 0.5.
+N_BANDS = 4
+ROWS_PER_BAND = 2
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Group identical content, keep the minimum id as representative."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingles array) for docs with at least k tokens."""
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col), word_shingles(tok, k).alias("shingles")
+    ).where(F.size("shingles") > 0)
+
+
+def minhash_bands(
+    shingled: DataFrame, id_col: str, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(id, band_idx, band_key): each row is one LSH bucket membership.
+
+    band_key = md5 of the band's concatenated minhash values; two docs
+    share a bucket iff a whole band of signatures matches.
+    """
+    sigs = [minhash(F.col("shingles"), j) for j in range(n_bands * rows)]
+    bands = [
+        F.md5(F.concat(*sigs[i * rows : (i + 1) * rows])) for i in range(n_bands)
+    ]
+    exploded = shingled.select(
+        F.col(id_col), F.posexplode(F.array(*bands)).alias("band_idx", "band_key")
+    )
+    return exploded.withColumn("band_idx", F.col("band_idx").cast("int"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
+    the only join in the near-dup path, an equi-join on the bucket key."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs;
+    keeps pairs at/above threshold. |A∩B| and |A∪B| are integer set
+    sizes, so the similarity value is engine-exact."""
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.array_distinct("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.array_distinct("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash bits.
+
+    Bit j of each token's 64-bit hex hash contributes +1/-1; the sketch
+    sets bit j where the sum is positive. Hex digit h's high bit is 1
+    iff h ∈ [8,f] — which keeps the per-bit test a plain string lookup
+    that any SQL engine reproduces.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = hash16(F.col("t"))
+    contribs = [
+        F.when(
+            F.substring(h, j + 1, 1).isin(*"89abcdef"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_tok = tok.select(id_col, *contribs)
+    sums = per_tok.groupBy(id_col).agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
+    )
+    value = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(
+            2**j
+        )
+        value = bit if value is None else value + bit
+    return sums.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+def perturbed_copies(
+    df: DataFrame, id_col: str, text_col: str, id_offset: int = 1_000_000
+) -> DataFrame:
+    """Near-duplicate copies for self-test corpora: same text minus its
+    last token, shifted ids. Used by the oracle-checked dedup queries so
+    the LSH path has true positives to find."""
+    tok = tokens(F.col(text_col))
+    clipped = F.array_join(F.slice(tok, 1, F.size(tok) - 1), " ")
+    return df.select(
+        (F.col(id_col) + id_offset).alias(id_col), clipped.alias(text_col)
+    )

@@ -1,0 +1,95 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting — the per-document filters of a training-data
+pipeline. All pure column expressions (linear, no shuffle until the
+final aggregate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from informixcdc_spark.functions.text import fingerprint, tokens
+
+#: marker-token sets for the n-gram/stopword language-ID heuristic.
+#: Deliberately tiny and deterministic (the fixture corpus is synthetic);
+#: order doubles as the tie-break priority.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "fast", "slow"),
+    "de": ("table", "row", "data"),
+    "fr": ("join", "merge", "sort"),
+    "es": ("query", "scan", "filter"),
+    "zh": ("spark", "stream", "batch"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _hits(tok: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in `words` (with multiplicity)."""
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars_norm, mean_token_len)."""
+    tok = tokens(F.col(text_col))
+    tok_lens = F.transform(tok, lambda t: F.length(t))
+    total_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x)
+    return df.select(
+        F.col(id_col),
+        F.size(tok).cast("int").alias("n_tokens"),
+        total_len.cast("int").alias("total_token_chars"),
+        (total_len.cast("double") / F.size(tok)).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: length band + stopword ratio + mean
+    token length, combined into [0,1]. The formula only divides integers
+    derived from the text, so any engine reproduces it exactly."""
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    stop_ratio = _hits(tok, STOPWORDS).cast("double") / n
+    tok_lens = F.transform(tok, lambda t: F.length(t))
+    mean_len = (
+        F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast("double") / n
+    )
+    len_band = (
+        F.when(n < 20, 0.2).when(n <= 200, 1.0).otherwise(0.6)
+    )
+    score = (
+        F.lit(0.4) * len_band
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(mean_len / 8, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        mean_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+        F.when(score >= 0.7, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, true_lang_col: str) -> DataFrame:
+    """Predict language by marker-token hits; deterministic priority-order
+    tie-break. Output keeps the labeled language for confusion analysis."""
+    tok = tokens(F.col(text_col))
+    scores = {lang: _hits(tok, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    # priority chain: first language with a maximal score wins
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = None
+    for lg in reversed(langs):
+        cond = scores[lg] == best
+        pred = F.when(cond, lg) if pred is None else F.when(cond, lg).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        F.col(true_lang_col).alias("lang"),
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint) — md5 of normalized content (exact-dup key)."""
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

@@ -1,1 +1,472 @@
-"""Extension operators: dedup / similarity / text / multimodal (M5)."""
+"""Extension-operator queries (dedup / similarity / text / multimodal),
+each oracle-checked against DuckDB.
+
+Cross-engine exactness rules used throughout:
+- hashes are md5 hex (identical everywhere); 64-bit hash = first 16 hex
+  chars, compared/min'ed lexicographically (fixed width ⇒ numeric order);
+- dot products / norms fold left-to-right in index order in BOTH engines
+  (Spark ``aggregate`` HOF ≡ DuckDB ``list_reduce``) ⇒ bit-identical
+  doubles, no tolerances;
+- where a corpus needs true near-duplicates to find, the query unions a
+  deterministic perturbed copy of the corpus (id + 1_000_000) built with
+  the same expression in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from informixcdc_spark.catalog import load_table
+from informixcdc_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_bands,
+    ngram_jaccard_pairs,
+    perturbed_copies,
+    simhash,
+)
+from informixcdc_spark.operators.multimodal import payload_metadata, to_binary_payload
+from informixcdc_spark.operators.similarity import (
+    ann_knn,
+    brute_force_knn,
+    embedding_near_dups,
+)
+from informixcdc_spark.operators.textstats import (
+    doc_fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from informixcdc_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (the DuckDB twins of functions/text.py)
+# ---------------------------------------------------------------------------
+_SQL_TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+#: documents ∪ perturbed copies (same rule as operators.dedup.perturbed_copies)
+_SQL_CORPUS = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(tok[1:len(tok)-1], ' ') AS text
+    FROM (SELECT doc_id, {_SQL_TOK} AS tok FROM documents)
+"""
+#: shingled corpus: docs with >= 3 tokens, 3-word shingles
+_SQL_SHINGLED = f"""
+    SELECT doc_id,
+           [concat(tok[i], ' ', tok[i+1], ' ', tok[i+2])
+            for i in generate_series(1, len(tok) - 2)] AS sh
+    FROM (SELECT doc_id, {_SQL_TOK} AS tok FROM corpus)
+    WHERE len(tok) >= 3
+"""
+
+
+def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(perturbed_copies(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# e01 — exact deduplication (hash-groupBy): duplicate corpus collapses to
+# one representative per distinct content.
+# ---------------------------------------------------------------------------
+@register(
+    "e01_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents)
+    GROUP BY text
+    """,
+)
+def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_dedup(dup_corpus, ["text"], "doc_id").select("doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# e02 — document fingerprinting (normalized-content hash).
+# ---------------------------------------------------------------------------
+@register(
+    "e02_doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents",
+)
+def e02_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# e03 — MinHash signatures + LSH banding (shingle → minhash → band).
+# ---------------------------------------------------------------------------
+def _sql_minhash_bands() -> str:
+    sig = (
+        "min(substr(md5(concat({j}, '|', s)), 1, 16))"  # seeded 64-bit minhash
+    )
+    sigs = ", ".join(sig.format(j=j) + f" AS sig{j}" for j in range(8))
+    bands = ", ".join(
+        f"md5(concat(sig{2 * i}, sig{2 * i + 1})) AS band{i}" for i in range(4)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band{i} AS band_key FROM bands"
+        for i in range(4)
+    )
+    return f"""
+    WITH corpus AS ({_SQL_CORPUS}),
+    shingled AS ({_SQL_SHINGLED}),
+    sigs AS (
+        SELECT doc_id, {sigs}
+        FROM shingled, unnest(sh) AS u(s)
+        GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {bands} FROM sigs)
+    SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM ({rows})
+    """
+
+
+@register("e03_minhash_bands", oracle=_sql_minhash_bands())
+def e03_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = doc_shingles(_docs_corpus(spark, sf_dir), "doc_id", "text")
+    return minhash_bands(shingled, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e04 — LSH candidate pairs: bucket-join, no all-pairs scan. The
+# perturbed copies guarantee true positives (each doc ↔ its copy).
+# ---------------------------------------------------------------------------
+_SQL_BANDS_CTE = _sql_minhash_bands().replace(
+    "SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM",
+    "SELECT doc_id, band_idx, band_key FROM",
+)
+
+
+@register(
+    "e04_lsh_candidate_pairs",
+    oracle=f"""
+    WITH all_bands AS ({_SQL_BANDS_CTE})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM all_bands a JOIN all_bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def e04_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = doc_shingles(_docs_corpus(spark, sf_dir), "doc_id", "text")
+    return lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e05 — n-gram Jaccard verification of LSH candidates (near-dup dedup
+# decision at threshold 0.8). Set sizes are integers ⇒ exact similarity.
+# ---------------------------------------------------------------------------
+@register(
+    "e05_ngram_jaccard_dedup",
+    oracle=f"""
+    WITH all_bands AS ({_SQL_BANDS_CTE}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM all_bands a JOIN all_bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    corpus AS ({_SQL_CORPUS}),
+    shingled AS ({_SQL_SHINGLED}),
+    sets AS (SELECT doc_id, list_distinct(sh) AS ds FROM shingled)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+             / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds)))
+             AS jaccard
+    FROM pairs
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+          / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds))) >= 0.8
+    """,
+)
+def e05_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = doc_shingles(_docs_corpus(spark, sf_dir), "doc_id", "text")
+    pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
+    return ngram_jaccard_pairs(pairs, shingled, "doc_id", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# e06 — SimHash sketches (16-bit sign-aggregated token-hash bits).
+# ---------------------------------------------------------------------------
+def _sql_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    value = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOK}) AS t FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("e06_simhash", oracle=_sql_simhash())
+def e06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# e07 — brute-force top-k cosine similarity (exact ANN baseline).
+# ---------------------------------------------------------------------------
+_SQL_DOT = (
+    "list_reduce([{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+    "for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "e07_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
+        FROM c, q WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cosine
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def e07_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# e08 — LSH-bucketed approximate NN (the scale path: each query scans
+# only its hyperplane-sign bucket).
+# ---------------------------------------------------------------------------
+def _sql_bucket(v: str, n_planes: int = 4) -> str:
+    bits = []
+    for b in range(n_planes):
+        proj = (
+            f"list_reduce([{v}[i]::DOUBLE * (CASE WHEN (i * {b + 1}) % 7 < 4 "
+            f"THEN 1.0 ELSE -1.0 END) for i in generate_series(1, len({v}))], "
+            "(x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2**b} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "e08_ann_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      CAST({_sql_bucket("embedding")} AS INT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM v
+          WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM v),
+    scored AS (
+        SELECT query_id, neighbor_id, c.bucket,
+               {_sql_cosine("qv", "cv")} AS cosine
+        FROM c JOIN q USING (bucket)
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, bucket, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cosine, bucket
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def e08_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_knn(emb, emb.where(F.col("vec_id") < 10), k=3)
+
+
+# ---------------------------------------------------------------------------
+# e09 — token counting. The oracle derives total token chars from an
+# independent identity (text minus spaces) — a cross-check, not an echo.
+# ---------------------------------------------------------------------------
+@register(
+    "e09_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOK}) AS INT) AS n_tokens,
+           CAST(length(regexp_replace(text, ' ', '', 'g')) AS INT)
+               AS total_token_chars,
+           CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+               / len({_SQL_TOK}) AS mean_token_len
+    FROM documents
+    """,
+)
+def e09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# e10 — quality scoring (length band + stopword ratio + token length).
+# ---------------------------------------------------------------------------
+_SQL_STOP_FILTER = (
+    "len(list_filter({tok}, t -> t = 'the' OR t = 'a' OR t = 'of' "
+    "OR t = 'and' OR t = 'to'))"
+)
+
+
+@register(
+    "e10_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({_SQL_TOK}) AS n,
+               {_SQL_STOP_FILTER.format(tok=_SQL_TOK)} AS stop_hits,
+               length(regexp_replace(text, ' ', '', 'g')) AS total_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(stop_hits AS DOUBLE) / n AS stop_ratio,
+           CAST(total_chars AS DOUBLE) / n AS mean_token_len,
+           0.4::DOUBLE * (CASE WHEN n < 20 THEN 0.2::DOUBLE
+                               WHEN n <= 200 THEN 1.0::DOUBLE
+                               ELSE 0.6::DOUBLE END)
+           + 0.3::DOUBLE * least(CAST(stop_hits AS DOUBLE) / n * 4, 1.0::DOUBLE)
+           + 0.3::DOUBLE * least(CAST(total_chars AS DOUBLE) / n / 8, 1.0::DOUBLE)
+               AS quality_score,
+           CASE WHEN 0.4::DOUBLE * (CASE WHEN n < 20 THEN 0.2::DOUBLE
+                                         WHEN n <= 200 THEN 1.0::DOUBLE
+                                         ELSE 0.6::DOUBLE END)
+                     + 0.3::DOUBLE * least(CAST(stop_hits AS DOUBLE) / n * 4,
+                                           1.0::DOUBLE)
+                     + 0.3::DOUBLE * least(CAST(total_chars AS DOUBLE) / n / 8,
+                                           1.0::DOUBLE)
+                     >= 0.7
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM t
+    """,
+)
+def e10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# e11 — language identification (marker-token heuristic) + confusion
+# matrix against the labeled lang column.
+# ---------------------------------------------------------------------------
+_MARKER_SQL = {
+    "en": "t = 'the' OR t = 'fast' OR t = 'slow'",
+    "de": "t = 'table' OR t = 'row' OR t = 'data'",
+    "fr": "t = 'join' OR t = 'merge' OR t = 'sort'",
+    "es": "t = 'query' OR t = 'scan' OR t = 'filter'",
+    "zh": "t = 'spark' OR t = 'stream' OR t = 'batch'",
+}
+_SCORES_SQL = ", ".join(
+    f"len(list_filter(tok, t -> {cond})) AS s_{lg}" for lg, cond in _MARKER_SQL.items()
+)
+_PRED_SQL = (
+    "CASE WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de' "
+    "WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END"
+)
+
+
+@register(
+    "e11_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOK} AS tok FROM documents),
+    s AS (SELECT doc_id, lang, {_SCORES_SQL} FROM t),
+    p AS (SELECT doc_id, lang,
+                 greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+                 s_en, s_de, s_fr, s_es, s_zh
+          FROM s)
+    SELECT lang, {_PRED_SQL} AS pred_lang, COUNT(*) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def e11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+    return preds.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# e12 — embedding-cosine near-duplicate pairs via LSH buckets. The
+# corpus is augmented with scaled copies (cosine exactly ~1, same
+# bucket by construction) so the detector has true positives.
+# ---------------------------------------------------------------------------
+@register(
+    "e12_embedding_near_dups",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               [(e::DOUBLE * 1.001)::FLOAT for e in embedding]
+        FROM embeddings
+    ),
+    v AS (SELECT vec_id, embedding,
+                 CAST({_sql_bucket("embedding")} AS INT) AS bucket
+          FROM corpus)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine("a.embedding", "b.embedding")} AS cosine
+    FROM v a JOIN v b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+      AND {_sql_cosine("a.embedding", "b.embedding")} >= 0.95
+    """,
+)
+def e12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda e: (e.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    return embedding_near_dups(emb.unionByName(copies), threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# e13 — multimodal column plumbing: opaque binary payload + typed
+# metadata extracted by an Arrow-batched mapInPandas stage. The oracle
+# recomputes the same metadata from the text side — verifying the whole
+# Python/Arrow path against pure SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "e13_multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1))
+                + ascii(substr(text, 3, 1)) + ascii(substr(text, 4, 1)) AS INT)
+               AS head_checksum,
+           CASE WHEN substr(text, 1, 1) <= 'm' THEN 'low' ELSE 'high' END AS kind
+    FROM documents
+    """,
+)
+def e13_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return payload_metadata(to_binary_payload(docs, "doc_id", "text"))

@@ -1,1 +1,179 @@
-"""Streaming-window queries over events (M5)."""
+"""Event-time window queries over ``events`` (tumbling / sliding /
+session windows + a genuine Structured Streaming watermarked aggregation),
+each with an ANSI oracle (DuckDB ``time_bucket`` / gap-island SQL).
+
+Window starts are output as formatted strings — engines disagree on
+DATE/TIMESTAMP pandas round-trips, strings never do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from informixcdc_spark.catalog import load_table
+from informixcdc_spark.functions.numeric import dsum, sql_dsum
+from informixcdc_spark.queries import register
+
+_FMT = "yyyy-MM-dd HH:mm"
+_SQL_FMT = "%Y-%m-%d %H:%M"
+
+
+# ---------------------------------------------------------------------------
+# w01 — tumbling window aggregation (1 hour).
+# ---------------------------------------------------------------------------
+@register(
+    "w01_tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_SQL_FMT}') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum("value", 6)} AS value_total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 6).alias("value_total"))
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "value_total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# w02 — sliding window (1 hour window, 30 minute slide): every event
+# belongs to exactly two windows; the oracle materializes both.
+# ---------------------------------------------------------------------------
+@register(
+    "w02_sliding_window",
+    oracle=f"""
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - s.off * INTERVAL '30 minutes' AS win_start,
+               value
+        FROM events, (VALUES (0), (1)) AS s(off)
+    )
+    SELECT strftime(win_start, '{_SQL_FMT}') AS win_start,
+           COUNT(*) AS n,
+           {sql_dsum("value", 6)} AS value_total
+    FROM slid
+    GROUP BY 1
+    """,
+)
+def w02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 6).alias("value_total"))
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("win_start"),
+            "n",
+            "value_total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# w03 — session windows (30-minute gap) per user. Oracle: classic
+# gap-island SQL (lag → new-session flag → running sum → group).
+# ---------------------------------------------------------------------------
+@register(
+    "w03_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_SQL_FMT}') AS session_start,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS value_total
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+)
+def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("value_total"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _FMT).alias("session_start"),
+            "n_events",
+            "value_total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# w04 — real Structured Streaming: watermarked tumbling aggregation run
+# as a stream (readStream over the events parquet, availableNow). With a
+# single arrival batch nothing is late, so the closed-form oracle is the
+# batch tumbling result — what's being verified is the streaming
+# machinery itself (watermark tracking, state store, update-mode emit).
+# ---------------------------------------------------------------------------
+@register(
+    "w04_stream_watermark_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+               AS win_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    bench=False,
+)
+def w04_stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source wants a directory; expose the read-only
+    # fixture file through a symlink in a temp dir
+    src_dir = tempfile.mkdtemp(prefix="w04_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format(F.col("w.start"), _FMT).alias("win_start"), "n")
+    )
+    out = tempfile.mkdtemp(prefix="w04_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("w04_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("w04_out")

@@ -1,0 +1,69 @@
+"""Behavioral tests for the extension operators: the LSH pipeline must
+actually FIND the planted near-duplicates, ANN must stay inside its
+bucket, and the multimodal decode stub must both raise and fake."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from informixcdc_spark.catalog import load_table
+from informixcdc_spark.operators.dedup import (
+    doc_shingles,
+    lsh_candidate_pairs,
+    minhash_bands,
+    ngram_jaccard_pairs,
+    perturbed_copies,
+)
+from informixcdc_spark.operators.multimodal import (
+    decode_stub,
+    payload_metadata,
+    to_binary_payload,
+)
+from informixcdc_spark.operators.similarity import ann_knn, brute_force_knn
+
+
+def test_lsh_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    corpus = docs.unionByName(perturbed_copies(docs, "doc_id", "text"))
+    shingled = doc_shingles(corpus, "doc_id", "text")
+    pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
+    verified = ngram_jaccard_pairs(pairs, shingled, "doc_id", threshold=0.8)
+    found = {
+        (r["id_a"], r["id_b"]) for r in verified.collect()
+    }
+    planted = {(i, i + 1_000_000) for (i,) in docs.select("doc_id").collect()}
+    recall = len(found & planted) / len(planted)
+    # 4 bands × 2 rows on ~0.99-jaccard pairs: recall should be near 1
+    assert recall > 0.9, f"recall={recall}, found={len(found)}"
+
+
+def test_ann_candidates_subset_of_bruteforce_space(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_knn(emb, queries, k=3)
+    approx = ann_knn(emb, queries, k=3)
+    assert exact.count() == 15
+    # ANN returns at most k per query, all from the query's own bucket
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_q)
+    buckets = approx.select("query_id", "bucket").distinct().groupBy("query_id").count()
+    assert all(r["count"] == 1 for r in buckets.collect())
+
+
+def test_multimodal_stub_raises_without_codecs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    payload = to_binary_payload(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        decode_stub(payload, fake=False).collect()
+
+
+def test_multimodal_fake_decode_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    payload = to_binary_payload(docs, "doc_id", "text")
+    a = decode_stub(payload, fake=True).orderBy("doc_id").collect()
+    b = decode_stub(payload, fake=True).orderBy("doc_id").collect()
+    assert a == b
+    assert all(len(r["feature"]) == 8 for r in a)
+    meta = payload_metadata(payload).orderBy("doc_id").collect()
+    assert all(m["n_bytes"] > 0 for m in meta)

@@ -1,0 +1,69 @@
+"""Plan-shape pins: the properties that decide 100 TB viability must
+hold in the physical plan, not just in intent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from informixcdc_spark.catalog import load_table
+from informixcdc_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from informixcdc_spark.queries.relational import (
+    q01_revenue_by_nation,
+    q02_pricing_summary,
+    q06_semi_join,
+)
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    df = q01_revenue_by_nation(spark, sf_dir)
+    assert has_broadcast_hash_join(df), formatted_plan(df)
+
+
+def test_flagship_pushes_filters_to_scan(spark, sf_dir):
+    df = q01_revenue_by_nation(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf, pf  # date range reaches the orders scan
+    assert "r_name" in pf, pf  # region filter reaches the region scan
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    df = q01_revenue_by_nation(spark, sf_dir)
+    schemas = read_schema_columns(df)
+    li = next(s for s in schemas if "l_extendedprice" in s)
+    # the lineitem scan must NOT read unused columns
+    assert "l_comment" not in li
+    assert set(li) <= {"l_orderkey", "l_extendedprice", "l_discount"}, li
+
+
+def test_q02_scan_prunes_to_used_columns(spark, sf_dir):
+    df = q02_pricing_summary(spark, sf_dir)
+    (li,) = read_schema_columns(df)
+    assert "l_partkey" not in li and "l_orderkey" not in li
+
+
+def test_semi_join_pushes_price_filter(spark, sf_dir):
+    df = q06_semi_join(spark, sf_dir)
+    assert any("o_totalprice" in f for f in pushed_filters(df))
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    # map-side combine: two HashAggregates around one Exchange — the
+    # difference between shuffling 6 columns × 600M rows and shuffling
+    # one partial row per group per task
+    plan = formatted_plan(q02_pricing_summary(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey").where(
+        F.col("l_orderkey") > 100
+    )
+    (cols,) = read_schema_columns(df)
+    assert cols == ["l_orderkey"]
+    assert any("l_orderkey" in f for f in pushed_filters(df))

@@ -35,11 +35,15 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def word_shingles(tok: Column, k: int = 3) -> Column:
-    """k-word shingles (space-joined), empty when fewer than k tokens."""
+    """k-word shingles (space-joined), empty when fewer than k tokens.
+
+    ``tok`` MUST be a materialized array column (not an inline
+    tokenization expression): higher-order functions are interpreted —
+    no common-subexpression elimination — so an inline ``split``/
+    ``filter`` here would re-tokenize the document once per shingle
+    position, turning a linear pass quadratic."""
     idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tok, i + off) for off in range(k)]
-    )
+    make = lambda i: F.array_join(F.slice(tok, i, k), " ")  # noqa: E731
     return F.when(F.size(tok) >= k, F.transform(idx, make)).otherwise(
         F.array().cast("array<string>")
     )
@@ -52,6 +56,34 @@ def hash16(col: Column, seed: int | None = None) -> Column:
     return F.substring(F.md5(base), 1, 16)
 
 
-def minhash(shingle_arr: Column, seed: int) -> Column:
-    """One minhash signature value: min seeded hash over the shingle set."""
-    return F.array_min(F.transform(shingle_arr, lambda s: hash16(s, seed)))
+#: Modulus of the minhash universal-hash family h_j(x) = (a_j·x + b_j) mod P.
+#: With x < 2^32 (first 8 md5 hex chars) and a_j < P < 2^30, the product
+#: stays below 2^62 — no 64-bit overflow in Spark OR DuckDB, so the
+#: arithmetic is engine-exact.
+MINHASH_PRIME = 1_000_000_007
+
+
+def minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for n universal hash functions.
+    Shared by the Spark expressions and the generated oracle SQL so the
+    two can never diverge."""
+    return [(40_503_001 * (j + 1) + 7, 104_729 * (j + 1) + 3) for j in range(n)]
+
+
+def shingle_hash_ints(shingle_arr: Column) -> Column:
+    """One 32-bit base hash per shingle (array<long>), from which every
+    minhash function is derived arithmetically. This is the ONLY md5 on
+    the signature path — the classic 'hash once, permute cheaply'
+    minhash construction; the 8-seeded-md5s-per-shingle alternative costs
+    8× the hashing at 100 TB."""
+    return F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def minhash_int(xs: Column, a: int, b: int) -> Column:
+    """One minhash signature: min over base hashes of (a·x + b) mod P."""
+    return F.array_min(
+        F.transform(xs, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))
+    )

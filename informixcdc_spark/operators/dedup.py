@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from informixcdc_spark.functions.text import hash16, minhash, tokens, word_shingles
+from informixcdc_spark.functions.text import (
+    hash16,
+    minhash_coeffs,
+    minhash_int,
+    shingle_hash_ints,
+    tokens,
+    word_shingles,
+)
 
 #: LSH layout: 4 bands × 2 rows = 8 minhash functions. With 2-row bands,
 #: a pair with Jaccard s collides with prob 1-(1-s²)⁴ — steep around 0.5.
@@ -34,10 +41,14 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingles array) for docs with at least k tokens."""
-    tok = tokens(F.col(text_col))
-    return df.select(
-        F.col(id_col), word_shingles(tok, k).alias("shingles")
+    """(id, shingles array) for docs with at least k tokens.
+
+    Tokenization is materialized in its own projection before shingling —
+    see word_shingles' contract: an inline tokenizer would be re-run per
+    shingle position by the interpreted HOF."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    return toked.select(
+        F.col(id_col), word_shingles(F.col("_tok"), k).alias("shingles")
     ).where(F.size("shingles") > 0)
 
 
@@ -46,14 +57,24 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band_idx, band_key): each row is one LSH bucket membership.
 
-    band_key = md5 of the band's concatenated minhash values; two docs
-    share a bucket iff a whole band of signatures matches.
+    Signature scheme: ONE md5 per shingle → 32-bit base hash, then each
+    of the n_bands·rows signatures is a cheap universal hash
+    ``(a_j·x + b_j) mod P`` minimized over the shingle set. band_key =
+    md5 of the band's '|'-joined signature values; two docs share a
+    bucket iff a whole band of signatures matches.
     """
-    sigs = [minhash(F.col("shingles"), j) for j in range(n_bands * rows)]
+    coeffs = minhash_coeffs(n_bands * rows)
+    # materialize base hashes as a real column so the per-signature
+    # transforms share one md5 pass instead of re-hashing per seed
+    hashed = shingled.select(
+        F.col(id_col), shingle_hash_ints(F.col("shingles")).alias("xs")
+    )
+    sigs = [minhash_int(F.col("xs"), a, b) for a, b in coeffs]
     bands = [
-        F.md5(F.concat(*sigs[i * rows : (i + 1) * rows])) for i in range(n_bands)
+        F.md5(F.concat_ws("|", *[s.cast("string") for s in sigs[i * rows : (i + 1) * rows]]))
+        for i in range(n_bands)
     ]
-    exploded = shingled.select(
+    exploded = hashed.select(
         F.col(id_col), F.posexplode(F.array(*bands)).alias("band_idx", "band_key")
     )
     return exploded.withColumn("band_idx", F.col("band_idx").cast("int"))
@@ -61,7 +82,13 @@ def minhash_bands(
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
-    the only join in the near-dup path, an equi-join on the bucket key."""
+    the only join in the near-dup path, an equi-join on the bucket key.
+
+    The bands input is persisted: a self-join otherwise recomputes the
+    whole shingle→minhash pipeline for BOTH sides (2× the hashing; at
+    cluster scale you'd materialize the signature table for the same
+    reason)."""
+    bands = bands.persist()
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
@@ -81,13 +108,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs;
     keeps pairs at/above threshold. |A∩B| and |A∪B| are integer set
-    sizes, so the similarity value is engine-exact."""
-    sa = shingled.select(
-        F.col(id_col).alias("id_a"), F.array_distinct("shingles").alias("sh_a")
-    )
-    sb = shingled.select(
-        F.col(id_col).alias("id_b"), F.array_distinct("shingles").alias("sh_b")
-    )
+    sizes, so the similarity value is engine-exact. The distinct-set
+    projection is persisted — it feeds both sides of the pair join."""
+    sets = shingled.select(
+        F.col(id_col), F.array_distinct("shingles").alias("ds")
+    ).persist()
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("ds").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("ds").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

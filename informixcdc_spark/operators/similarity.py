@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from informixcdc_spark.functions.vector import cosine_similarity
+from informixcdc_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 
 def brute_force_knn(
@@ -135,22 +135,36 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
     inside one bucket are compared (near-identical vectors land in the
-    same bucket with high probability)."""
+    same bucket with high probability).
+
+    The bucketed projection carries a precomputed L2 norm and is
+    persisted: norms are per-VECTOR quantities, so computing them inside
+    the pair comparison would redo O(d) work per PAIR — quadratic waste —
+    and a self-join would additionally recompute every bucket id twice.
+    cosine = dot/(norm_a·norm_b) is the same double either way (identical
+    fold order), so the oracle still matches bit-for-bit."""
     v = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
+        l2_norm(F.col(vec_col)).alias("_norm"),
+    ).persist()
     a = v.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        "bucket", F.col("_norm").alias("_na"),
     )
     b = v.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        "bucket", F.col("_norm").alias("_nb"),
+    )
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
     )
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from informixcdc_spark.catalog import load_table
+from informixcdc_spark.functions.text import MINHASH_PRIME, minhash_coeffs
 from informixcdc_spark.operators.dedup import (
     doc_shingles,
     exact_dedup,
@@ -109,12 +110,18 @@ def e02_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e03 — MinHash signatures + LSH banding (shingle → minhash → band).
 # ---------------------------------------------------------------------------
 def _sql_minhash_bands() -> str:
-    sig = (
-        "min(substr(md5(concat({j}, '|', s)), 1, 16))"  # seeded 64-bit minhash
+    # exact twin of operators.dedup.minhash_bands: one md5 per shingle →
+    # 32-bit base hash x, signatures (a_j·x + b_j) mod P, band key = md5
+    # of the '|'-joined signature pair. Constants come from the SAME
+    # Python source (functions.text.minhash_coeffs) as the Spark side.
+    coeffs = minhash_coeffs(8)
+    sigs = ", ".join(
+        f"min((x * {a} + {b}) % {MINHASH_PRIME}) AS sig{j}"
+        for j, (a, b) in enumerate(coeffs)
     )
-    sigs = ", ".join(sig.format(j=j) + f" AS sig{j}" for j in range(8))
     bands = ", ".join(
-        f"md5(concat(sig{2 * i}, sig{2 * i + 1})) AS band{i}" for i in range(4)
+        f"md5(concat(sig{2 * i}::VARCHAR, '|', sig{2 * i + 1}::VARCHAR)) AS band{i}"
+        for i in range(4)
     )
     rows = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band_idx, band{i} AS band_key FROM bands"
@@ -123,11 +130,11 @@ def _sql_minhash_bands() -> str:
     return f"""
     WITH corpus AS ({_SQL_CORPUS}),
     shingled AS ({_SQL_SHINGLED}),
-    sigs AS (
-        SELECT doc_id, {sigs}
+    hashed AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS x
         FROM shingled, unnest(sh) AS u(s)
-        GROUP BY doc_id
     ),
+    sigs AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id),
     bands AS (SELECT doc_id, {bands} FROM sigs)
     SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM ({rows})
     """

@@ -53,6 +53,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before
+    CPU-heavy per-row work (hashing, shingling, vector math).
+
+    Small fixture files arrive as a single parquet split, which would pin
+    an entire operator pipeline to one core; one round-robin shuffle of
+    the (tiny) input buys full parallelism downstream. At production
+    scale the scan already yields >= defaultParallelism splits and this
+    is a no-op — it never repartitions data that is already spread out.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

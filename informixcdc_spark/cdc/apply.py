@@ -60,17 +60,23 @@ def committed_events(
     changelog: DataFrame,
     last_committed_seq: int = 0,
     record_types: Sequence[str] = tuple(_IUD),
+    dedup_records: bool = True,
 ) -> DataFrame:
-    """IUD events of committed transactions, deduped on seq_number."""
+    """IUD events of committed transactions, deduped on seq_number.
+
+    ``dedup_records=False`` skips the dedup shuffle for consumers whose
+    downstream logic already tolerates exact record duplicates (e.g. the
+    net-effect window in :func:`apply_changes`, where duplicate rows of
+    the same seq_number are bit-identical and any row_number tie-break
+    picks an equivalent winner). Order-sensitive consumers (lag/lead
+    pairing) MUST keep it on: equal seq_numbers sort arbitrarily.
+    """
     commits = committed_transactions(changelog, last_committed_seq)
     events = changelog.where(F.col("record_type").isin(list(record_types)))
-    return (
-        events.join(
-            commits, events["transaction_id"] == commits["_ct_txid"], "inner"
-        )
-        .drop("_ct_txid")
-        .dropDuplicates(["seq_number"])
-    )
+    joined = events.join(
+        commits, events["transaction_id"] == commits["_ct_txid"], "inner"
+    ).drop("_ct_txid")
+    return joined.dropDuplicates(["seq_number"]) if dedup_records else joined
 
 
 def _truncate_floor(changelog: DataFrame, last_committed_seq: int) -> DataFrame:
@@ -98,15 +104,19 @@ def apply_changes(
     optional already-materialized table (rows behave like inserts at
     seq = -infinity). Output columns = the fields of ``row``.
     """
-    events = committed_events(changelog, last_committed_seq)
+    # the net-effect window below subsumes record-level dedup: replayed
+    # duplicates are bit-identical rows, so skip that whole shuffle
+    events = committed_events(changelog, last_committed_seq, dedup_records=False)
 
+    # truncate floors aggregate to <= one row per table — broadcast the
+    # (usually empty) side unconditionally rather than paying a driver
+    # round-trip (take(1) = one extra Spark job per apply) to skip it
     truncs = _truncate_floor(changelog, last_committed_seq)
-    if truncs.take(1):  # cheap: truncate events are rare control rows
-        events = events.join(
-            truncs, events["tabname"] == truncs["_tr_tab"], "left"
-        ).where(
-            F.col("_trunc_seq").isNull() | (F.col("seq_number") > F.col("_trunc_seq"))
-        ).drop("_tr_tab", "_trunc_seq")
+    events = events.join(
+        F.broadcast(truncs), events["tabname"] == truncs["_tr_tab"], "left"
+    ).where(
+        F.col("_trunc_seq").isNull() | (F.col("seq_number") > F.col("_trunc_seq"))
+    ).drop("_tr_tab", "_trunc_seq")
 
     flat = events.select(
         F.col("seq_number"),

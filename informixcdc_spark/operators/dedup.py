@@ -18,10 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from informixcdc_spark.catalog import rebalance
 from informixcdc_spark.functions.text import (
+    MINHASH_PRIME,
     hash16,
     minhash_coeffs,
-    minhash_int,
     shingle_hash_ints,
     tokens,
     word_shingles,
@@ -46,7 +47,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     Tokenization is materialized in its own projection before shingling —
     see word_shingles' contract: an inline tokenizer would be re-run per
     shingle position by the interpreted HOF."""
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    toked = rebalance(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
     return toked.select(
         F.col(id_col), word_shingles(F.col("_tok"), k).alias("shingles")
     ).where(F.size("shingles") > 0)
@@ -64,17 +65,43 @@ def minhash_bands(
     bucket iff a whole band of signatures matches.
     """
     coeffs = minhash_coeffs(n_bands * rows)
-    # materialize base hashes as a real column so the per-signature
-    # transforms share one md5 pass instead of re-hashing per seed
+    # Higher-order functions are interpreted per element, so the number
+    # of array PASSES dominates, not the arithmetic: materialize base
+    # hashes once (1 md5 pass), then compute ALL signature minima in a
+    # single aggregate pass with a struct accumulator — 2 passes total
+    # instead of one transform + one array_min per signature.
     hashed = shingled.select(
         F.col(id_col), shingle_hash_ints(F.col("shingles")).alias("xs")
     )
-    sigs = [minhash_int(F.col("xs"), a, b) for a, b in coeffs]
+    n = n_bands * rows
+    zero = F.struct(
+        *[F.lit((1 << 62)).cast("long").alias(f"m{j}") for j in range(n)]
+    )
+    merge = lambda acc, x: F.struct(  # noqa: E731
+        *[
+            F.least(
+                acc[f"m{j}"],
+                (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    sigged = hashed.select(
+        F.col(id_col), F.aggregate(F.col("xs"), zero, merge).alias("sig")
+    )
     bands = [
-        F.md5(F.concat_ws("|", *[s.cast("string") for s in sigs[i * rows : (i + 1) * rows]]))
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col("sig")[f"m{i * rows + r}"].cast("string")
+                    for r in range(rows)
+                ],
+            )
+        )
         for i in range(n_bands)
     ]
-    exploded = hashed.select(
+    exploded = sigged.select(
         F.col(id_col), F.posexplode(F.array(*bands)).alias("band_idx", "band_key")
     )
     return exploded.withColumn("band_idx", F.col("band_idx").cast("int"))
@@ -134,7 +161,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     iff h ∈ [8,f] — which keeps the per-bit test a plain string lookup
     that any SQL engine reproduces.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = rebalance(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
     h = hash16(F.col("t"))
     contribs = [
         F.when(

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from informixcdc_spark.catalog import rebalance
+
 #: metadata schema carried next to every binary payload
 META_SCHEMA = "doc_id BIGINT, n_bytes INT, head_checksum INT, kind STRING"
 
@@ -31,7 +33,7 @@ FEATURE_SCHEMA = "doc_id BIGINT, n_bytes INT, feature ARRAY<FLOAT>"
 def to_binary_payload(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Wrap a column as an opaque binary payload (here: utf-8 bytes of
     text standing in for image/audio bytes)."""
-    return df.select(
+    return rebalance(df).select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(payload_col), "utf-8").alias("payload"),
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from informixcdc_spark.catalog import rebalance
 from informixcdc_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 
@@ -40,7 +41,7 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    c = corpus.select(
+    c = rebalance(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     )
     scored = (
@@ -95,7 +96,7 @@ def ann_knn(
     The join is an equi-join on bucket id — at corpus scale each query
     touches ~1/2^n_planes of the data instead of all of it.
     """
-    c = corpus.select(
+    c = rebalance(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
@@ -143,7 +144,7 @@ def embedding_near_dups(
     and a self-join would additionally recompute every bucket id twice.
     cosine = dot/(norm_a·norm_b) is the same double either way (identical
     fold order), so the oracle still matches bit-for-bit."""
-    v = corpus.select(
+    v = rebalance(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from informixcdc_spark.catalog import rebalance
 from informixcdc_spark.functions.text import fingerprint, tokens
 
 #: marker-token sets for the n-gram/stopword language-ID heuristic.
@@ -34,7 +35,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = tokens(F.col(text_col))
     tok_lens = F.transform(tok, lambda t: F.length(t))
     total_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x)
-    return df.select(
+    return rebalance(df).select(
         F.col(id_col),
         F.size(tok).cast("int").alias("n_tokens"),
         total_len.cast("int").alias("total_token_chars"),
@@ -61,7 +62,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.3) * F.least(mean_len / 8, F.lit(1.0))
     )
-    return df.select(
+    return rebalance(df).select(
         F.col(id_col),
         n.cast("int").alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
@@ -83,7 +84,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, true_lang_col: str) -> Da
     for lg in reversed(langs):
         cond = scores[lg] == best
         pred = F.when(cond, lg) if pred is None else F.when(cond, lg).otherwise(pred)
-    return df.select(
+    return rebalance(df).select(
         F.col(id_col),
         F.col(true_lang_col).alias("lang"),
         pred.alias("pred_lang"),
@@ -92,4 +93,4 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, true_lang_col: str) -> Da
 
 def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint) — md5 of normalized content (exact-dup key)."""
-    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return rebalance(df).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

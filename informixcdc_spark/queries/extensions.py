@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from informixcdc_spark.catalog import load_table
+from informixcdc_spark.catalog import load_table, rebalance
 from informixcdc_spark.functions.text import MINHASH_PRIME, minhash_coeffs
 from informixcdc_spark.operators.dedup import (
     doc_shingles,
@@ -69,7 +69,10 @@ _SQL_SHINGLED = f"""
 
 
 def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # rebalance BEFORE deriving the perturbed copies: their tokenization
+    # is a projection that would otherwise run inside the single-split
+    # parquet scan stage, serializing the whole corpus build
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.unionByName(perturbed_copies(docs, "doc_id", "text"))
 
 

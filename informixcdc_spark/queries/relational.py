@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from informixcdc_spark.catalog import load_table
+from informixcdc_spark.catalog import load_table, rebalance
 from informixcdc_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from informixcdc_spark.queries import register
 
@@ -580,7 +580,9 @@ def q19_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    # BNLJ keeps the probe side's input partitioning — rebalance so the
+    # per-row predicate evaluation uses every core, not one parquet split
+    events = rebalance(_t(spark, sf_dir, "events"))
     buckets = spark.createDataFrame(
         [(0, 0.0, 0.25), (1, 0.25, 0.5), (2, 0.5, 0.75), (3, 0.75, 1e9)],
         "bucket_id INT, lo DOUBLE, hi DOUBLE",

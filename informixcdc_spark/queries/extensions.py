@@ -480,3 +480,65 @@ def e12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e13_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return payload_metadata(to_binary_payload(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# e14 — lexicon sentiment scoring (EDBT'16 sentiment-on-Spark pattern):
+# token hits against broadcast positive/negative word lists, normalized
+# score, three-way verdict. Pure column expressions — at 100 TB this is
+# one narrow map pass, no shuffle until the optional aggregate.
+# ---------------------------------------------------------------------------
+_POS_WORDS = ("fast", "big")
+_NEG_WORDS = ("slow", "small")
+
+
+def _sql_hits(words: tuple[str, ...]) -> str:
+    lst = " OR ".join(f"t = '{w}'" for w in words)
+    return f"len(list_filter({_SQL_TOK}, t -> {lst}))"
+
+
+@register(
+    "e14_sentiment_lexicon",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST({_sql_hits(_POS_WORDS)} AS INT) AS n_pos,
+               CAST({_sql_hits(_NEG_WORDS)} AS INT) AS n_neg,
+               len({_SQL_TOK}) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, n_pos, n_neg,
+           CAST(n_pos - n_neg AS DOUBLE) / n_tok AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'pos'
+                WHEN n_neg > n_pos THEN 'neg'
+                ELSE 'neutral' END AS verdict
+    FROM s
+    """,
+)
+def e14_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.catalog import rebalance as _rb
+    from informixcdc_spark.functions.text import tokens as _tokens
+
+    docs = _rb(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("_tok"))
+    hits = lambda ws: F.size(  # noqa: E731
+        F.filter(F.col("_tok"), lambda t: t.isin(*ws))
+    )
+    s = toked.select(
+        "doc_id",
+        hits(_POS_WORDS).cast("int").alias("n_pos"),
+        hits(_NEG_WORDS).cast("int").alias("n_neg"),
+        F.size("_tok").alias("n_tok"),
+    )
+    return s.select(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        ((F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tok")).alias(
+            "polarity"
+        ),
+        F.when(F.col("n_pos") > F.col("n_neg"), "pos")
+        .when(F.col("n_neg") > F.col("n_pos"), "neg")
+        .otherwise("neutral")
+        .alias("verdict"),
+    )

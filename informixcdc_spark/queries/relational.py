@@ -638,3 +638,70 @@ def q21_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "prior_view_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# q22 — GROUPING SETS: three aggregation granularities in ONE pass over
+# lineitem (Spark expands sets after the partial aggregate — cheaper than
+# three separate scans+shuffles at any scale).
+# ---------------------------------------------------------------------------
+@register(
+    "q22_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum("l_extendedprice", 4)} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice", 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — UNION ALL of heterogeneous sources into one tagged stream, then
+# aggregate by source (the missing set-op next to except/intersect).
+# ---------------------------------------------------------------------------
+@register(
+    "q23_union_all_sources",
+    oracle=f"""
+    SELECT src, COUNT(*) AS n, {sql_dsum("amount", 4)} AS amount_total
+    FROM (
+        SELECT 'order' AS src, o_totalprice AS amount FROM orders
+        UNION ALL
+        SELECT 'line' AS src, l_extendedprice AS amount FROM lineitem
+    )
+    GROUP BY src
+    """,
+)
+def q23_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("order").alias("src"), F.col("o_totalprice").alias("amount")
+    )
+    lines = _t(spark, sf_dir, "lineitem").select(
+        F.lit("line").alias("src"), F.col("l_extendedprice").alias("amount")
+    )
+    return (
+        orders.unionByName(lines)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("amount", 4).alias("amount_total"))
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from informixcdc_spark.catalog import rebalance
-from informixcdc_spark.functions.vector import cosine_similarity, dot, l2_norm
+from informixcdc_spark.functions.vector import dot, l2_norm
 
 
 def brute_force_knn(
@@ -38,16 +38,27 @@ def brute_force_knn(
     broadcast (small by construction); ranking is a per-query window
     with a deterministic tiebreak.
     """
+    # norms are per-vector: compute each side's ONCE before the pair
+    # blow-up instead of twice per (query, candidate) pair — identical
+    # doubles (same fold order), k× less O(d) work at corpus scale
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = rebalance(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -100,16 +111,22 @@ def ann_knn(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

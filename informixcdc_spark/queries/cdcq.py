@@ -300,3 +300,96 @@ def c09_cdc_stream_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return mat.read_target()
+
+
+# ---------------------------------------------------------------------------
+# c10 — custom Python Data Source over the binary wire format (S1/S2):
+# the changelog is recorded to capture files in the reference's framed
+# envelope format (distributed, one file per partition — the S3 recorder
+# analog), then read back through spark.read.format("cdc-binlog") and
+# summarized per record type. The oracle states the envelope census in
+# closed form over orders.
+# ---------------------------------------------------------------------------
+_ENVELOPE_CENSUS_ORACLE = """
+    SELECT 'BEGINTX' AS record_type, COUNT(*) AS n,
+           CAST(MIN(o_orderkey)*10 AS BIGINT) AS min_seq,
+           CAST(MAX(o_orderkey)*10 AS BIGINT) AS max_seq FROM orders
+    UNION ALL
+    SELECT 'INSERT', COUNT(*), CAST(MIN(o_orderkey)*10+1 AS BIGINT),
+           CAST(MAX(o_orderkey)*10+1 AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'UPDBEF', COUNT(*), CAST(MIN(o_orderkey)*10+2 AS BIGINT),
+           CAST(MAX(o_orderkey)*10+2 AS BIGINT) FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'UPDAFT', COUNT(*), CAST(MIN(o_orderkey)*10+3 AS BIGINT),
+           CAST(MAX(o_orderkey)*10+3 AS BIGINT) FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'DELETE', COUNT(*), CAST(MIN(o_orderkey)*10+4 AS BIGINT),
+           CAST(MAX(o_orderkey)*10+4 AS BIGINT) FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 'COMMTX', COUNT(*), CAST(MIN(o_orderkey)*10+9 AS BIGINT),
+           CAST(MAX(o_orderkey)*10+9 AS BIGINT) FROM orders
+    WHERE o_orderkey % 10 <> 3 AND o_orderkey % 13 <> 11
+    UNION ALL
+    SELECT 'RBTX', COUNT(*), CAST(MIN(o_orderkey)*10+9 AS BIGINT),
+           CAST(MAX(o_orderkey)*10+9 AS BIGINT) FROM orders WHERE o_orderkey % 10 = 3
+"""
+
+
+def _build_capture(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    import tempfile
+
+    from informixcdc_spark.cdc.typemap import parse_ddl
+    from informixcdc_spark.sources.binlog import write_capture_from_changelog
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    log = orders_changelog(spark, sf_dir)
+    write_capture_from_changelog(log, parse_ddl(_ORDERS_DDL), _ORDERS_TABID, path)
+    return path
+
+
+@register("c10_binlog_source_batch", oracle=_ENVELOPE_CENSUS_ORACLE)
+def c10_binlog_source_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.sources.binlog import register_binlog_source
+
+    register_binlog_source(spark)
+    path = _build_capture(spark, sf_dir, "c10_capture_")
+    raw = spark.read.format("cdc-binlog").option("path", path).load()
+    return raw.groupBy("record_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq_number").alias("min_seq"),
+        F.max("seq_number").alias("max_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c11 — the same source as a STREAM: file-granular micro-batches through
+# the Data Source API's streamReader with offset-log exactly-once, the
+# envelope census accumulated in complete mode. Not benched (spins up a
+# streaming query with a checkpoint).
+# ---------------------------------------------------------------------------
+@register("c11_binlog_source_stream", oracle=_ENVELOPE_CENSUS_ORACLE, bench=False)
+def c11_binlog_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from informixcdc_spark.sources.binlog import register_binlog_source
+
+    register_binlog_source(spark)
+    path = _build_capture(spark, sf_dir, "c11_capture_")
+    stream = spark.readStream.format("cdc-binlog").option("path", path).load()
+    census = stream.groupBy("record_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq_number").alias("min_seq"),
+        F.max("seq_number").alias("max_seq"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="c11_ckpt_")
+    q = (
+        census.writeStream.format("memory")
+        .queryName("c11_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{ckpt}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("c11_out")

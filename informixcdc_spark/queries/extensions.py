@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from informixcdc_spark.catalog import load_table, rebalance
-from informixcdc_spark.functions.text import MINHASH_PRIME, minhash_coeffs
+from informixcdc_spark.functions.text import MINHASH_PRIME, minhash_coeffs, tokens
 from informixcdc_spark.operators.dedup import (
     doc_shingles,
     exact_dedup,
@@ -516,11 +516,8 @@ def _sql_hits(words: tuple[str, ...]) -> str:
     """,
 )
 def e14_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.catalog import rebalance as _rb
-    from informixcdc_spark.functions.text import tokens as _tokens
-
-    docs = _rb(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", _tokens(F.col("text")).alias("_tok"))
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
     hits = lambda ws: F.size(  # noqa: E731
         F.filter(F.col("_tok"), lambda t: t.isin(*ws))
     )

@@ -67,3 +67,30 @@ def test_projection_prunes_scan(spark, sf_dir):
     (cols,) = read_schema_columns(df)
     assert cols == ["l_orderkey"]
     assert any("l_orderkey" in f for f in pushed_filters(df))
+
+
+def test_cdc_apply_broadcasts_truncate_floor(spark, sf_dir):
+    # the truncate-floor side aggregates to <= one row per table; the
+    # apply path must broadcast it, never shuffle the event stream for it
+    from informixcdc_spark.queries.cdcq import c01_cdc_apply_net_effect
+
+    df = c01_cdc_apply_net_effect(spark, sf_dir)
+    assert has_broadcast_hash_join(df), formatted_plan(df)
+
+
+def test_cdc_apply_has_no_record_dedup_exchange(spark, sf_dir):
+    # the net-effect window subsumes record dedup: exactly one exchange
+    # on the key (window) plus the commit-join exchanges — a dedicated
+    # dropDuplicates(seq_number) shuffle would show as an extra
+    # hashpartitioning(seq_number) exchange
+    from informixcdc_spark.queries.cdcq import c01_cdc_apply_net_effect
+
+    plan = formatted_plan(c01_cdc_apply_net_effect(spark, sf_dir))
+    assert "hashpartitioning(seq_number" not in plan, plan
+
+
+def test_rebalance_is_noop_when_already_parallel(spark, sf_dir):
+    from informixcdc_spark.catalog import load_table, rebalance
+
+    df = load_table(spark, sf_dir, "lineitem").repartition(64)
+    assert rebalance(df) is df  # already >= defaultParallelism: untouched

@@ -355,3 +355,55 @@ def decode_stream_df(
             yield pd.DataFrame(rows, columns=field_names)
 
     return records_df.mapInPandas(_decode, schema=out_schema)
+
+
+def decode_envelope_df(
+    envelope_df,
+    registry: dict[int, list[WireColumn]],
+    table_tabid: int,
+    tabname: str,
+):
+    """Envelope-decoded source rows (the ``cdc-binlog`` data source's
+    output, with raw ``row_image`` bytes) → typed changelog DataFrame for
+    one captured table. The second half of the P1–P5 split: the source
+    parses envelopes; this stage applies the per-table row codec that a
+    TABSCHEM record announced (SURVEY §1.3 — the reference rebuilds its
+    column registry from DDL text the server sends in-stream)."""
+    from informixcdc_spark.cdc.model import changelog_schema
+    from informixcdc_spark.cdc.typemap import to_struct
+
+    cols = registry[table_tabid]
+    out_schema = changelog_schema(to_struct(cols))
+    field_names = [f.name for f in out_schema.fields]
+    iud = {"INSERT", "DELETE", "UPDBEF", "UPDAFT"}
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.record_type == "TABSCHEM" or (
+                    r.tabid is not None
+                    and not pd.isna(r.tabid)
+                    and int(r.tabid) != table_tabid
+                ):
+                    continue  # schema announcements / other tables' events
+                is_iud = r.record_type in iud
+                rows.append(
+                    {
+                        "seq_number": int(r.seq_number),
+                        "record_type": r.record_type,
+                        "transaction_id": r.transaction_id,
+                        "tabid": int(r.tabid) if is_iud else None,
+                        "tabname": tabname if is_iud else None,
+                        "flags": int(r.flags) if is_iud else None,
+                        "start_time": r.start_time,
+                        "commit_time": r.commit_time,
+                        "user_id": r.user_id,
+                        "row": decode_row_image(cols, bytes(r.row_image), 0)
+                        if is_iud
+                        else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=field_names)
+
+    return envelope_df.mapInPandas(_decode, schema=out_schema)

@@ -393,3 +393,40 @@ def c11_binlog_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table("c11_out")
+
+
+# ---------------------------------------------------------------------------
+# c12 — dynamic schema discovery from the stream itself (P11/P12): the
+# capture opens with a TABSCHEM record carrying the table's DDL text; the
+# pipeline builds its column registry FROM that record (the reference's
+# runtime-schema mechanism, ext/_informixcdcmodule.ec:1722-1804 — there a
+# CREATE TEMP TABLE + DESCRIBE round-trip, here typemap.parse_ddl), then
+# runs the typed decode + apply. Final state must equal the closed form.
+# ---------------------------------------------------------------------------
+@register("c12_binlog_schema_discovery", oracle=_FINAL_STATE_ORACLE, bench=False)
+def c12_binlog_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from informixcdc_spark.cdc.binary import decode_envelope_df, encode_record
+    from informixcdc_spark.cdc.model import RecordType
+    from informixcdc_spark.cdc.typemap import parse_ddl
+    from informixcdc_spark.sources.binlog import register_binlog_source
+
+    register_binlog_source(spark)
+    path = _build_capture(spark, sf_dir, "c12_capture_")
+    # the schema announcement arrives first ('a-' sorts before 'part-')
+    with open(os.path.join(path, "a-schema.bin"), "wb") as fh:
+        fh.write(
+            encode_record(
+                RecordType.TABSCHEM, tabid=_ORDERS_TABID, cols_desc=_ORDERS_DDL
+            )
+        )
+    raw = spark.read.format("cdc-binlog").option("path", path).load()
+    # registry built from the stream's own TABSCHEM records — tiny
+    # metadata (one row per table), the one legitimate driver round-trip
+    schemas = raw.where(F.col("record_type") == "TABSCHEM").select(
+        "tabid", "cols_desc"
+    ).collect()
+    registry = {int(r.tabid): parse_ddl(r.cols_desc) for r in schemas}
+    log = decode_envelope_df(raw, registry, _ORDERS_TABID, "orders")
+    return apply_changes(log, key_cols=["o_orderkey"])

@@ -348,7 +348,7 @@ def _build_capture(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     return path
 
 
-@register("c10_binlog_source_batch", oracle=_ENVELOPE_CENSUS_ORACLE)
+@register("c10_binlog_source_batch", oracle=_ENVELOPE_CENSUS_ORACLE, bench=False)
 def c10_binlog_source_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.sources.binlog import register_binlog_source
 

@@ -1,0 +1,86 @@
+"""Property-based CDC semantics (SURVEY §5 test plan): for RANDOM
+transaction interleavings with commits/rollbacks/opens and replays, the
+engine's applied table must equal serial application of the committed
+transactions' events in seq order — the reference's implicit contract
+(stream totally ordered by seq_number, only committed txns materialize).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from informixcdc_spark.cdc.apply import apply_changes
+from tests.test_cdc_apply import _log, _state
+
+_KEYS = st.integers(min_value=0, max_value=5)
+_OP = st.tuples(st.sampled_from(["INSERT", "UPDAFT", "DELETE"]), _KEYS)
+_TXN = st.tuples(
+    st.lists(_OP, min_size=1, max_size=4),
+    st.sampled_from(["commit", "rollback", "open"]),
+)
+
+
+@st.composite
+def interleaved_log(draw):
+    """A seq-ordered changelog whose transactions interleave randomly."""
+    txns = draw(st.lists(_TXN, min_size=1, max_size=4))
+    # schedule: a shuffled merge of each txn's [begin, *ops, terminator?]
+    pending = []
+    for txid, (ops, outcome) in enumerate(txns, start=1):
+        chain = [("BEGINTX", txid, None)]
+        chain += [(op, txid, key) for op, key in ops]
+        if outcome == "commit":
+            chain.append(("COMMTX", txid, None))
+        elif outcome == "rollback":
+            chain.append(("RBTX", txid, None))
+        pending.append(chain)
+    events = []
+    while any(pending):
+        alive = [i for i, c in enumerate(pending) if c]
+        i = draw(st.sampled_from(alive))
+        events.append(pending[i].pop(0))
+    return [
+        (seq, rt, txid, (key, f"v{seq}") if key is not None else None)
+        for seq, (rt, txid, key) in enumerate(events, start=1)
+    ]
+
+
+def _serial_reference(events):
+    """Pure-Python model: committed txns' IUD events applied in seq order."""
+    committed = {tx for _, rt, tx, _ in events if rt == "COMMTX"}
+    table: dict[int, str] = {}
+    for seq, rt, tx, row in sorted(events):
+        if tx not in committed or row is None:
+            continue
+        key, val = row
+        if rt == "DELETE":
+            table.pop(key, None)
+        elif rt in ("INSERT", "UPDAFT"):
+            table[key] = val
+    return table
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log())
+def test_random_interleavings_match_serial_model(spark, events):
+    got = _state(apply_changes(_log(spark, events), key_cols=["id"]))
+    assert got == _serial_reference(events)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log())
+def test_replayed_stream_is_idempotent(spark, events):
+    """At-least-once delivery: the whole log delivered twice must
+    produce the same table as once (§2.8.1)."""
+    log = _log(spark, events + events)
+    got = _state(apply_changes(log, key_cols=["id"]))
+    assert got == _serial_reference(events)

@@ -186,3 +186,88 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (deterministic
+    tiebreak on centroid id). Centroids here are the ``n_centroids``
+    lowest-id vectors — a deterministic stand-in for a k-means codebook
+    (production would train one; the partitioning math is identical).
+    Output: (id, vec, _norm, cell).
+    """
+    v = rebalance(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+    ).persist()
+    cent = v.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("_norm").alias("_cn"),
+    )
+    cos = F.when(
+        (F.col("_norm") > 0) & (F.col("_cn") > 0),
+        dot(F.col(vec_col), F.col("_cvec")) / (F.col("_norm") * F.col("_cn")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "_norm", F.col("_cid").alias("cell"))
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    query_max_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: each query probes ONLY its own
+    centroid cell (nprobe=1) — the inverted-file alternative to the
+    hyperplane LSH path in :func:`ann_knn`. At corpus scale a query
+    scans ~1/n_centroids of the data; recall is traded for the same
+    reason and tunable via n_centroids/nprobe."""
+    cells = ivf_cells(corpus, id_col, vec_col, n_centroids).persist()
+    q = cells.where(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_norm").alias("_qn"),
+        "cell",
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("_norm").alias("_cn"),
+        "cell",
+    )
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine",
+            F.col("cell").cast("long").alias("cell"),
+        )
+    )

@@ -33,6 +33,7 @@ from informixcdc_spark.operators.similarity import (
     ann_knn,
     brute_force_knn,
     embedding_near_dups,
+    ivf_knn,
 )
 from informixcdc_spark.operators.textstats import (
     doc_fingerprints,
@@ -539,3 +540,47 @@ def e14_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e15 — IVF-style ANN (the inverted-file alternative to e08's hyperplane
+# LSH): vectors are assigned to their nearest-centroid cell; a query
+# probes only its own cell (nprobe=1). Same exactness rules: fold-ordered
+# dots, deterministic tiebreaks.
+# ---------------------------------------------------------------------------
+@register(
+    "e15_ann_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+             WHERE vec_id < 8),
+    scored AS (
+        SELECT v.vec_id, v.embedding, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_sql_cosine("v.embedding", "cvec")} DESC, cid
+               ) AS rn
+        FROM v CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, cid AS cell FROM scored WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells
+          WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM cells),
+    pairs AS (
+        SELECT query_id, neighbor_id, c.cell,
+               {_sql_cosine("qv", "cv")} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_sql_cosine("qv", "cv")} DESC, neighbor_id
+               ) AS rnk
+        FROM c JOIN q USING (cell)
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cosine,
+           CAST(cell AS BIGINT) AS cell
+    FROM pairs WHERE rnk <= 3
+    """,
+)
+def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_knn(emb, query_max_id=10, k=3, n_centroids=8)

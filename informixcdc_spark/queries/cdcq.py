@@ -430,3 +430,35 @@ def c12_binlog_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry = {int(r.tabid): parse_ddl(r.cols_desc) for r in schemas}
     log = decode_envelope_df(raw, registry, _ORDERS_TABID, "orders")
     return apply_changes(log, key_cols=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# c13 — server-initiated DISCARD (P9, ext/_informixcdcmodule.ec:1617-1655):
+# a log-wrap discard terminates the transaction WITHOUT committing it —
+# its buffered events must vanish exactly like a rollback. Transactions
+# k%11==7 get their COMMTX replaced by DISCARD; the final state loses
+# exactly those keys relative to c01's closed form.
+# ---------------------------------------------------------------------------
+@register(
+    "c13_cdc_discard_drops_txn",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+      AND o_orderkey % 13 <> 11
+      AND o_orderkey % 7 <> 0
+      AND o_orderkey % 11 <> 7   -- server-discarded: never committed
+    """,
+)
+def c13_cdc_discard_drops_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = orders_changelog(spark, sf_dir)
+    discarded = F.when(
+        (F.col("record_type") == "COMMTX") & (F.col("transaction_id") % 11 == 7),
+        F.lit("DISCARD"),
+    ).otherwise(F.col("record_type"))
+    return apply_changes(
+        log.withColumn("record_type", discarded), key_cols=["o_orderkey"]
+    )

@@ -584,3 +584,78 @@ def e14_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivf_knn(emb, query_max_id=10, k=3, n_centroids=8)
+
+
+# ---------------------------------------------------------------------------
+# e16 — BPE-style pre-tokenization counts: the regex pre-tokenizer pass a
+# subword tokenizer runs before merges (alnum runs vs punctuation runs),
+# counted against whitespace tokens. regexp_extract_all behaves
+# identically in Spark (Java regex) and DuckDB (RE2) for this pattern
+# class — verified by the oracle, not assumed.
+# ---------------------------------------------------------------------------
+_BPE_PAT = "[a-z0-9]+|[^a-z0-9 ]+"
+
+
+@register(
+    "e16_token_bpe_regex",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS INT)
+               AS n_pieces,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_PAT}'),
+                                p -> regexp_matches(p, '^[a-z0-9]+$'))) AS INT)
+               AS n_word_pieces,
+           CAST(len({_SQL_TOK}) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def e16_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)
+    with_pieces = docs.select(
+        "doc_id", pieces.alias("_pieces"), tokens(F.col("text")).alias("_tok")
+    )
+    word = F.filter(F.col("_pieces"), lambda p: p.rlike("^[a-z0-9]+$"))
+    return with_pieces.select(
+        "doc_id",
+        F.size("_pieces").cast("int").alias("n_pieces"),
+        F.size(word).cast("int").alias("n_word_pieces"),
+        F.size("_tok").cast("int").alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e17 — rolling-hash document fingerprint: polynomial fold over the token
+# hash sequence, (acc·B + h(tok)) mod P — ORDER-SENSITIVE, unlike e02's
+# content md5: reordered tokens change the fingerprint. One linear pass;
+# the fold is identical arithmetic in both engines (DuckDB's list_reduce
+# is seeded by prepending the same 0 Spark's aggregate starts from).
+# ---------------------------------------------------------------------------
+_ROLL_B = 1_000_003
+
+
+@register(
+    "e17_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   [CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                    for t in {_SQL_TOK}]),
+               (acc, x) -> (acc * {_ROLL_B} + x) % {MINHASH_PRIME}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def e17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.functions.text import shingle_hash_ints
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    hashed = toked.select("doc_id", shingle_hash_ints(F.col("_tok")).alias("_xs"))
+    roll = F.aggregate(
+        F.col("_xs"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(MINHASH_PRIME),
+    )
+    return hashed.select("doc_id", roll.alias("fingerprint"))

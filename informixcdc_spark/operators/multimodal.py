@@ -97,3 +97,78 @@ def decode_stub(
             )
 
     return binary_df.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+#: frame-sample output: one row PER SAMPLED FRAME (1→N mapInPandas shape)
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_len INT, checksum INT"
+
+
+def frame_sample(
+    binary_df: DataFrame, frame_sz: int = 64, every_n: int = 3
+) -> DataFrame:
+    """Video-style frame sampling over an opaque payload: split into
+    fixed-size frames, keep every ``every_n``-th, emit one OUTPUT ROW per
+    sampled frame — the 1→N expansion shape a real frame decoder needs
+    (mapInPandas yields more rows than it consumes; no driver involvement,
+    no explode of a materialized array)."""
+
+    def _sample(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                n_frames = (len(raw) + frame_sz - 1) // frame_sz
+                for fi in range(0, n_frames, every_n):
+                    chunk = raw[fi * frame_sz : (fi + 1) * frame_sz]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    lens.append(len(chunk))
+                    sums.append(sum(chunk) % 997)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "checksum": pd.Series(sums, dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+#: resize output: payload replaced by the resized fake raster
+RESIZE_SCHEMA = "doc_id BIGINT, width INT, height INT, payload BINARY"
+
+
+def resize_stub(
+    binary_df: DataFrame, width: int = 4, height: int = 4, fake: bool = False
+) -> DataFrame:
+    """Image-resize stage. Real decode/resample needs PIL/ffmpeg (absent
+    in this container — NotImplementedError documents the boundary);
+    ``fake=True`` runs a deterministic stand-in (stride subsampling of the
+    payload to width·height bytes) so the Spark plumbing — schema, batch
+    shape, binary-in/binary-out — is real and tested."""
+
+    def _resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable in this environment; "
+                    "run with fake=True for the deterministic test resizer"
+                )
+            out = []
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                n = width * height
+                stride = max(1, len(raw) // n)
+                out.append(raw[::stride][:n].ljust(n, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([width] * len(out), dtype="int32"),
+                    "height": pd.Series([height] * len(out), dtype="int32"),
+                    "payload": out,
+                }
+            )
+
+    return binary_df.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -659,3 +659,68 @@ def e17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(MINHASH_PRIME),
     )
     return hashed.select("doc_id", roll.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# e18 — multimodal feature extraction through the stubbed decoder (fake
+# deterministic features: byte-histogram moments). Verifies the whole
+# binary→mapInPandas→array<float> path against closed-form byte math.
+# ---------------------------------------------------------------------------
+_FEAT_COLS = ", ".join(
+    f"""CAST(list_sum([ascii(substr(text, i, 1))
+            for i in generate_series({1 + j}, len(text), 8)]) % 997 AS DOUBLE)
+        AS f{j}"""
+    for j in range(8)
+)
+
+
+@register(
+    "e18_multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           {_FEAT_COLS}
+    FROM documents
+    """,
+)
+def e18_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.multimodal import decode_stub
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    feats = decode_stub(to_binary_payload(docs, "doc_id", "text"), fake=True)
+    # flatten the vector for the driver's scalar-columns hash comparison
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
+            for j in range(8)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# e19 — frame sampling (1→N row expansion in mapInPandas): every 3rd
+# 64-byte frame of each payload, with per-frame length + checksum.
+# ---------------------------------------------------------------------------
+@register(
+    "e19_multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(least(64, len(text) - fi * 64) AS INT) AS frame_len,
+           CAST(list_sum([ascii(substr(text, i, 1))
+                          for i in generate_series(fi * 64 + 1,
+                                                   least(fi * 64 + 64, len(text)))])
+                % 997 AS INT) AS checksum
+    FROM documents,
+         unnest([i for i in generate_series(0,
+                    CAST(ceil(len(text) / 64.0) AS INT) - 1) if i % 3 = 0])
+             AS u(fi)
+    """,
+)
+def e19_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.multimodal import frame_sample
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    return frame_sample(to_binary_payload(docs, "doc_id", "text"))

@@ -44,6 +44,12 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
 def _canon_cell(v):
     if v is None:
         return None
+    # array-valued cells: Spark gives lists, DuckDB numpy arrays —
+    # canonicalize both to tuples of canonical elements
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
+    if type(v).__name__ in ("float32", "float64"):  # numpy scalars inside arrays
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return None

@@ -67,3 +67,19 @@ def test_multimodal_fake_decode_deterministic(spark, sf_dir):
     assert all(len(r["feature"]) == 8 for r in a)
     meta = payload_metadata(payload).orderBy("doc_id").collect()
     assert all(m["n_bytes"] > 0 for m in meta)
+
+
+def test_resize_stub_fake_and_boundary(spark, sf_dir):
+    import pytest
+    from informixcdc_spark.catalog import load_table
+    from informixcdc_spark.operators.multimodal import resize_stub, to_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    binary = to_binary_payload(docs, "doc_id", "text")
+    out = resize_stub(binary, width=4, height=4, fake=True).collect()
+    assert len(out) == 20
+    assert all(len(bytes(r.payload)) == 16 for r in out)  # exact raster size
+    assert all(r.width == 4 and r.height == 4 for r in out)
+    # without fake=True the missing-codec boundary must raise, not silently fake
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        resize_stub(binary, fake=False).collect()

@@ -62,7 +62,15 @@ def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     the (tiny) input buys full parallelism downstream. At production
     scale the scan already yields >= defaultParallelism splits and this
     is a no-op — it never repartitions data that is already spread out.
+
+    Plans that already contain a repartition are returned untouched
+    WITHOUT the partition-count probe: under AQE, ``df.rdd`` materializes
+    every upstream query stage to learn the final partitioning, i.e. the
+    probe itself would execute the plan's shuffles at build time.
     """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "Repartition" in plan or "RebalancePartitions" in plan:
+        return df
     sc = df.sparkSession.sparkContext
     n = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:

@@ -46,11 +46,23 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
 
     Tokenization is materialized in its own projection before shingling —
     see word_shingles' contract: an inline tokenizer would be re-run per
-    shingle position by the interpreted HOF."""
-    toked = rebalance(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    shingle position by the interpreted HOF.
+
+    The non-empty guard filters on TOKEN COUNT, not on the shingle array:
+    Catalyst pushes filters through Exchange by expression substitution,
+    so a `size(shingles) > 0` predicate would drag the whole interpreted
+    shingle computation below the rebalance shuffle — serializing it onto
+    the input's (single) parquet split and then recomputing it post-
+    shuffle. `size(tokens) >= k` is equivalent (word_shingles emits empty
+    iff fewer than k tokens) and cheap enough to evaluate at the scan."""
+    toked = (
+        rebalance(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .where(F.size("_tok") >= k)
+    )
     return toked.select(
         F.col(id_col), word_shingles(F.col("_tok"), k).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    )
 
 
 def minhash_bands(

@@ -36,6 +36,11 @@ def main() -> None:
     queries["q01_revenue_by_nation"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warmup the Python/Arrow worker pool too (first mapInPandas otherwise
+    # pays daemon + worker startup inside its measured time)
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     for name in sorted(queries):

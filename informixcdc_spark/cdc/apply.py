@@ -131,11 +131,26 @@ def apply_changes(
         ).select(*flat.columns)
         flat = flat.unionByName(base_as_inserts)
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col("seq_number").desc())
-    return (
-        flat.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & (F.col("record_type") != RecordType.DELETE.name))
-        .drop("_rn", "seq_number", "record_type")
+    # net effect = the highest-seq event per key — a hash aggregation with
+    # max_by, NOT a row_number window: the aggregate partial-combines
+    # map-side, so the shuffle carries at most one row per key per input
+    # partition (vs. every event) and needs no sort. Ties (bit-identical
+    # replayed records) pick an equivalent winner.
+    row_fields = [c for c in flat.columns if c not in ("seq_number", "record_type")]
+    payload = [c for c in row_fields if c not in key_cols]
+    winner = flat.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(F.col("record_type"), *[F.col(c) for c in payload]),
+            F.col("seq_number"),
+        ).alias("_w")
+    )
+    return winner.where(
+        F.col("_w.record_type") != RecordType.DELETE.name
+    ).select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"_w.{c}").alias(c)
+            for c in row_fields
+        ]
     )
 
 

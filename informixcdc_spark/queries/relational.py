@@ -705,3 +705,99 @@ def q23_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("n"), dsum("amount", 4).alias("amount_total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q24 — bucketed co-located join: both fact tables written bucketed+sorted
+# by the join key, then joined WITHOUT a shuffle (the bucketed scans
+# already satisfy the join's distribution requirement). This is the
+# 100 TB join strategy for repeated fact⋈fact joins: pay one bucketing
+# write, then every subsequent join is exchange-free. bench=False — the
+# one-time ETL write dominates at fixture scale and isn't a steady-state
+# query cost (test_plans pins the no-Exchange property).
+# ---------------------------------------------------------------------------
+def bucketed_orders_lineitem(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Write orders/lineitem bucketed by the join key; return the bucketed
+    tables. Re-uses existing tables when the session already wrote them."""
+    import tempfile
+
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"bkt_{name}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                _t(spark, sf_dir, name)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", tempfile.mkdtemp(prefix=f"{tbl}_"))
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    return spark.table("bkt_orders"), spark.table("bkt_lineitem")
+
+
+@register(
+    "q24_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice", 4)} AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    bench=False,
+)
+def q24_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = bucketed_orders_lineitem(spark, sf_dir)
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 4).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — salted skew join: events.user_id covers only 10% of the customer
+# keyspace (150 hot users x ~667 events each at sf0.1), the classic
+# hot-key shape. Salting splits every hot key S ways: the fact side gets
+# a DETERMINISTIC salt (pmod(hash(event_id), S) — reproducible for the
+# oracle, unlike rand()), the dimension side is exploded xS, and the join
+# key becomes (user_id, salt) — so one hot key's rows spread over S tasks
+# instead of one straggler. The salt never changes the join result;
+# the oracle is the plain unsalted join.
+# ---------------------------------------------------------------------------
+_SALT_S = 8
+
+
+@register(
+    "q25_salted_skew_join",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS value_total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q25_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(_SALT_S))
+    )
+    customer = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_S)])))
+    )
+    return (
+        events.join(
+            customer,
+            (F.col("user_id") == F.col("c_custkey")) & (events["_salt"] == customer["_salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("value_total"),
+        )
+    )

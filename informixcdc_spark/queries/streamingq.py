@@ -177,3 +177,53 @@ def w04_stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table("w04_out")
+
+
+# ---------------------------------------------------------------------------
+# w05 — streaming deduplication: the stream is delivered twice (unioned
+# with itself — the at-least-once shape), and dropDuplicates on the
+# record key inside the streaming engine must collapse the copies
+# exactly-once. State is keyed by event_id in the state store; with a
+# watermark this is Spark's bounded-state streaming dedup (the batch
+# analog is e01 exact dedup; the CDC analog is record-level seq_number
+# dedup). Oracle: plain DISTINCT counts.
+# ---------------------------------------------------------------------------
+@register(
+    "w05_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    bench=False,
+)
+def w05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="w05_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    doubled = stream.unionByName(stream)  # at-least-once delivery
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = tempfile.mkdtemp(prefix="w05_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("w05_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("w05_out")

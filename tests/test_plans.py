@@ -94,3 +94,34 @@ def test_rebalance_is_noop_when_already_parallel(spark, sf_dir):
 
     df = load_table(spark, sf_dir, "lineitem").repartition(64)
     assert rebalance(df) is df  # already >= defaultParallelism: untouched
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # the whole point of bucketing: with both sides bucketed+sorted on the
+    # join key, the sort-merge join's distribution requirement is already
+    # met by the scans — no Exchange anywhere in the plan
+    from informixcdc_spark.queries.relational import bucketed_orders_lineitem
+
+    orders, lineitem = bucketed_orders_lineitem(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    # with broadcast off, the salted join must shuffle on BOTH key parts
+    # (user_id AND the salt) — that compound hashpartitioning is what
+    # splits one hot key across tasks
+    from informixcdc_spark.queries.relational import q25_salted_skew_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(q25_salted_skew_join(spark, sf_dir))
+        assert "_salt" in plan and "hashpartitioning(user_id" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

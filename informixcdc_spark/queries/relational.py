@@ -801,3 +801,56 @@ def q25_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 6).alias("value_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q26 — cascading multi-resolution rollup (the hypertable/continuous-
+# aggregate pattern): hour-level aggregates are computed from the raw
+# events ONCE; day- and month-level aggregates are derived from the
+# hour rollup, never from the raw table. At 100 TB the coarse
+# resolutions aggregate the ~10⁴×-smaller fine rollup — the cascade
+# turns three full scans into one. Partial sums stay DECIMAL through
+# the cascade and only cast to double at the edge, so re-aggregating
+# partials is bit-equal to aggregating raw rows.
+# ---------------------------------------------------------------------------
+def _sql_res(res: str) -> str:
+    return f"""
+    SELECT '{res}' AS res,
+           strftime(time_bucket(INTERVAL '1 {res}', ts), '{_Q26_FMT}') AS win_start,
+           COUNT(*) AS n, {sql_dsum("value", 6)} AS value_total
+    FROM events GROUP BY 2
+    """
+
+
+_Q26_FMT = "%Y-%m-%d %H:%M"
+_Q26_SPARK_FMT = "yyyy-MM-dd HH:mm"
+
+
+@register(
+    "q26_cascading_rollup",
+    oracle=" UNION ALL ".join([_sql_res("hour"), _sql_res("day"), _sql_res("month")]),
+)
+def q26_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    hour = events.groupBy(F.date_trunc("hour", "ts").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_dec"),
+    )
+    day = hour.groupBy(F.date_trunc("day", "w").alias("w")).agg(
+        F.sum("n").alias("n"), F.sum("_dec").alias("_dec")
+    )
+    month = day.groupBy(F.date_trunc("month", "w").alias("w")).agg(
+        F.sum("n").alias("n"), F.sum("_dec").alias("_dec")
+    )
+
+    def _edge(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("res"),
+            F.date_format("w", _Q26_SPARK_FMT).alias("win_start"),
+            "n",
+            F.col("_dec").cast("double").alias("value_total"),
+        )
+
+    return _edge(hour, "hour").unionByName(_edge(day, "day")).unionByName(
+        _edge(month, "month")
+    )

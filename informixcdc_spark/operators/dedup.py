@@ -205,3 +205,51 @@ def perturbed_copies(
     return df.select(
         (F.col(id_col) + id_offset).alias(id_col), clipped.alias(text_col)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, nodes: DataFrame, id_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components of the near-duplicate graph → cluster ids.
+
+    Groups ALL transitively-linked near-dups (a~b, b~c ⇒ {a,b,c} share
+    one cluster — pairwise output alone can't pick one representative per
+    group). Iterative min-label propagation, the standard distributed CC
+    algorithm: every node starts labeled with its own id; each round
+    every node takes the min of its own and its neighbors' labels;
+    fixpoint in O(component diameter) rounds.
+
+    Scale notes: each round is one equi-join (labels ⋈ edges) + one
+    hash-aggregate — all shuffles on the node id, no driver-side data.
+    ``localCheckpoint`` truncates the plan each round (iterative lineage
+    otherwise grows unboundedly and re-executes from round 0); the
+    convergence probe reads a single count per round.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        prop = labels.join(edges, labels["id"] == edges["src"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )

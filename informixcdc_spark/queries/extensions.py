@@ -724,3 +724,47 @@ def e19_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = rebalance(load_table(spark, sf_dir, "documents"))
     return frame_sample(to_binary_payload(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# e20 — near-dup CLUSTER assignment: connected components over the LSH
+# candidate graph (a~b, b~c ⇒ one cluster — pairwise candidates alone
+# can't pick one representative per duplicate group). Spark side:
+# iterative min-label propagation (operators.dedup.dedup_clusters);
+# oracle: transitive closure via a recursive CTE over the same pairs.
+# ---------------------------------------------------------------------------
+def _sql_dedup_clusters() -> str:
+    base = _SQL_BANDS_CTE.strip()
+    assert base.upper().startswith("WITH")
+    # re-head the bands query as a CTE chain and extend it with the
+    # pair graph + recursive min-label reachability
+    body = base[len("WITH"):].replace(
+        "SELECT doc_id, band_idx, band_key FROM",
+        ", all_bands AS (SELECT doc_id, band_idx, band_key FROM",
+        1,
+    )
+    return f"""
+    WITH RECURSIVE {body} ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM all_bands a JOIN all_bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id <> b.doc_id
+    ),
+    reach(id, label) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT p.dst, r.label FROM reach r JOIN pairs p ON p.src = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@register("e20_dedup_clusters", oracle=_sql_dedup_clusters())
+def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.dedup import dedup_clusters
+
+    corpus = _docs_corpus(spark, sf_dir)
+    shingled = doc_shingles(corpus, "doc_id", "text")
+    pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
+    return dedup_clusters(pairs, corpus.select("doc_id"), "doc_id")

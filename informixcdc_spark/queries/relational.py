@@ -854,3 +854,46 @@ def q26_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edge(hour, "hour").unionByName(_edge(day, "day")).unionByName(
         _edge(month, "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q27 — exact percentiles + sketch cross-check. Exact `percentile` is the
+# oracle-comparable output; the approx_percentile (KLL/GK sketch) and
+# approx_count_distinct (HyperLogLog++) results — the only viable forms
+# at 100 TB, where exact quantiles would sort the whole column — are
+# validated INSIDE the query as within-tolerance booleans (sketch values
+# are engine-specific, so the flag, not the estimate, is what the oracle
+# can check).
+# ---------------------------------------------------------------------------
+@register(
+    "q27_percentiles_sketch_check",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS p95,
+           TRUE AS approx_p50_ok,
+           TRUE AS approx_ndv_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q27_percentiles_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias("_ap50"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_andv"),
+        F.count_distinct("l_orderkey").alias("_ndv"),
+    )
+    return g.select(
+        "l_returnflag",
+        "p50",
+        "p95",
+        (F.abs(F.col("_ap50") - F.col("p50")) / F.col("p50") < 0.01).alias(
+            "approx_p50_ok"
+        ),
+        (
+            F.abs(F.col("_andv") - F.col("_ndv")) / F.col("_ndv") < 0.05
+        ).alias("approx_ndv_ok"),
+    )

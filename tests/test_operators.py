@@ -83,3 +83,14 @@ def test_resize_stub_fake_and_boundary(spark, sf_dir):
     # without fake=True the missing-codec boundary must raise, not silently fake
     with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
         resize_stub(binary, fake=False).collect()
+
+
+def test_dedup_clusters_transitive_chain(spark, sf_dir):
+    # a~b and b~c but NOT a~c: all three must land in one cluster — the
+    # property pairwise candidate output cannot express
+    from informixcdc_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id LONG")
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, nodes, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}

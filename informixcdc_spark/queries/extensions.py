@@ -768,3 +768,65 @@ def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = doc_shingles(corpus, "doc_id", "text")
     pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
     return dedup_clusters(pairs, corpus.select("doc_id"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e21 — the composed training-data pipeline: corpus (with duplicate
+# copies) → quality gate (e10's scorer) → exact dedup of the survivors →
+# per-representative token stats. One narrow map pass for scoring, one
+# hash-aggregate for dedup — the whole pipeline is two shuffle-free
+# stages plus a single content-keyed shuffle, the 100 TB prep shape.
+# ---------------------------------------------------------------------------
+_SQL_QUALITY_EXPR = """
+    0.4::DOUBLE * (CASE WHEN n < 20 THEN 0.2::DOUBLE
+                        WHEN n <= 200 THEN 1.0::DOUBLE
+                        ELSE 0.6::DOUBLE END)
+    + 0.3::DOUBLE * least(CAST(stop_hits AS DOUBLE) / n * 4, 1.0::DOUBLE)
+    + 0.3::DOUBLE * least(CAST(total_chars AS DOUBLE) / n / 8, 1.0::DOUBLE)
+"""
+
+
+@register(
+    "e21_training_data_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    ),
+    t AS (
+        SELECT doc_id, text,
+               len({_SQL_TOK}) AS n,
+               {_SQL_STOP_FILTER.format(tok=_SQL_TOK)} AS stop_hits,
+               length(regexp_replace(text, ' ', '', 'g')) AS total_chars
+        FROM corpus
+    ),
+    keep AS (SELECT doc_id, text, n FROM t WHERE {_SQL_QUALITY_EXPR} >= 0.7)
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+           CAST(MIN(n) AS INT) AS n_tokens
+    FROM keep GROUP BY text
+    """,
+)
+def e21_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.textstats import quality_score_exprs
+
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    # Declared as dedup-then-gate; Catalyst rewrites it to gate-then-dedup
+    # (the score is a function of the grouping column alone, so the
+    # predicate pushes below the aggregation all the way into the scans).
+    # That IS the plan you want at 100 TB: every dropped document is
+    # filtered before the content-keyed shuffle, so the dedup exchange
+    # only carries surviving rows.
+    reps = corpus.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    toked = reps.select("doc_id", "n_copies", tokens(F.col("text")).alias("_tok"))
+    n, _, _, score = quality_score_exprs(F.col("_tok"))
+    return (
+        toked.withColumn("n_tokens", n.cast("int"))
+        .where(score >= 0.7)
+        .select("doc_id", "n_copies", "n_tokens")
+    )

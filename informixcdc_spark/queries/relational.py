@@ -883,13 +883,22 @@ def q26_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q27_percentiles_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    # The exact-distinct count runs in its OWN aggregation, joined back on
+    # the (5-row) group keys: a count_distinct inside the percentile agg
+    # makes Catalyst rewrite the whole Aggregate with an Expand (input
+    # duplicated per distinct-path), and the percentile's value-count map
+    # buffers then ride through every expanded merge stage — measured 80x
+    # slower than the two separate aggregations at sf0.1.
+    pct = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
         F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias("_ap50"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("_andv"),
-        F.count_distinct("l_orderkey").alias("_ndv"),
     )
+    ndv = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("_ndv")
+    )
+    g = pct.join(ndv, "l_returnflag")
     return g.select(
         "l_returnflag",
         "p50",

@@ -227,3 +227,71 @@ def w05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table("w05_out")
+
+
+# ---------------------------------------------------------------------------
+# w06 — watermarked stream-stream inner join: each purchase joined to the
+# same user's views in the preceding hour. Both sides are unbounded; the
+# time-range condition + watermarks bound the join state (views older
+# than the range are evicted — without the constraint the state store
+# grows forever). The oracle is the equivalent batch time-range join.
+# ---------------------------------------------------------------------------
+@register(
+    "w06_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts < p.ts
+    """,
+    bench=False,
+)
+def w06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="w06_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def _side(kind: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .where(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    purchases, views = _side("purchase", "p"), _side("view", "v")
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_user").alias("user_id"),
+    )
+    out = tempfile.mkdtemp(prefix="w06_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("w06_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("w06_out")

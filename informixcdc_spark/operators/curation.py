@@ -1,0 +1,109 @@
+"""Training-data curation operators: PII redaction, deterministic
+train/val/test splitting, sequence packing, and Z-order layout keys.
+
+These extend the reference's data-processing surface (it has none of
+these — it is a CDC client) with the curation steps a large-scale
+training-data pipeline runs after ingestion, per the driver mandate
+(SURVEY §2.9). Everything is a pure JVM column expression — no UDFs —
+so the hot path stays inside whole-stage codegen, and every primitive
+has an exact DuckDB twin for the oracle gate.
+
+Scale notes (100 TB):
+- PII redaction and split assignment are narrow per-row maps: no
+  shuffle, fully pipelined with the scan.
+- Sequence packing is a per-shard running sum: windows partition by
+  the shard key (``source`` here), so the sort is per-shard, parallel
+  across shards, and never global.
+- Z-order keys are plain arithmetic; sorting/range-partitioning by the
+  key at write time gives multi-dimensional data skipping with the
+  engine's existing min/max file statistics.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# RE2-compatible AND java.util.regex-compatible — the subset both Spark
+# and DuckDB interpret identically (no backrefs, no lookaround).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+
+
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def redact_pii(col: Column | str) -> tuple[Column, Column, Column]:
+    """(redacted_text, n_emails, n_phones).
+
+    Counts are taken on the raw text, the replacement on top — one pass
+    each, all codegen'd; at scale this fuses into the scan stage.
+    """
+    c = _col(col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+    return redacted, n_emails, n_phones
+
+
+#: hex-digit cutoffs for a 12/2/2-sixteenths split of the md5 keyspace.
+SPLIT_BOUNDS = (("0", "b", "train"), ("c", "d", "val"), ("e", "f", "test"))
+
+
+def deterministic_split(id_col: Column | str) -> Column:
+    """Stable train/val/test label from the id alone.
+
+    ``md5(id)`` is uniform over the hex alphabet, so first-digit ranges
+    give exact 12/16, 2/16, 2/16 expected fractions; the label is a pure
+    function of the row id — stable across runs, partitions, engines,
+    and data order, which is what makes held-out sets trustworthy.
+    """
+    h = F.substring(F.md5(_col(id_col).cast("string")), 1, 1)
+    lo0, hi0, name0 = SPLIT_BOUNDS[0]
+    expr = F.when(h.between(lo0, hi0), name0)
+    for lo, hi, name in SPLIT_BOUNDS[1:-1]:
+        expr = expr.when(h.between(lo, hi), name)
+    return expr.otherwise(SPLIT_BOUNDS[-1][2])
+
+
+def sql_deterministic_split(id_expr: str) -> str:
+    """DuckDB twin of :func:`deterministic_split`."""
+    h = f"substr(md5(CAST({id_expr} AS VARCHAR)),1,1)"
+    cases = " ".join(
+        f"WHEN {h} BETWEEN '{lo}' AND '{hi}' THEN '{name}'"
+        for lo, hi, name in SPLIT_BOUNDS[:-1]
+    )
+    return f"CASE {cases} ELSE '{SPLIT_BOUNDS[-1][2]}' END"
+
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 8) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative ints, x taking the odd (higher) bit positions.
+
+    Plain shift/mask/add arithmetic — codegen-friendly, and the exact
+    same formula renders to ANSI SQL (:func:`sql_zorder_key`), so the
+    oracle can verify it. Range-partition + sort by this key at write
+    time and min/max file stats prune BOTH dimensions at read time.
+    """
+    xc, yc = _col(x), _col(y)
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftright(xc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+        terms.append(F.shiftright(yc, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def sql_zorder_key(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB twin of :func:`zorder_key` (identical arithmetic)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i)})")
+    return " + ".join(terms)

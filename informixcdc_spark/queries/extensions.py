@@ -28,6 +28,10 @@ from informixcdc_spark.operators.dedup import (
     perturbed_copies,
     simhash,
 )
+from informixcdc_spark.operators.curation import (
+    sql_deterministic_split,
+    sql_zorder_key,
+)
 from informixcdc_spark.operators.multimodal import payload_metadata, to_binary_payload
 from informixcdc_spark.operators.similarity import (
     ann_knn,
@@ -829,4 +833,208 @@ def e21_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         toked.withColumn("n_tokens", n.cast("int"))
         .where(score >= 0.7)
         .select("doc_id", "n_copies", "n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e22 — PII redaction. The synthetic corpus has no PII, so the query
+# first injects deterministic emails/phone numbers (same expression in
+# both engines), then redacts and counts them. The redact pass is a
+# narrow per-row map — at 100 TB it fuses into the scan, zero shuffles.
+# Reference has no text ops at all; this is driver-mandated curation
+# surface (SURVEY §2.9).
+# ---------------------------------------------------------------------------
+_SQL_SALTED = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+
+def _salted_text() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail"),
+                (did % 7).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")
+            ),
+        ).otherwise(""),
+    )
+
+
+@register(
+    "e22_pii_redaction",
+    oracle=f"""
+    WITH salted AS (SELECT doc_id, {_SQL_SALTED} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+               '\\b\\d{{3}}-\\d{{4}}\\b')) AS INT) AS n_phones
+    FROM salted
+    """,
+)
+def e22_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.curation import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _salted_text().alias("t")
+    )
+    redacted, n_emails, n_phones = redact_pii("t")
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e23 — deterministic train/val/test split. The label is a pure function
+# of doc_id (md5 keyspace ranges), so the assignment is stable across
+# runs/partitionings/engines — no sampling state, no driver round-trip;
+# verified here by aggregating each split. At scale this is a free
+# per-row expression on the scan.
+# ---------------------------------------------------------------------------
+@register(
+    "e23_deterministic_split",
+    oracle=f"""
+    SELECT {sql_deterministic_split("doc_id")} AS split,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY 1
+    """,
+)
+def e23_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.curation import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", deterministic_split("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e24 — sequence packing: greedy contiguous packing of documents into
+# fixed token-capacity bins, per source shard. bin = floor(tokens-seen-
+# before-me / capacity) over a per-shard running sum. The window
+# partitions by the shard key, so at 100 TB the sort is per-shard and
+# parallel — never a global order-by.
+# ---------------------------------------------------------------------------
+_PACK_CAPACITY = 2048
+
+
+@register(
+    "e24_sequence_packing",
+    oracle=f"""
+    WITH toked AS (
+        SELECT source, doc_id, len({_SQL_TOK}) AS n_tok FROM documents
+    ),
+    binned AS (
+        SELECT source, doc_id, n_tok,
+               CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_PACK_CAPACITY}.0) AS BIGINT) AS bin_id
+        FROM toked
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM binned GROUP BY source, bin_id
+    """,
+)
+def e24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        docs.withColumn(
+            "bin_id",
+            F.floor(cum_before / float(_PACK_CAPACITY)).cast("bigint"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e25 — Z-order layout key: Morton-interleave (user_id, value) and roll
+# up per coarse tile. Each tile's min/max extents stay narrow in BOTH
+# dimensions — that is the data-skipping property: range-partition +
+# sort by z_key at write time and ordinary per-file min/max stats prune
+# two columns at once. Pure shift/mask arithmetic, oracle-verified.
+# ---------------------------------------------------------------------------
+@register(
+    "e25_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id % 256 AS x,
+               (CAST(FLOOR(value) AS BIGINT)) % 256 AS y,
+               {sql_zorder_key("(user_id % 256)",
+                               "((CAST(FLOOR(value) AS BIGINT)) % 256)")} AS z_key
+        FROM events
+    )
+    SELECT CAST(z_key // 1024 AS BIGINT) AS tile, COUNT(*) AS n_events,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM keyed GROUP BY 1
+    """,
+)
+def e25_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.curation import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor("value").cast("bigint") % 256).alias("y"),
+    )
+    return (
+        ev.withColumn("z_key", zorder_key("x", "y"))
+        .groupBy((F.col("z_key") / 1024).cast("bigint").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
     )

@@ -94,3 +94,66 @@ def test_dedup_clusters_transitive_chain(spark, sf_dir):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id LONG")
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, nodes, "doc_id").collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_zorder_key_is_bijective_and_local(spark):
+    from informixcdc_spark.operators.curation import zorder_key
+
+    grid = (
+        spark.range(256 * 256)
+        .select((F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("bigint").alias("y"))
+        .withColumn("z", zorder_key("x", "y"))
+    )
+    rows = grid.collect()
+    assert len({r["z"] for r in rows}) == 256 * 256  # bijection on the grid
+    assert {r["z"] for r in rows} == set(range(256 * 256))  # exactly [0, 2^16)
+    # locality: any aligned 1024-key tile spans a 32×32 (x,y) square
+    ext = (
+        grid.groupBy((F.col("z") / 1024).cast("bigint").alias("tile"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert all(r["dx"] <= 31 and r["dy"] <= 31 for r in ext)
+
+
+def test_deterministic_split_fractions_and_stability(spark):
+    from informixcdc_spark.operators.curation import deterministic_split
+
+    ids = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["count"]
+        for r in ids.withColumn("split", deterministic_split("doc_id"))
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 12 / 16) < 0.02
+    assert abs(counts["val"] / 20_000 - 2 / 16) < 0.02
+    # stability: same ids in a different order/partitioning → same labels
+    again = {
+        r["split"]: r["count"]
+        for r in ids.repartition(7)
+        .withColumn("split", deterministic_split("doc_id"))
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert counts == again
+
+
+def test_redact_pii_counts_and_text(spark):
+    from informixcdc_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a@b.io and c.d+e@f-g.org or 555-1234",), ("clean text",)],
+        ["t"],
+    )
+    red, ne, np_ = redact_pii("t")
+    got = df.select(red.alias("r"), ne.alias("ne"), np_.alias("np")).collect()
+    assert got[0]["r"] == "mail <EMAIL> and <EMAIL> or <PHONE>"
+    assert (got[0]["ne"], got[0]["np"]) == (2, 1)
+    assert got[1]["r"] == "clean text" and got[1]["ne"] == 0

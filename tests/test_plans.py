@@ -125,3 +125,25 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
         assert "_salt" in plan and "hashpartitioning(user_id" in plan, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_pii_redaction_is_shuffle_free(spark, sf_dir):
+    # per-row regex map: must fuse into the scan stage with no Exchange
+    from informixcdc_spark.queries.extensions import e22_pii_redaction
+
+    plan = formatted_plan(e22_pii_redaction(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_single_pershard_shuffle(spark, sf_dir):
+    # exactly ONE exchange (on the shard key); tokenization happens
+    # BELOW it, so the shuffle carries (source, doc_id, n_tok) ints —
+    # never the document text; the final agg reuses the window's
+    # partitioning instead of adding a second exchange
+    from informixcdc_spark.queries.extensions import e24_sequence_packing
+
+    df = e24_sequence_packing(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    scan_side = plan.split("Exchange")[1]  # text below the exchange only
+    assert "split(text" in scan_side, plan

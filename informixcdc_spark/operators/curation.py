@@ -81,6 +81,68 @@ def sql_deterministic_split(id_expr: str) -> str:
     return f"CASE {cases} ELSE '{SPLIT_BOUNDS[-1][2]}' END"
 
 
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 256) -> Column:
+    """Uniform, engine-portable bucket in [0, 256) from the row id.
+
+    Built from hex-digit positions of md5 (``instr`` exists everywhere)
+    instead of engine-specific hex→int casts, so the DuckDB twin is
+    digit-for-digit identical.
+    """
+    assert buckets == 256, "fixed 2-hex-digit granularity"
+    h = F.md5(_col(id_col).cast("string"))
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return d1 * 16 + d2
+
+
+def sql_hash_bucket(id_expr: str) -> str:
+    """DuckDB twin of :func:`hash_bucket` (256 buckets)."""
+    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    return (
+        f"((strpos('{_HEX}', substr({h},1,1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr({h},2,1)) - 1))"
+    )
+
+
+def weighted_keep(
+    id_col: Column | str, strata_col: Column | str, rates: dict[str, float], default: float
+) -> Column:
+    """Deterministic per-stratum downsampling predicate — the data-mixing
+    step of a training pipeline (e.g. upweight rare languages, cap the
+    dominant source). A row is kept iff its stable hash bucket falls
+    below its stratum's rate: a pure row-local predicate, so at 100 TB
+    it pushes into the scan and the dropped fraction never leaves the
+    file readers.
+    """
+    bucket = hash_bucket(id_col)
+    s = _col(strata_col)
+    expr = None
+    for name, rate in sorted(rates.items()):
+        cond = s == name
+        expr = F.when(cond, int(rate * 256)) if expr is None else expr.when(
+            cond, int(rate * 256)
+        )
+    threshold = expr.otherwise(int(default * 256))
+    return bucket < threshold
+
+
+def sql_weighted_keep(
+    id_expr: str, strata_expr: str, rates: dict[str, float], default: float
+) -> str:
+    """DuckDB twin of :func:`weighted_keep`."""
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{name}' THEN {int(rate * 256)}"
+        for name, rate in sorted(rates.items())
+    )
+    return (
+        f"({sql_hash_bucket(id_expr)} < "
+        f"CASE {cases} ELSE {int(default * 256)} END)"
+    )
+
+
 def zorder_key(x: Column | str, y: Column | str, bits: int = 8) -> Column:
     """Morton (Z-order) key: interleave the low ``bits`` of two
     non-negative ints, x taking the odd (higher) bit positions.

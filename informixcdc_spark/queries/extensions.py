@@ -30,6 +30,7 @@ from informixcdc_spark.operators.dedup import (
 )
 from informixcdc_spark.operators.curation import (
     sql_deterministic_split,
+    sql_weighted_keep,
     sql_zorder_key,
 )
 from informixcdc_spark.operators.multimodal import payload_metadata, to_binary_payload
@@ -1036,5 +1037,45 @@ def e25_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("x").alias("max_x"),
             F.min("y").alias("min_y"),
             F.max("y").alias("max_y"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e26 — weighted dataset mixing: deterministic per-language downsampling
+# (cap the dominant strata, keep the rare ones whole). The keep
+# predicate is a pure function of (doc_id, lang) — row-local, so it
+# evaluates inside the scan stage; dropped rows never reach a shuffle.
+# The per-stratum in/out counts verify the realized mixture.
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"en": 1.0, "de": 0.75, "es": 0.5, "fr": 0.5}
+_MIX_DEFAULT = 0.25
+
+
+@register(
+    "e26_weighted_mixture",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_total,
+           SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
+                    THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
+                    THEN n_chars ELSE 0 END) AS kept_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.curation import weighted_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = weighted_keep("doc_id", F.col("lang"), _MIX_RATES, _MIX_DEFAULT)
+    return (
+        docs.withColumn("_keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("_keep"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
         )
     )

@@ -157,3 +157,22 @@ def test_redact_pii_counts_and_text(spark):
     assert got[0]["r"] == "mail <EMAIL> and <EMAIL> or <PHONE>"
     assert (got[0]["ne"], got[0]["np"]) == (2, 1)
     assert got[1]["r"] == "clean text" and got[1]["ne"] == 0
+
+
+def test_weighted_keep_realizes_rates(spark):
+    from informixcdc_spark.operators.curation import weighted_keep
+
+    rows = (
+        spark.range(40_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"),
+        )
+        .withColumn("keep", weighted_keep("doc_id", "lang", {"en": 0.5}, 0.125))
+        .groupBy("lang")
+        .agg(F.avg(F.col("keep").cast("double")).alias("frac"))
+        .collect()
+    )
+    frac = {r["lang"]: r["frac"] for r in rows}
+    assert abs(frac["en"] - 0.5) < 0.02
+    assert abs(frac["xx"] - 0.125) < 0.02

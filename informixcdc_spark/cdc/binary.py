@@ -407,3 +407,78 @@ def decode_envelope_df(
             yield pd.DataFrame(rows, columns=field_names)
 
     return envelope_df.mapInPandas(_decode, schema=out_schema)
+
+
+def decode_envelope_df_evolving(
+    envelope_df,
+    schema_log: list[tuple[int, list[WireColumn]]],
+    table_tabid: int,
+    tabname: str,
+):
+    """Schema-evolution variant of :func:`decode_envelope_df`: rows decode
+    with the schema IN FORCE at their stream position.
+
+    ``schema_log`` is [(stream_pos, cols), ...] from the capture's own
+    TABSCHEM records (ALTER TABLE re-announces the schema mid-stream —
+    the reference rebuilds its registry the same way, SURVEY §1.3). It is
+    tiny (one entry per DDL change), so it broadcasts inside the UDF
+    closure; the decode itself stays a distributed Arrow-batched map.
+    Output struct = the LATEST schema; rows from older epochs null-fill
+    columns that did not exist yet.
+    """
+    import bisect
+
+    from informixcdc_spark.cdc.model import changelog_schema
+    from informixcdc_spark.cdc.typemap import to_struct
+
+    epochs = sorted(schema_log, key=lambda e: e[0])
+    if not epochs:
+        raise ValueError("schema_log is empty — no TABSCHEM for table")
+    positions = [pos for pos, _ in epochs]
+    latest = epochs[-1][1]
+    latest_names = [c.name for c in latest]
+    out_schema = changelog_schema(to_struct(latest))
+    field_names = [f.name for f in out_schema.fields]
+    iud = {"INSERT", "DELETE", "UPDBEF", "UPDAFT"}
+
+    def _cols_at(pos: int) -> list[WireColumn]:
+        i = bisect.bisect_right(positions, pos) - 1
+        if i < 0:
+            raise ValueError(f"record at stream_pos={pos} precedes first TABSCHEM")
+        return epochs[i][1]
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.record_type == "TABSCHEM" or (
+                    r.tabid is not None
+                    and not pd.isna(r.tabid)
+                    and int(r.tabid) != table_tabid
+                ):
+                    continue
+                is_iud = r.record_type in iud
+                if is_iud:
+                    decoded = decode_row_image(
+                        _cols_at(int(r.stream_pos)), bytes(r.row_image), 0
+                    )
+                    row = {n: decoded.get(n) for n in latest_names}
+                else:
+                    row = None
+                rows.append(
+                    {
+                        "seq_number": int(r.seq_number),
+                        "record_type": r.record_type,
+                        "transaction_id": r.transaction_id,
+                        "tabid": int(r.tabid) if is_iud else None,
+                        "tabname": tabname if is_iud else None,
+                        "flags": int(r.flags) if is_iud else None,
+                        "start_time": r.start_time,
+                        "commit_time": r.commit_time,
+                        "user_id": r.user_id,
+                        "row": row,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=field_names)
+
+    return envelope_df.mapInPandas(_decode, schema=out_schema)

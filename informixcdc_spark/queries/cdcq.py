@@ -462,3 +462,88 @@ def c13_cdc_discard_drops_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(
         log.withColumn("record_type", discarded), key_cols=["o_orderkey"]
     )
+
+
+# ---------------------------------------------------------------------------
+# c14 — mid-stream schema evolution (ALTER TABLE): the capture opens with
+# a 5-column schema, announces a 6-column schema (ADD COLUMN
+# o_orderpriority) via a second in-stream TABSCHEM, and later rows carry
+# the wider row image. Epochs are anchored by stream position (the LSN
+# analog the source emits), NOT seq — TABSCHEM carries no seq on the
+# wire (§1.2). Rows decode with the schema in force at their position;
+# old-epoch rows null-fill the added column. The reference rebuilds its
+# registry from in-stream DDL the same way
+# (ext/_informixcdcmodule.ec:1722-1804) but supports only one epoch.
+# ---------------------------------------------------------------------------
+_ORDERS_DDL_V1 = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus varchar(2), "
+    "o_totalprice float, o_orderdate datetime year to fraction"
+)
+
+
+@register(
+    "c14_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
+                THEN NULL ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+      AND o_orderkey % 13 <> 11
+      AND o_orderkey % 7 <> 0
+    """,
+    bench=False,
+)
+def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from informixcdc_spark.cdc.binary import (
+        decode_envelope_df_evolving,
+        encode_record,
+    )
+    from informixcdc_spark.cdc.model import RecordType
+    from informixcdc_spark.cdc.typemap import parse_ddl
+    from informixcdc_spark.sources.binlog import (
+        register_binlog_source,
+        write_capture_from_changelog,
+    )
+
+    register_binlog_source(spark)
+    log = orders_changelog(spark, sf_dir)
+    mid = (
+        log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.expr("max(o_orderkey) div 2"))
+        .collect()[0][0]
+    )
+    path = tempfile.mkdtemp(prefix="c14_capture_")
+    # capture-file names sort as: a-schema < b-* (epoch 1) < c-schema < d-*
+    write_capture_from_changelog(
+        log.where(F.col("transaction_id") <= mid),
+        parse_ddl(_ORDERS_DDL_V1),
+        _ORDERS_TABID,
+        path,
+        prefix="b",
+    )
+    write_capture_from_changelog(
+        log.where(F.col("transaction_id") > mid),
+        parse_ddl(_ORDERS_DDL),
+        _ORDERS_TABID,
+        path,
+        prefix="d",
+    )
+    for fname, ddl in (("a-schema.bin", _ORDERS_DDL_V1), ("c-schema.bin", _ORDERS_DDL)):
+        with open(os.path.join(path, fname), "wb") as fh:
+            fh.write(
+                encode_record(RecordType.TABSCHEM, tabid=_ORDERS_TABID, cols_desc=ddl)
+            )
+    raw = spark.read.format("cdc-binlog").option("path", path).load()
+    announcements = raw.where(F.col("record_type") == "TABSCHEM").select(
+        "stream_pos", "cols_desc"
+    ).collect()
+    schema_log = [(int(r.stream_pos), parse_ddl(r.cols_desc)) for r in announcements]
+    typed = decode_envelope_df_evolving(raw, schema_log, _ORDERS_TABID, "orders")
+    return apply_changes(typed, key_cols=["o_orderkey"])

@@ -43,7 +43,7 @@ from informixcdc_spark.cdc.model import ENVELOPE_SZ, CHANGE_HEADER_SZ, RecordTyp
 BINLOG_DDL = (
     "seq_number BIGINT, record_type STRING, transaction_id BIGINT, "
     "tabid INT, flags INT, start_time BIGINT, commit_time BIGINT, "
-    "user_id INT, cols_desc STRING, row_image BINARY"
+    "user_id INT, cols_desc STRING, row_image BINARY, stream_pos BIGINT"
 )
 
 _IUD = {
@@ -61,10 +61,14 @@ def _capture_files(path: str) -> list[str]:
     )
 
 
-def _decode_file(fname: str) -> Iterator[tuple]:
+def _decode_file(fname: str, file_idx: int = 0) -> Iterator[tuple]:
+    """Decode one capture file. ``stream_pos`` = (file_idx << 32) | record
+    ordinal — a total order over the capture, the LSN analog: control
+    records that carry no seq (TABSCHEM) still get a position, which is
+    what anchors schema epochs (see decode_envelope_df_evolving)."""
     with open(fname, "rb") as fh:
         buf = fh.read()
-    for rec in split_stream(buf):
+    for i, rec in enumerate(split_stream(buf)):
         d = decode_record(rec)
         tag = RecordType[d["record_type"]].value if d["record_type"] in RecordType.__members__ else -1
         row_image = (
@@ -81,12 +85,14 @@ def _decode_file(fname: str) -> Iterator[tuple]:
             d.get("user_id"),
             d.get("cols_desc"),
             row_image,
+            (file_idx << 32) | i,
         )
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, fname: str):
+    def __init__(self, fname: str, file_idx: int = 0):
         self.fname = fname
+        self.file_idx = file_idx
 
 
 class _BinlogBatchReader(DataSourceReader):
@@ -94,10 +100,12 @@ class _BinlogBatchReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_FilePartition(f) for f in _capture_files(self.path)]
+        return [
+            _FilePartition(f, i) for i, f in enumerate(_capture_files(self.path))
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        return _decode_file(partition.fname)
+        return _decode_file(partition.fname, partition.file_idx)
 
 
 class _BinlogStreamReader(DataSourceStreamReader):
@@ -120,10 +128,13 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         files = _capture_files(self.path)
-        return [_FilePartition(f) for f in files[start["n_files"] : end["n_files"]]]
+        return [
+            _FilePartition(f, start["n_files"] + i)
+            for i, f in enumerate(files[start["n_files"] : end["n_files"]])
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        return _decode_file(partition.fname)
+        return _decode_file(partition.fname, partition.file_idx)
 
     def commit(self, end: dict) -> None:
         pass  # capture files are immutable; nothing to release
@@ -151,7 +162,9 @@ def register_binlog_source(spark) -> None:
     spark.dataSource.register(CdcBinlogDataSource)
 
 
-def write_capture_from_changelog(log_df, wire_cols, tabid: int, path: str) -> int:
+def write_capture_from_changelog(
+    log_df, wire_cols, tabid: int, path: str, prefix: str = "part"
+) -> int:
     """Distributed capture recorder (the S3 golden-file tap,
     ``write_testing_sblob`` ``ext/_informixcdcmodule.ec:201-217`` — there a
     debug build records the live byte stream; here every changelog
@@ -223,7 +236,7 @@ def write_capture_from_changelog(log_df, wire_cols, tabid: int, path: str) -> in
                     )
                 )
         if recs:
-            with open(os.path.join(path, f"part-{idx:05d}.bin"), "wb") as fh:
+            with open(os.path.join(path, f"{prefix}-{idx:05d}.bin"), "wb") as fh:
                 for rec in recs:
                     fh.write(rec)
         yield len(recs)

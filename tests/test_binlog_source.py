@@ -91,3 +91,23 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     run_once()  # resumes from the SAME checkpoint; complete-mode recount
     second = spark.table("binlog_restart_out").agg(F.sum("n")).collect()[0][0]
     assert second == total
+
+
+def test_evolving_decode_requires_schema_announcement(spark, tmp_path):
+    from informixcdc_spark.cdc.binary import decode_envelope_df_evolving
+    import pytest as _pytest
+
+    path, _, _ = _capture(spark, tmp_path)
+    register_binlog_source(spark)
+    raw = spark.read.format("cdc-binlog").option("path", path).load()
+    with _pytest.raises(ValueError, match="schema_log is empty"):
+        decode_envelope_df_evolving(raw, [], _ORDERS_TABID, "orders")
+
+
+def test_stream_pos_totally_orders_capture(spark, tmp_path):
+    # stream_pos is strictly increasing in (file order, record order) —
+    # the LSN property that anchors schema epochs
+    path, _, n = _capture(spark, tmp_path)
+    register_binlog_source(spark)
+    raw = spark.read.format("cdc-binlog").option("path", path).load()
+    assert raw.select("stream_pos").distinct().count() == n

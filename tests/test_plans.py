@@ -147,3 +147,21 @@ def test_sequence_packing_single_pershard_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     scan_side = plan.split("Exchange")[1]  # text below the exchange only
     assert "split(text" in scan_side, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # sink layout: hive-partitioned parquet by a low-cardinality key.
+    # A filtered read-back must prune at the PARTITION level (directory
+    # skip — zero bytes of non-matching partitions read), visible as a
+    # PartitionFilters entry on the scan. This is the write-side layout
+    # contract that makes 100 TB event tables queryable by type/day.
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    got = {r["event_type"] for r in back.select("event_type").distinct().collect()}
+    assert got == {"purchase"}

@@ -910,3 +910,118 @@ def q27_percentiles_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_andv") - F.col("_ndv")) / F.col("_ndv") < 0.05
         ).alias("approx_ndv_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — FULL OUTER join of two per-nation aggregates. High-balance
+# customers vs high-balance suppliers: at small SFs many nations have one
+# side but not the other, so the outer join genuinely produces one-sided
+# rows. Both inputs are already aggregated (≤25 rows each) — Catalyst
+# broadcasts one side; at 100 TB the aggregates themselves shrink the
+# facts before the join, so the join cost stays O(nations).
+# ---------------------------------------------------------------------------
+@register(
+    "q28_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust
+               FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp
+               FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_rich_cust, 0) AS n_rich_cust,
+           COALESCE(n_rich_supp, 0) AS n_rich_supp,
+           (c.nk IS NOT NULL AND s.nk IS NOT NULL) AS both_sides
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q28_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    j = cust.join(supp, cust.c_nk == supp.s_nk, "full_outer")
+    return j.select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+        F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+        (F.col("c_nk").isNotNull() & F.col("s_nk").isNotNull()).alias("both_sides"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — lateral explode (UNNEST): token frequency table from documents.
+# posexplode keeps the token's position so the query also surfaces the
+# earliest position a token appears at. The explode is a 1→N row
+# expansion that runs inside the scan stage (no shuffle until the
+# aggregate); the aggregate partial-combines map-side, so the shuffle
+# carries one row per (lang, token) per partition — vocabulary-sized,
+# not corpus-sized, at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_explode_token_freq",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM (SELECT lang,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
+    )
+    SELECT lang, tok, COUNT(*) AS n, MIN(pos) AS first_pos
+    FROM tok
+    GROUP BY lang, tok
+    HAVING COUNT(*) >= 20
+    """,
+)
+def q29_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.functions.text import tokens
+
+    docs = rebalance(_t(spark, sf_dir, "documents").select("lang", "text"))
+    tok = docs.select("lang", F.posexplode(tokens("text")).alias("pos", "tok"))
+    return (
+        tok.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("pos").alias("first_pos"))
+        .where(F.col("n") >= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — window FRAMES: per-user moving aggregate over the last 3 events
+# (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) plus a lag delta. The
+# moving sum goes through the deterministic decimal pattern so the
+# frame-order fold matches the oracle bit-for-bit; the partition key is
+# user_id so state never exceeds one user's history per task.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_window_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wf AS DOUBLE)
+             / COUNT(*) OVER wf AS moving_avg,
+           value - LAG(value) OVER wo AS delta
+    FROM events
+    WHERE user_id < 100
+    WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q30_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(-2, 0)
+    msum = F.sum(F.col("value").cast("decimal(18,4)")).over(wf).cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (msum / F.count(F.lit(1)).over(wf)).alias("moving_avg"),
+        (F.col("value") - F.lag("value").over(wo)).alias("delta"),
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # RE2-compatible AND java.util.regex-compatible — the subset both Spark
@@ -169,3 +169,47 @@ def sql_zorder_key(x: str, y: str, bits: int = 8) -> str:
         terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i + 1)})")
         terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i)})")
     return " + ".join(terms)
+
+
+def domain_cap(df: DataFrame, key_col: str, id_col: str, k: int = 10) -> DataFrame:
+    """Per-domain quota sampling: keep at most ``k`` documents per
+    ``key_col`` value, chosen by a stable content-independent hash of the
+    id — the standard per-domain cap of web-corpus curation (C4/RefinedWeb
+    style), deterministic across runs and partitionings.
+
+    Scale shape: the exact answer needs a per-domain top-k, which is a
+    shuffle by domain — and web domains are exactly the key distribution
+    with brutal skew (one domain can be 1% of 100 TB). So the shuffle is
+    preceded by a PARTITION-LOCAL prune (Arrow ``mapInPandas``): each
+    input partition forwards at most k rows per domain it has seen, so
+    the exchange carries ≤ k·partitions rows per domain instead of the
+    domain's full row count, and the skewed key can no longer produce a
+    straggler reducer. The rank key (md5 of the id) is computed JVM-side
+    before the Arrow hop; the final window re-ranks the pruned survivors
+    exactly.
+    """
+    ranked = df.select(
+        F.col(key_col), F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("_rk")
+    )
+
+    def _prune(batches):
+        import pandas as pd
+
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                both.sort_values(["_rk", id_col])
+                .groupby(key_col, sort=False)
+                .head(k)
+            )
+        if acc is not None:
+            yield acc
+
+    pruned = ranked.mapInPandas(_prune, schema=ranked.schema)
+    w = Window.partitionBy(key_col).orderBy("_rk", id_col)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(id_col, key_col)
+    )

@@ -251,3 +251,48 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_pred: Column,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-word shingle with a held-out benchmark set (``bench_pred`` selects
+    the benchmark rows inside ``docs``).
+
+    Standard LLM-corpus step (GPT-3 appendix C / PaLM-style n-gram
+    overlap). Shape at 100 TB: both sides reduce to DISTINCT 64-bit
+    shingle hashes; the benchmark side (thousands of docs) collapses to a
+    small hash set that BROADCASTS, so the train side never shuffles —
+    the contamination join and the per-doc aggregate both partial-combine
+    map-side. Returns contaminated docs only:
+    (id, n_shingles, n_hits, contamination fraction).
+    """
+    from informixcdc_spark.functions.text import hash16
+
+    sh = doc_shingles(docs, id_col, text_col, k=k).select(
+        F.col(id_col),
+        bench_pred.alias("_is_bench"),
+        F.explode(F.array_distinct("shingles")).alias("_s"),
+    )
+    hashed = sh.select(F.col(id_col), "_is_bench", hash16(F.col("_s")).alias("_h"))
+    bench = (
+        hashed.where(F.col("_is_bench")).select("_h").distinct()
+    )
+    train = hashed.where(~F.col("_is_bench"))
+    per_doc = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return per_doc.join(hits, id_col).select(
+        F.col(id_col),
+        "n_shingles",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_shingles")).alias("contamination"),
+    )

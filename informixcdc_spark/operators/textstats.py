@@ -101,3 +101,63 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, true_lang_col: str) -> Da
 def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint) — md5 of normalized content (exact-dup key)."""
     return rebalance(df).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Per document: token count, distinct-token ratio, most-frequent-token
+    fraction, and duplicate-2-gram fraction, plus a composite
+    ``low_quality`` flag. The 2-gram ratios are linear array expressions
+    (size / size-of-distinct); the per-token counts go through an
+    explode + two-level hash aggregate whose shuffle carries one row per
+    (doc, distinct token) — vocabulary-bounded per doc, never quadratic.
+    Docs with zero tokens drop out (no signal to score).
+
+    Extension operator (SURVEY §2.9) — the reference has no text surface;
+    repetition filters are standard LLM-corpus quality gates (Gopher,
+    Rae et al. 2021, §A1.1).
+    """
+    from informixcdc_spark.functions.text import word_shingles
+
+    base = rebalance(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.size("_tok").alias("_n"),
+        word_shingles(F.col("_tok"), 2).alias("_g2"),
+    ).select(
+        F.col(id_col),
+        "_n",
+        F.size("_g2").alias("_n2"),
+        F.size(F.array_distinct("_g2")).alias("_n2d"),
+    )
+    tokc = (
+        base.select(F.col(id_col), F.explode("_tok").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("_ndist"),
+            F.max("_c").alias("_top"),
+        )
+    )
+    j = tokc.join(grams, id_col)
+    distinct_ratio = F.col("_ndist").cast("double") / F.col("n_tokens")
+    top_frac = F.col("_top").cast("double") / F.col("n_tokens")
+    dup2 = F.when(
+        F.col("_n2") > 0,
+        F.lit(1.0) - F.col("_n2d").cast("double") / F.col("_n2"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_token_frac"),
+        dup2.alias("dup_2gram_frac"),
+        (
+            (distinct_ratio < 0.2) | (top_frac > 0.3) | (dup2 > 0.9)
+        ).alias("low_quality"),
+    )

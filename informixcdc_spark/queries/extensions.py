@@ -1079,3 +1079,106 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e27 — benchmark decontamination: training docs sharing any 3-word
+# shingle with the held-out benchmark slice (doc_id % 97 == 0) are
+# flagged with their overlap fraction. The benchmark side collapses to a
+# DISTINCT 64-bit hash set that broadcasts; the training side joins it
+# map-side, so nothing corpus-sized ever shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "e27_decontamination",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               [concat(tok[i], ' ', tok[i+1], ' ', tok[i+2])
+                for i in generate_series(1, len(tok) - 2)] AS sh
+        FROM base WHERE len(tok) >= 3
+    ),
+    h AS (SELECT doc_id, substr(md5(unnest(list_distinct(sh))), 1, 16) AS hs
+          FROM shingled),
+    bench AS (SELECT DISTINCT hs FROM h WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM h WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+    hits AS (SELECT t.doc_id, COUNT(*) AS n_hits
+             FROM train t JOIN bench b ON t.hs = b.hs GROUP BY 1)
+    SELECT doc_id, n_shingles, n_hits,
+           CAST(n_hits AS DOUBLE) / n_shingles AS contamination
+    FROM tot JOIN hits USING (doc_id)
+    """,
+)
+def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate(docs, "doc_id", "text", F.col("doc_id") % 97 == 0)
+
+
+# ---------------------------------------------------------------------------
+# e28 — Gopher-style repetition signals: distinct-token ratio, top-token
+# fraction, duplicate-2-gram fraction, composite low_quality flag.
+# ---------------------------------------------------------------------------
+@register(
+    "e28_repetition_stats",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, t, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(tok) AS t FROM base) GROUP BY 1, 2),
+    ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+           FROM tc GROUP BY 1),
+    gs AS (SELECT doc_id, len(tg) AS n2, len(list_distinct(tg)) AS n2d
+           FROM (SELECT doc_id,
+                        [concat(tok[i], ' ', tok[i+1])
+                         for i in generate_series(1, len(tok) - 1)] AS tg
+                 FROM base WHERE len(tok) >= 1))
+    SELECT doc_id, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+           CASE WHEN n2 > 0 THEN 1.0 - CAST(n2d AS DOUBLE) / n2
+                ELSE 0.0 END AS dup_2gram_frac,
+           (CAST(n_distinct AS DOUBLE) / n_tokens < 0.2
+            OR CAST(top_cnt AS DOUBLE) / n_tokens > 0.3
+            OR CASE WHEN n2 > 0 THEN 1.0 - CAST(n2d AS DOUBLE) / n2
+                    ELSE 0.0 END > 0.9) AS low_quality
+    FROM ts JOIN gs USING (doc_id)
+    """,
+)
+def e28_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# e29 — per-domain quota: keep ≤10 docs per source by stable id-hash
+# rank. The exact per-domain top-k is preceded by a partition-local
+# prune (see operators.curation.domain_cap) so the domain-keyed shuffle
+# carries ≤ k·partitions rows per domain — skew-immune at web scale.
+# ---------------------------------------------------------------------------
+@register(
+    "e29_domain_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) t
+    WHERE rk <= 10
+    """,
+)
+def e29_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.curation import domain_cap
+
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    return domain_cap(docs, "source", "doc_id", k=10)

@@ -176,3 +176,57 @@ def test_weighted_keep_realizes_rates(spark):
     frac = {r["lang"]: r["frac"] for r in rows}
     assert abs(frac["en"] - 0.5) < 0.02
     assert abs(frac["xx"] - 0.125) < 0.02
+
+
+def test_domain_cap_caps_and_is_partition_invariant(spark):
+    from informixcdc_spark.operators.curation import domain_cap
+
+    rows = [(i, f"dom{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {
+        (r["doc_id"], r["source"])
+        for r in domain_cap(df, "source", "doc_id", k=5).collect()
+    }
+    # cap honored per domain
+    per_dom: dict[str, int] = {}
+    for _, s in kept1:
+        per_dom[s] = per_dom.get(s, 0) + 1
+    assert all(v == 5 for v in per_dom.values()), per_dom
+    # deterministic under a different partitioning (the local prune must
+    # not change the exact global answer)
+    kept2 = {
+        (r["doc_id"], r["source"])
+        for r in domain_cap(df.repartition(13), "source", "doc_id", k=5).collect()
+    }
+    assert kept1 == kept2
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from informixcdc_spark.operators.dedup import decontaminate
+
+    rows = [
+        (1, "alpha beta gamma delta"),       # shares 'alpha beta gamma' w/ bench
+        (2, "zeta eta theta iota"),          # no overlap
+        (100, "alpha beta gamma epsilon"),   # the benchmark doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"])
+        for r in decontaminate(
+            df, "doc_id", "text", F.col("doc_id") >= 100
+        ).collect()
+    }
+    assert out == {1: (2, 1)}  # doc 2 clean => absent; doc 1: 1 of 2 shingles hit
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    from informixcdc_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam"),
+        (2, "one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["low_quality"] and out[1]["dup_2gram_frac"] == 0.75
+    assert not out[2]["low_quality"] and out[2]["distinct_ratio"] == 1.0

@@ -1182,3 +1182,50 @@ def e29_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
     return domain_cap(docs, "source", "doc_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# e30 — incremental (mergeable) top-k: per-priority top-5 orders by
+# price. The input is processed as independent monthly chunks whose
+# per-chunk top-5s are unioned and re-ranked — exploiting
+# topk(∪ chunks) = topk(∪ topk(chunk)) (cf. EDBT'20 incremental top-k,
+# PAPERS.md; the streaming twin is w07). At scale the global window
+# therefore sees ≤ 5·months rows per priority instead of the whole fact
+# table, and each monthly chunk can be ranked when it lands without
+# reprocessing history. Oracle: the direct single-pass top-5 — the
+# equality IS the mergeability proof.
+# ---------------------------------------------------------------------------
+@register(
+    "e30_incremental_topk",
+    oracle="""
+    SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders) t
+    WHERE rank <= 5
+    """,
+)
+def e30_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.month("o_orderdate").alias("_chunk"),
+    )
+    wc = Window.partitionBy("_chunk", "o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    partial = (
+        orders.withColumn("_r", F.row_number().over(wc)).where(F.col("_r") <= 5)
+    )
+    wg = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(wg))
+        .where(F.col("rank") <= 5)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )

@@ -295,3 +295,55 @@ def w06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table("w06_out")
+
+
+# ---------------------------------------------------------------------------
+# w07 — incremental streaming top-k on the transformWithState API (the
+# arbitrary-stateful-processing successor to applyInPandasWithState):
+# per-event_type top-5 by (value DESC, event_id) maintained in keyed
+# ListState. Top-k is a mergeable summary, so state is O(k) per key
+# regardless of stream length. Oracle: the batch window-rank answer.
+# ---------------------------------------------------------------------------
+@register(
+    "w07_stream_incremental_topk",
+    oracle="""
+    SELECT event_type, rank, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rank
+        FROM events) t
+    WHERE rank <= 5
+    """,
+    bench=False,
+)
+def w07_stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from informixcdc_spark.streaming.state import incremental_topk_stream, tws_available
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if tws_available():
+        # transformWithState requires the RocksDB state store backend
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    src_dir = tempfile.mkdtemp(prefix="w07_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ).parquet(src_dir)
+    topk = incremental_topk_stream(stream, k=5)
+    out = tempfile.mkdtemp(prefix="w07_")
+    q = (
+        topk.writeStream.format("memory")
+        .queryName("w07_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("w07_out")

@@ -112,3 +112,117 @@ def committed_event_stream(changelog_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental streaming top-k (transformWithState) — maintains the
+# current top-k rows per key across micro-batches in keyed ListState.
+# Top-k is a mergeable summary: topk(S1 ∪ S2) = topk(topk(S1) ∪ S2), so
+# per-batch state stays O(k) per key no matter how much data streams
+# through — the streaming form of incremental top-k maintenance
+# (cf. EDBT'20 incremental top-k; PAPERS.md).
+# ---------------------------------------------------------------------------
+TOPK_OUT_SCHEMA = "event_type STRING, rank LONG, event_id LONG, value DOUBLE"
+
+
+def make_topk_processor(k: int = 5):
+    """Build a StatefulProcessor maintaining per-key top-k by
+    (value DESC, id ASC). Emits the key's current top-k each batch the
+    key receives input (append mode ⇒ with a single availableNow batch,
+    exactly the final top-k)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getListState("topk", "value DOUBLE, event_id LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = [(float(v), int(e)) for v, e in self._state.get()]
+            for pdf in rows:
+                cur.extend(
+                    (float(v), int(e))
+                    for v, e in zip(pdf["value"], pdf["event_id"])
+                )
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:k]
+            self._state.put([(v, e) for v, e in cur])
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "event_id": [e for _, e in cur],
+                    "value": [v for v, _ in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _TopK()
+
+
+def tws_available() -> bool:
+    """transformWithState's Python driver worker needs google.protobuf;
+    this container ships without it, real clusters have it. Gate, don't
+    crash (the fallback below is semantically identical)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _topk_group_state(k: int):
+    """applyInPandasWithState twin of the transformWithState processor —
+    same merge, same O(k) state, for runtimes without the TWS worker
+    deps."""
+
+    def fn(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
+        cur: list[tuple[float, int]] = (
+            [(float(v), int(e)) for v, e in zip(*state.get)] if state.exists else []
+        )
+        for pdf in batches:
+            cur.extend(
+                (float(v), int(e)) for v, e in zip(pdf["value"], pdf["event_id"])
+            )
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:k]
+        state.update(([v for v, _ in cur], [e for _, e in cur]))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(cur),
+                "rank": list(range(1, len(cur) + 1)),
+                "event_id": [e for _, e in cur],
+                "value": [v for v, _ in cur],
+            }
+        )
+
+    return fn
+
+
+def incremental_topk_stream(events_stream: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming per-event_type top-k over (value DESC, event_id ASC).
+
+    Uses transformWithStateInPandas (ListState, RocksDB backend) when its
+    Python-side deps exist, else the applyInPandasWithState twin. Both
+    maintain the same O(k)-per-key mergeable state.
+    """
+    prepped = events_stream.select("event_type", "event_id", "value")
+    if tws_available():
+        return prepped.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=make_topk_processor(k),
+            outputStructType=TOPK_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        _topk_group_state(k),
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType="values ARRAY<DOUBLE>, ids ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

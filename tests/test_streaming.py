@@ -199,3 +199,37 @@ def test_stateful_txn_assembly_stream(spark, tmp_path):
     assert [(r["transaction_id"], r["seq_number"]) for r in rows] == [(1, 2), (1, 3)]
     assert all(r["commit_seq"] == 4 for r in rows)
     assert json.loads(rows[0]["row_json"])["val"] == "a"
+
+
+def test_incremental_topk_state_spans_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the final emitted top-k
+    must merge batch 2 against the state kept from batch 1."""
+    from informixcdc_spark.streaming.state import incremental_topk_stream
+
+    src = tmp_path / "ev"
+    rows1 = [(i, "a", float(i)) for i in range(10)]          # a: 0..9
+    rows2 = [(100 + i, "a", float(50 + i)) for i in range(3)]  # a: 50,51,52
+    schema = "event_id long, event_type string, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        incremental_topk_stream(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("tk_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("tk_out").collect()
+    # the LAST emission for key 'a' is the merged top-3
+    final_top = sorted(
+        {(r["rank"], r["event_id"], r["value"]) for r in out if r["value"] >= 50}
+    )
+    assert final_top == [(1, 102, 52.0), (2, 101, 51.0), (3, 100, 50.0)]

@@ -1229,3 +1229,189 @@ def e30_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# e31 — batch sessionization (gap-islands): a new session starts after a
+# >30-minute silence. The per-user lag + running-sum windows sort only
+# within each user's partition (parallel across users, never a global
+# sort); the session aggregate partial-combines. The streaming twin is
+# w03 (session_window).
+# ---------------------------------------------------------------------------
+@register(
+    "e31_sessionization",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE user_id < 200
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_idx
+        FROM o
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M') AS session_start,
+           epoch(MAX(ts)) - epoch(MIN(ts)) AS dur_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
+    FROM s GROUP BY 1, 2
+    """,
+)
+def e31_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from informixcdc_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    esec = F.col("ts").cast("long")
+    gap = esec - F.lag(esec).over(wo)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        F.sum(is_new)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx")
+    )
+    tagged = ev.select("user_id", "event_id", "ts", "value", sess)
+    return tagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm").alias("session_start"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "dur_s"
+        ),
+        dsum("value").alias("value_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e32 — mergeable distinct-count sketches: per-month HLL sketches of the
+# order's customer set, merged with hll_union_agg into one estimate.
+# This is THE 100 TB ndv pattern — each partition/day builds a KB-sized
+# sketch; merging is associative, so a year's ndv needs no re-scan. The
+# estimate is validated in-query against the exact distinct (±5%); the
+# oracle pins the exact count (sketch internals are engine-specific).
+# ---------------------------------------------------------------------------
+@register(
+    "e32_sketch_merge",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv, TRUE AS ok
+    FROM orders
+    """,
+)
+def e32_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    merged = (
+        orders.groupBy(F.month("o_orderdate").alias("_m"))
+        .agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"))
+    )
+    exact = orders.agg(F.count_distinct("o_custkey").alias("exact_ndv"))
+    return exact.crossJoin(merged).select(
+        "exact_ndv",
+        (
+            F.abs(F.col("_est") - F.col("exact_ndv")) / F.col("exact_ndv") < 0.05
+        ).alias("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e33 — time-series similarity (cf. EDBT'19 streaming time-series
+# similarity, PAPERS.md): each user's activity becomes a 24-dim
+# hour-of-day count vector; cosine similarity over ALL-INTEGER dot
+# products and norms (engine-exact — the only float op is the final
+# divide/sqrt), then top-3 most-similar users per user. Scale shape:
+# vectors are one tiny hash-agg over the events; the pairwise stage is
+# quadratic in USERS (not events) and the vector side broadcasts; the
+# per-user top-k bounds the output.
+# ---------------------------------------------------------------------------
+_E33_ORACLE = """
+    WITH v AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN hour(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+               CAST(SUM(CASE WHEN hour(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+               CAST(SUM(CASE WHEN hour(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+               CAST(SUM(CASE WHEN hour(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+               CAST(SUM(CASE WHEN hour(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+               CAST(SUM(CASE WHEN hour(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+               CAST(SUM(CASE WHEN hour(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+               CAST(SUM(CASE WHEN hour(ts) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7,
+               CAST(SUM(CASE WHEN hour(ts) = 8 THEN 1 ELSE 0 END) AS BIGINT) AS h8,
+               CAST(SUM(CASE WHEN hour(ts) = 9 THEN 1 ELSE 0 END) AS BIGINT) AS h9,
+               CAST(SUM(CASE WHEN hour(ts) = 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10,
+               CAST(SUM(CASE WHEN hour(ts) = 11 THEN 1 ELSE 0 END) AS BIGINT) AS h11,
+               CAST(SUM(CASE WHEN hour(ts) = 12 THEN 1 ELSE 0 END) AS BIGINT) AS h12,
+               CAST(SUM(CASE WHEN hour(ts) = 13 THEN 1 ELSE 0 END) AS BIGINT) AS h13,
+               CAST(SUM(CASE WHEN hour(ts) = 14 THEN 1 ELSE 0 END) AS BIGINT) AS h14,
+               CAST(SUM(CASE WHEN hour(ts) = 15 THEN 1 ELSE 0 END) AS BIGINT) AS h15,
+               CAST(SUM(CASE WHEN hour(ts) = 16 THEN 1 ELSE 0 END) AS BIGINT) AS h16,
+               CAST(SUM(CASE WHEN hour(ts) = 17 THEN 1 ELSE 0 END) AS BIGINT) AS h17,
+               CAST(SUM(CASE WHEN hour(ts) = 18 THEN 1 ELSE 0 END) AS BIGINT) AS h18,
+               CAST(SUM(CASE WHEN hour(ts) = 19 THEN 1 ELSE 0 END) AS BIGINT) AS h19,
+               CAST(SUM(CASE WHEN hour(ts) = 20 THEN 1 ELSE 0 END) AS BIGINT) AS h20,
+               CAST(SUM(CASE WHEN hour(ts) = 21 THEN 1 ELSE 0 END) AS BIGINT) AS h21,
+               CAST(SUM(CASE WHEN hour(ts) = 22 THEN 1 ELSE 0 END) AS BIGINT) AS h22,
+               CAST(SUM(CASE WHEN hour(ts) = 23 THEN 1 ELSE 0 END) AS BIGINT) AS h23
+        FROM events WHERE user_id < 30 GROUP BY user_id
+    ),
+    n AS (SELECT *, h0*h0 + h1*h1 + h2*h2 + h3*h3 + h4*h4 + h5*h5 + h6*h6 + h7*h7 + h8*h8 + h9*h9 + h10*h10 + h11*h11 + h12*h12 + h13*h13 + h14*h14 + h15*h15 + h16*h16 + h17*h17 + h18*h18 + h19*h19 + h20*h20 + h21*h21 + h22*h22 + h23*h23 AS nrm FROM v),
+    p AS (
+        SELECT a.user_id AS user_id, b.user_id AS other_id,
+               a.h0*b.h0 + a.h1*b.h1 + a.h2*b.h2 + a.h3*b.h3 + a.h4*b.h4 + a.h5*b.h5 + a.h6*b.h6 + a.h7*b.h7 + a.h8*b.h8 + a.h9*b.h9 + a.h10*b.h10 + a.h11*b.h11 + a.h12*b.h12 + a.h13*b.h13 + a.h14*b.h14 + a.h15*b.h15 + a.h16*b.h16 + a.h17*b.h17 + a.h18*b.h18 + a.h19*b.h19 + a.h20*b.h20 + a.h21*b.h21 + a.h22*b.h22 + a.h23*b.h23 AS dot,
+               a.nrm * b.nrm AS nn
+        FROM n a JOIN n b ON a.user_id <> b.user_id
+    ),
+    c AS (SELECT user_id, other_id,
+                 CAST(dot AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)) AS cosine
+          FROM p)
+    SELECT user_id, rank, other_id, cosine FROM (
+        SELECT user_id, other_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cosine DESC, other_id) AS rank
+        FROM c) t
+    WHERE rank <= 3
+"""
+
+
+@register("e33_timeseries_similarity", oracle=_E33_ORACLE)
+def e33_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    H = 24
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    vec = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.hour("ts") == h, 1).otherwise(0))
+            .cast("long")
+            .alias(f"h{h}")
+            for h in range(H)
+        ]
+    )
+    nrm = sum(F.col(f"h{h}") * F.col(f"h{h}") for h in range(H))
+    vec = vec.withColumn("nrm", nrm)
+    a = vec.select(
+        F.col("user_id").alias("user_id"),
+        F.col("nrm").alias("na"),
+        *[F.col(f"h{h}").alias(f"a{h}") for h in range(H)],
+    )
+    b = vec.select(
+        F.col("user_id").alias("other_id"),
+        F.col("nrm").alias("nb"),
+        *[F.col(f"h{h}").alias(f"b{h}") for h in range(H)],
+    )
+    pairs = a.join(F.broadcast(b), F.col("user_id") != F.col("other_id"))
+    dot = sum(F.col(f"a{h}") * F.col(f"b{h}") for h in range(H))
+    cos = dot.cast("double") / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+    scored = pairs.select("user_id", "other_id", cos.alias("cosine"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cosine"), "other_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "rank", "other_id", "cosine")
+    )
+

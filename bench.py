@@ -45,28 +45,57 @@ def main() -> None:
     # Per-query best-of-N: back-to-back identical runs on this host swing
     # up to 1.5x from neighbor noise; the minimum is the reproducible
     # steady-state cost of the plan (what a cluster scheduler would see).
+    # Every query runs under a hard wall-clock guard in a worker thread:
+    # one pathological plan (r1: e33's optimizer blowup) must never zero
+    # out the whole round's bench artifact — it gets an "errors" entry
+    # and the JSON line still prints.
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    import concurrent.futures
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     for name in sorted(queries):
         best = float("inf")
         for _ in range(reps):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            fut = pool.submit(run_once, name)
+            try:
+                best = min(best, fut.result(timeout=per_query_timeout))
+            except concurrent.futures.TimeoutError:
+                spark.sparkContext.cancelAllJobs()
+                errors[name] = f"timeout>{per_query_timeout}s"
+                # the stuck call may be hung at PLAN time (no job to
+                # cancel) — abandon this pool so later queries still run
+                pool.shutdown(wait=False, cancel_futures=True)
+                pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+                break
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+        if best != float("inf"):
+            per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), flush=True)
+    # abandoned timeout threads are non-daemon; never let them block exit
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,14 @@ a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where
 SQL-expressible) an equivalent ANSI-SQL string the driver runs through
 DuckDB over the same parquet fixtures. Column names/aliases MUST match
 between the two — the driver sorts columns by name and value-hashes.
+
+Naming: the driver correctness-grades only the FIRST 50 names in sorted
+order, so the registry key prefix controls grading priority (see
+COVERAGE.md "Round-2 registry renumbering"): ``a*`` = round-1 failures
+fixed this round, ``b*``/``bw*`` = relational/streaming surface ungraded
+in round 1, ``c*`` = CDC core; ``e*``/``q*`` past slot 50 already carry
+green CORRECTNESS_r01.json verdicts and are unchanged. Function names
+keep their original round-1 ids (q04→key b04 etc.) for traceability.
 """
 
 from __future__ import annotations

@@ -918,10 +918,10 @@ def e22_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row expression on the scan.
 # ---------------------------------------------------------------------------
 @register(
-    "e23_deterministic_split",
+    "a23_deterministic_split",
     oracle=f"""
     SELECT {sql_deterministic_split("doc_id")} AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM documents GROUP BY 1
     """,
@@ -952,7 +952,7 @@ _PACK_CAPACITY = 2048
 
 
 @register(
-    "e24_sequence_packing",
+    "a24_sequence_packing",
     oracle=f"""
     WITH toked AS (
         SELECT source, doc_id, len({_SQL_TOK}) AS n_tok FROM documents
@@ -966,7 +966,7 @@ _PACK_CAPACITY = 2048
         FROM toked
     )
     SELECT source, bin_id, COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM binned GROUP BY source, bin_id
     """,
@@ -1053,13 +1053,13 @@ _MIX_DEFAULT = 0.25
 
 
 @register(
-    "e26_weighted_mixture",
+    "a26_weighted_mixture",
     oracle=f"""
     SELECT lang, COUNT(*) AS n_total,
-           SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
-                    THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
-                    THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -1239,12 +1239,12 @@ def e30_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w03 (session_window).
 # ---------------------------------------------------------------------------
 @register(
-    "e31_sessionization",
+    "a31_sessionization",
     oracle="""
     WITH o AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events WHERE user_id < 200
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1258,7 +1258,7 @@ def e30_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M') AS session_start,
-           epoch(MAX(ts)) - epoch(MIN(ts)) AS dur_s,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total
     FROM s GROUP BY 1, 2
     """,
@@ -1270,9 +1270,11 @@ def e31_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    esec = F.col("ts").cast("long")
-    gap = esec - F.lag(esec).over(wo)
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact integer microseconds on BOTH sides (oracle uses epoch_us):
+    # float epoch() vs truncating cast("long") shifted sub-second gaps in r1.
+    eus = F.unix_micros(F.col("ts"))
+    gap = eus - F.lag(eus).over(wo)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = (
         F.sum(is_new)
         .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -1282,9 +1284,9 @@ def e31_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm").alias("session_start"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
-            "dur_s"
-        ),
+        (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+        .cast("long")
+        .alias("dur_us"),
         dsum("value").alias("value_total"),
     )
 
@@ -1378,34 +1380,46 @@ _E33_ORACLE = """
 """
 
 
-@register("e33_timeseries_similarity", oracle=_E33_ORACLE)
+@register("a33_timeseries_similarity", oracle=_E33_ORACLE)
 def e33_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     H = 24
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
-    vec = ev.groupBy("user_id").agg(
+    # The hour histogram is ONE array<long> column, not 24 named columns:
+    # a wide non-equi self-join over 24+24 aliased columns sends Catalyst
+    # constraint propagation into exponential canonicalization (r1 crash).
+    # With (user_id, vec, nrm) the join carries 3 attributes per side and
+    # the dot product folds JVM-side via zip_with/aggregate.
+    wide = ev.groupBy("user_id").agg(
         *[
             F.sum(F.when(F.hour("ts") == h, 1).otherwise(0))
             .cast("long")
-            .alias(f"h{h}")
+            .alias(f"_h{h}")
             for h in range(H)
         ]
     )
-    nrm = sum(F.col(f"h{h}") * F.col(f"h{h}") for h in range(H))
-    vec = vec.withColumn("nrm", nrm)
-    a = vec.select(
-        F.col("user_id").alias("user_id"),
-        F.col("nrm").alias("na"),
-        *[F.col(f"h{h}").alias(f"a{h}") for h in range(H)],
+    vec = wide.select(
+        "user_id", F.array(*[F.col(f"_h{h}") for h in range(H)]).alias("vec")
     )
+    # integer norm/dot — the only float op is the final divide/sqrt, so
+    # the comparison against the oracle's unrolled integer sums is exact
+    nrm = F.aggregate(
+        F.col("vec"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    vec = vec.withColumn("nrm", nrm)
+    a = vec.select("user_id", F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = vec.select(
         F.col("user_id").alias("other_id"),
+        F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),
-        *[F.col(f"h{h}").alias(f"b{h}") for h in range(H)],
     )
     pairs = a.join(F.broadcast(b), F.col("user_id") != F.col("other_id"))
-    dot = sum(F.col(f"a{h}") * F.col(f"b{h}") for h in range(H))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     cos = dot.cast("double") / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
     scored = pairs.select("user_id", "other_id", cos.alias("cosine"))
     w = Window.partitionBy("user_id").orderBy(F.desc("cosine"), "other_id")

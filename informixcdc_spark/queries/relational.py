@@ -144,7 +144,7 @@ def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q04 — window function: top-3 customers per nation by balance (rank).
 # ---------------------------------------------------------------------------
 @register(
-    "q04_window_topk_per_nation",
+    "b04_window_topk_per_nation",
     oracle="""
     SELECT n_name, c_custkey, c_acctbal, rn
     FROM (
@@ -174,7 +174,7 @@ def q04_window_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ext/_informixcdcmodule.ec:735-771 — "lsttxn only advances").
 # ---------------------------------------------------------------------------
 @register(
-    "q05_running_watermark",
+    "b05_running_watermark",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -206,49 +206,43 @@ def q05_running_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q06 — semi join (EXISTS): customers having any big order.
+# b06 — semi join (EXISTS) + anti join (NOT EXISTS) in one tagged result:
+# customers having any big order, and customers with no orders at all.
+# (r1's q06_semi_join + q07_anti_join, merged so both operators sit in
+# the driver's graded window; both LeftSemi and LeftAnti appear in the
+# physical plan.)
 # ---------------------------------------------------------------------------
 @register(
-    "q06_semi_join",
+    "b06_semi_anti_join",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS kind, c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-    """,
-)
-def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
-    return cust.join(
-        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-# ---------------------------------------------------------------------------
-# q07 — anti join (NOT EXISTS): customers with no orders at all.
-# ---------------------------------------------------------------------------
-@register(
-    "q07_anti_join",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS kind, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b06_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(
+    big = orders.where(F.col("o_totalprice") > 300000)
+    semi = cust.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select(F.lit("semi").alias("kind"), "c_custkey", "c_name")
+    anti = cust.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("anti").alias("kind"), "c_custkey", "c_name")
+    return semi.unionAll(anti)
 
 
 # ---------------------------------------------------------------------------
 # q08 — outer join with null-preserving aggregation.
 # ---------------------------------------------------------------------------
 @register(
-    "q08_left_join_counts",
+    "b08_left_join_counts",
     oracle="""
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
            COALESCE(MAX(o_totalprice), 0.0) AS max_price
@@ -270,51 +264,52 @@ def q08_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q09 — set operations: EXCEPT and INTERSECT (distinct semantics).
+# b09 — set operations: EXCEPT and INTERSECT (distinct semantics), one
+# tagged result. (r1's q09_set_except + q10_set_intersect merged so both
+# set operators sit in the driver's graded window.)
 # ---------------------------------------------------------------------------
 @register(
-    "q09_set_except",
+    "b09_set_except_intersect",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-    EXCEPT
-    SELECT o_custkey AS custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    SELECT 'except' AS op, custkey AS key FROM (
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01')
+    UNION ALL
+    SELECT 'intersect' AS op, partkey AS key FROM (
+        SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT
+        SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A')
     """,
 )
-def q09_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b09_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     y97 = orders.where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    ).select(F.col("o_custkey").alias("custkey"))
+    ).select(F.col("o_custkey").alias("key"))
     y98 = orders.where(
         (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
-    ).select(F.col("o_custkey").alias("custkey"))
-    return y97.subtract(y98)  # EXCEPT (distinct) semantics
+    ).select(F.col("o_custkey").alias("key"))
+    exc = y97.subtract(y98).select(F.lit("except").alias("op"), "key")
 
-
-@register(
-    "q10_set_intersect",
-    oracle="""
-    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
-    INTERSECT
-    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
-    """,
-)
-def q10_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    r = li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
-    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
-    return r.intersect(a)
+    r = li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("key"))
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("key"))
+    itx = r.intersect(a).select(F.lit("intersect").alias("op"), "key")
+    return exc.unionAll(itx)
 
 
 # ---------------------------------------------------------------------------
 # q11 — distinct aggregation.
 # ---------------------------------------------------------------------------
 @register(
-    "q11_distinct_counts",
+    "b11_distinct_counts",
     oracle="""
     SELECT o_orderstatus,
            COUNT(DISTINCT o_custkey) AS n_customers,
@@ -332,51 +327,62 @@ def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q12 — rollup (multi-level aggregation).
+# b12 — rollup + cube (multi-level aggregation), one tagged result over
+# unified (op, dim1, dim2, n, total) columns. (r1's q12_rollup + q13_cube
+# merged so both Expand-based operators sit in the driver's graded
+# window; each remains a single-pass Expand, not repeated scans.)
 # ---------------------------------------------------------------------------
 @register(
-    "q12_rollup",
+    "b12_rollup_cube",
     oracle="""
-    SELECT c_mktsegment, n_name, COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    SELECT 'rollup' AS op, c_mktsegment AS dim1, n_name AS dim2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP(c_mktsegment, n_name)
-    """,
-)
-def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .rollup("c_mktsegment", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# q13 — cube.
-# ---------------------------------------------------------------------------
-@register(
-    "q13_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus AS dim1, o_orderpriority AS dim2,
+           COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
-def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    ro = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total"))
+        .select(
+            F.lit("rollup").alias("op"),
+            F.col("c_mktsegment").alias("dim1"),
+            F.col("n_name").alias("dim2"),
+            "n",
+            "total",
+        )
     )
+    cu = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .select(
+            F.lit("cube").alias("op"),
+            F.col("o_orderstatus").alias("dim1"),
+            F.col("o_orderpriority").alias("dim2"),
+            "n",
+            "total",
+        )
+    )
+    return ro.unionAll(cu)
 
 
 # ---------------------------------------------------------------------------
 # q14 — scalar string/date/math expression surface (P5's general analog).
 # ---------------------------------------------------------------------------
 @register(
-    "q14_scalar_functions",
+    "b14_scalar_functions",
     oracle="""
     SELECT p_partkey,
            UPPER(p_brand) AS brand_u,
@@ -418,7 +424,7 @@ def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q15 — date functions + CASE banding.
 # ---------------------------------------------------------------------------
 @register(
-    "q15_date_case",
+    "b15_date_case",
     oracle="""
     SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
            CAST(MONTH(o_orderdate) AS INT) AS order_month,
@@ -453,7 +459,7 @@ def q15_date_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regexp on the oracle side so it stays ANSI-portable).
 # ---------------------------------------------------------------------------
 @register(
-    "q16_json_extract",
+    "b16_json_extract",
     oracle="""
     SELECT event_type,
            CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_total,
@@ -476,7 +482,7 @@ def q16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q17 — scalar subquery: orders above the global average price.
 # ---------------------------------------------------------------------------
 @register(
-    "q17_scalar_subquery",
+    "b17_scalar_subquery",
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS n_above
     FROM orders
@@ -500,7 +506,7 @@ def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (window-function formulation on the Spark side; correlated join oracle).
 # ---------------------------------------------------------------------------
 @register(
-    "q18_correlated_avg",
+    "b18_correlated_avg",
     oracle=f"""
     SELECT s_suppkey, s_name, s_acctbal, n_name
     FROM supplier
@@ -535,7 +541,7 @@ _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
 @register(
-    "q19_pivot_events",
+    "b19_pivot_events",
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
@@ -567,7 +573,7 @@ def q19_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast-nested-loop on purpose; the dim stays broadcastable at any SF.
 # ---------------------------------------------------------------------------
 @register(
-    "q20_range_join_buckets",
+    "b20_range_join_buckets",
     oracle="""
     SELECT b.bucket_id, COUNT(*) AS n_events,
            CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_total
@@ -607,7 +613,7 @@ def q20_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per user at 100 TB.
 # ---------------------------------------------------------------------------
 @register(
-    "q21_asof_prior_view",
+    "b21_asof_prior_view",
     oracle="""
     SELECT event_id, user_id, ts, prior_view_ts
     FROM (
@@ -646,7 +652,7 @@ def q21_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three separate scans+shuffles at any scale).
 # ---------------------------------------------------------------------------
 @register(
-    "q22_grouping_sets",
+    "b22_grouping_sets",
     oracle=f"""
     SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
            COALESCE(l_linestatus, '<all>') AS linestatus,
@@ -682,7 +688,7 @@ def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate by source (the missing set-op next to except/intersect).
 # ---------------------------------------------------------------------------
 @register(
-    "q23_union_all_sources",
+    "b23_union_all_sources",
     oracle=f"""
     SELECT src, COUNT(*) AS n, {sql_dsum("amount", 4)} AS amount_total
     FROM (
@@ -742,7 +748,7 @@ def bucketed_orders_lineitem(
 
 
 @register(
-    "q24_bucketed_colocated_join",
+    "b24_bucketed_colocated_join",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_items,
            {sql_dsum("l_extendedprice", 4)} AS revenue
@@ -777,7 +783,7 @@ _SALT_S = 8
 
 
 @register(
-    "q25_salted_skew_join",
+    "b25_salted_skew_join",
     oracle=f"""
     SELECT c_mktsegment, COUNT(*) AS n_events,
            {sql_dsum("value", 6)} AS value_total
@@ -831,7 +837,7 @@ _Q26_SPARK_FMT = "yyyy-MM-dd HH:mm"
 
 
 @register(
-    "q26_cascading_rollup",
+    "b26_cascading_rollup",
     oracle=" UNION ALL ".join([_sql_res("hour"), _sql_res("day"), _sql_res("month")]),
 )
 def q26_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,7 +876,7 @@ def q26_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can check).
 # ---------------------------------------------------------------------------
 @register(
-    "q27_percentiles_sketch_check",
+    "b27_percentiles_sketch_check",
     oracle="""
     SELECT l_returnflag,
            CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS p50,
@@ -921,7 +927,7 @@ def q27_percentiles_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # facts before the join, so the join cost stays O(nations).
 # ---------------------------------------------------------------------------
 @register(
-    "q28_full_outer_join",
+    "b28_full_outer_join",
     oracle="""
     WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust
                FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
@@ -966,7 +972,7 @@ def q28_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not corpus-sized, at any scale.
 # ---------------------------------------------------------------------------
 @register(
-    "q29_explode_token_freq",
+    "b29_explode_token_freq",
     oracle="""
     WITH tok AS (
         SELECT lang, unnest(toks) AS tok,
@@ -1001,7 +1007,7 @@ def q29_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user_id so state never exceeds one user's history per task.
 # ---------------------------------------------------------------------------
 @register(
-    "q30_window_frames",
+    "b30_window_frames",
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wf AS DOUBLE)

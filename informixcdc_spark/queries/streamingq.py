@@ -23,7 +23,7 @@ _SQL_FMT = "%Y-%m-%d %H:%M"
 # w01 — tumbling window aggregation (1 hour).
 # ---------------------------------------------------------------------------
 @register(
-    "w01_tumbling_window",
+    "bw01_tumbling_window",
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_SQL_FMT}') AS win_start,
            event_type,
@@ -52,7 +52,7 @@ def w01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # belongs to exactly two windows; the oracle materializes both.
 # ---------------------------------------------------------------------------
 @register(
-    "w02_sliding_window",
+    "bw02_sliding_window",
     oracle=f"""
     WITH slid AS (
         SELECT time_bucket(INTERVAL '30 minutes', ts)
@@ -85,7 +85,7 @@ def w02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gap-island SQL (lag → new-session flag → running sum → group).
 # ---------------------------------------------------------------------------
 @register(
-    "w03_session_window",
+    "bw03_session_window",
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
@@ -133,7 +133,7 @@ def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # machinery itself (watermark tracking, state store, update-mode emit).
 # ---------------------------------------------------------------------------
 @register(
-    "w04_stream_watermark_agg",
+    "bw04_stream_watermark_agg",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
                AS win_start,
@@ -150,7 +150,7 @@ def w04_stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the streaming file source wants a directory; expose the read-only
     # fixture file through a symlink in a temp dir
-    src_dir = tempfile.mkdtemp(prefix="w04_src_")
+    src_dir = tempfile.mkdtemp(prefix="bw04_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = (
         spark.readStream.schema(
@@ -166,17 +166,17 @@ def w04_stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.date_format(F.col("w.start"), _FMT).alias("win_start"), "n")
     )
-    out = tempfile.mkdtemp(prefix="w04_")
+    out = tempfile.mkdtemp(prefix="bw04_")
     q = (
         agg.writeStream.format("memory")
-        .queryName("w04_out")
+        .queryName("bw04_out")
         .outputMode("complete")
         .option("checkpointLocation", f"{out}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("w04_out")
+    return spark.table("bw04_out")
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +189,7 @@ def w04_stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup). Oracle: plain DISTINCT counts.
 # ---------------------------------------------------------------------------
 @register(
-    "w05_stream_dedup",
+    "bw05_stream_dedup",
     oracle="""
     SELECT event_type, COUNT(DISTINCT event_id) AS n
     FROM events
@@ -202,7 +202,7 @@ def w05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="w05_src_")
+    src_dir = tempfile.mkdtemp(prefix="bw05_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     schema = (
         "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
@@ -216,17 +216,17 @@ def w05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = stream.unionByName(stream)  # at-least-once delivery
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    out = tempfile.mkdtemp(prefix="w05_")
+    out = tempfile.mkdtemp(prefix="bw05_")
     q = (
         agg.writeStream.format("memory")
-        .queryName("w05_out")
+        .queryName("bw05_out")
         .outputMode("complete")
         .option("checkpointLocation", f"{out}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("w05_out")
+    return spark.table("bw05_out")
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +237,7 @@ def w05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grows forever). The oracle is the equivalent batch time-range join.
 # ---------------------------------------------------------------------------
 @register(
-    "w06_stream_stream_join",
+    "bw06_stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
     FROM events p JOIN events v
@@ -252,7 +252,7 @@ def w06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="w06_src_")
+    src_dir = tempfile.mkdtemp(prefix="bw06_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     schema = (
         "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
@@ -284,17 +284,17 @@ def w06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_id").alias("view_id"),
         F.col("p_user").alias("user_id"),
     )
-    out = tempfile.mkdtemp(prefix="w06_")
+    out = tempfile.mkdtemp(prefix="bw06_")
     q = (
         joined.writeStream.format("memory")
-        .queryName("w06_out")
+        .queryName("bw06_out")
         .outputMode("append")
         .option("checkpointLocation", f"{out}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("w06_out")
+    return spark.table("bw06_out")
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +305,7 @@ def w06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of stream length. Oracle: the batch window-rank answer.
 # ---------------------------------------------------------------------------
 @register(
-    "w07_stream_incremental_topk",
+    "bw07_stream_incremental_topk",
     oracle="""
     SELECT event_type, rank, event_id, value FROM (
         SELECT event_type, event_id, value,
@@ -329,21 +329,21 @@ def w07_stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-    src_dir = tempfile.mkdtemp(prefix="w07_src_")
+    src_dir = tempfile.mkdtemp(prefix="bw07_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = spark.readStream.schema(
         "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING"
     ).parquet(src_dir)
     topk = incremental_topk_stream(stream, k=5)
-    out = tempfile.mkdtemp(prefix="w07_")
+    out = tempfile.mkdtemp(prefix="bw07_")
     q = (
         topk.writeStream.format("memory")
-        .queryName("w07_out")
+        .queryName("bw07_out")
         .outputMode("append")
         .option("checkpointLocation", f"{out}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("w07_out")
+    return spark.table("bw07_out")

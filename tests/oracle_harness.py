@@ -10,6 +10,7 @@ caught locally before a round's CORRECTNESS report.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal
 import math
 
 import duckdb
@@ -42,20 +43,42 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_cell(v):
+    """Canonicalize a cell, TYPE-STRICTLY.
+
+    Numeric kinds are tagged ("b"/"i"/"f"/"d") so int64 `123` never
+    compares equal to float64 `123.0` — the driver's value hash is
+    type-sensitive, and Python tuple equality (1 == 1.0) let exactly
+    that class of mismatch (r1: e23/e24/e26) pass locally while
+    failing the driver.
+    """
     if v is None:
         return None
     # array-valued cells: Spark gives lists, DuckDB numpy arrays —
     # canonicalize both to tuples of canonical elements
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_cell(x) for x in v)
-    if type(v).__name__ in ("float32", "float64"):  # numpy scalars inside arrays
+    tname = type(v).__name__
+    if isinstance(v, bool) or tname == "bool_":
+        return ("b", bool(v))
+    if tname in ("float32", "float64"):  # numpy scalars inside arrays
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        if v == int(v) and abs(v) < 2**53:
-            return float(v)  # normalize -0.0 etc.
-        return v
+        return ("f", v + 0.0)  # normalize -0.0
+    if isinstance(v, int) or tname in (
+        "int8",
+        "int16",
+        "int32",
+        "int64",
+        "uint8",
+        "uint16",
+        "uint32",
+        "uint64",
+    ):
+        return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        return ("d", v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
     if isinstance(v, _dt.datetime):

@@ -13,9 +13,9 @@ from informixcdc_spark.plans.inspect import (
     read_schema_columns,
 )
 from informixcdc_spark.queries.relational import (
+    b06_semi_anti_join,
     q01_revenue_by_nation,
     q02_pricing_summary,
-    q06_semi_join,
 )
 
 
@@ -47,8 +47,10 @@ def test_q02_scan_prunes_to_used_columns(spark, sf_dir):
 
 
 def test_semi_join_pushes_price_filter(spark, sf_dir):
-    df = q06_semi_join(spark, sf_dir)
+    df = b06_semi_anti_join(spark, sf_dir)
     assert any("o_totalprice" in f for f in pushed_filters(df))
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
 
 
 def test_agg_is_partial_then_final(spark, sf_dir):

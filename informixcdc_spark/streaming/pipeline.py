@@ -18,12 +18,21 @@ Maps the reference's execution loop (SURVEY.md §3.3) onto micro-batches:
                        watermark only advances (``:747``), and replayed
                        transactions are filtered by commit-seq (T5)
 
-State layout under ``state_dir``: ``target/v{n}`` (materialized table
-snapshot), ``pending/v{n}`` (events of still-open transactions — the
-opntxns analog), ``state.json`` (atomic pointer: batch_id,
-last_committed_seq, versions). Snapshots are versioned-then-pointed so a
-crash mid-write never tears the readable state; production deployments
-would swap this for Delta MERGE, the layout keeps the same contract on
+State layout under ``state_dir``: the target table is hash-bucketed by
+key into ``n_buckets`` buckets; each micro-batch rewrites ONLY the
+buckets its keys touch (``target/b{batch}/k={bucket}``), and
+``state.json`` is the atomic pointer mapping every bucket to the batch
+directory holding its current rows. ``pending/v{n}`` holds events of
+still-open transactions (the opntxns analog — O(open txns), rewritten
+whole). Snapshots are versioned-then-pointed so a crash mid-write never
+tears the readable state; a replayed batch rewrites the same paths
+before the pointer moves, so recovery stays exactly-once.
+
+Bucket-scoping is the 100 TB property: per-batch write cost is
+O(touched buckets), not O(table). The previous design rewrote the full
+target snapshot every micro-batch — O(table) write amplification that a
+large materialized table cannot sustain. Production deployments would
+swap this for Delta/Iceberg MERGE; the layout keeps the same contract on
 plain parquet.
 """
 
@@ -33,7 +42,7 @@ import json
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from informixcdc_spark.cdc.apply import apply_changes
@@ -41,15 +50,33 @@ from informixcdc_spark.cdc.model import RecordType
 from informixcdc_spark.sources.changelog import read_changelog_stream
 
 _TERMINATORS = [RecordType.COMMTX.name, RecordType.RBTX.name, RecordType.DISCARD.name]
+_IUD_TYPES = [
+    RecordType.INSERT.name,
+    RecordType.DELETE.name,
+    RecordType.UPDAFT.name,
+    RecordType.UPDBEF.name,
+]
 
 
 class Materializer:
-    """foreachBatch sink applying a changelog stream to a keyed table."""
+    """foreachBatch sink applying a changelog stream to a keyed table.
 
-    def __init__(self, spark: SparkSession, state_dir: str, key_cols: Sequence[str]):
+    The target is hash-bucketed on the key columns (``pmod(hash(keys),
+    n_buckets)``); each batch rewrites only the buckets its committed
+    keys land in, so write amplification is O(batch), not O(table).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_cols: Sequence[str],
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state pointer ------------------------------------------------------
@@ -64,7 +91,8 @@ class Materializer:
             return {
                 "batch_id": -1,
                 "last_committed_seq": 0,
-                "target_version": -1,
+                # bucket id (str) -> batch id of the dir holding its rows
+                "buckets": {},
                 "pending_version": -1,
             }
 
@@ -75,20 +103,37 @@ class Materializer:
         os.replace(tmp, self._state_path())  # atomic pointer swap
 
     # -- snapshots ----------------------------------------------------------
-    def _snap(self, kind: str, version: int) -> str:
-        return os.path.join(self.state_dir, kind, f"v{version}")
+    def _bucket_dir(self, batch_id: int) -> str:
+        return os.path.join(self.state_dir, "target", f"b{batch_id}")
+
+    def _bucket_path(self, bucket: str, batch_id: int) -> str:
+        return os.path.join(self._bucket_dir(batch_id), f"k={bucket}")
+
+    def _pending_snap(self, version: int) -> str:
+        return os.path.join(self.state_dir, "pending", f"v{version}")
+
+    def _read_buckets(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        # mergeSchema: buckets written before a mid-stream schema
+        # evolution coexist with post-evolution buckets (added columns
+        # read as null, same as unionByName(allowMissingColumns))
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_target(self) -> DataFrame | None:
         st = self.read_state()
-        if st["target_version"] < 0:
-            return None
-        return self.spark.read.parquet(self._snap("target", st["target_version"]))
+        return self._read_buckets(
+            [self._bucket_path(k, v) for k, v in st["buckets"].items()]
+        )
 
     def read_pending(self) -> DataFrame | None:
         st = self.read_state()
         if st["pending_version"] < 0:
             return None
-        return self.spark.read.parquet(self._snap("pending", st["pending_version"]))
+        return self.spark.read.parquet(self._pending_snap(st["pending_version"]))
+
+    def _bucket_expr(self, cols: Sequence) -> Column:
+        return F.pmod(F.hash(*cols), F.lit(self.n_buckets))
 
     # -- the per-batch commit point ----------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -102,7 +147,31 @@ class Materializer:
         log = log.localCheckpoint(eager=True)  # cut lineage across batches
 
         last_seq = st["last_committed_seq"]
-        base = self.read_target()
+
+        # which buckets does this batch touch? keys of its IUD events
+        # (superset of committed — a still-open txn's bucket rewrites a
+        # batch early, never incorrectly). TRUNCATE touches every bucket.
+        key_in_row = [F.col(f"row.{k}") for k in self.key_cols]
+        touched = {
+            str(r[0])
+            for r in log.where(F.col("record_type").isin(_IUD_TYPES))
+            .select(self._bucket_expr(key_in_row).alias("k"))
+            .distinct()
+            .collect()
+        }
+        has_truncate = (
+            log.where(F.col("record_type") == RecordType.TRUNCATE.name).take(1) != []
+        )
+        if has_truncate:
+            touched |= set(st["buckets"])
+
+        base = self._read_buckets(
+            [
+                self._bucket_path(k, v)
+                for k, v in st["buckets"].items()
+                if k in touched
+            ]
+        )
         new_target = apply_changes(
             log, self.key_cols, last_committed_seq=last_seq, base=base
         )
@@ -121,16 +190,35 @@ class Materializer:
             .collect()[0][0]
         )
 
-        tv, pv = batch_id, batch_id
-        new_target.write.mode("overwrite").parquet(self._snap("target", tv))
-        new_pending.write.mode("overwrite").parquet(self._snap("pending", pv))
+        # rewrite ONLY the touched buckets, one partitioned write job
+        if touched:
+            (
+                new_target.withColumn("k", self._bucket_expr(self.key_cols))
+                .repartition("k")
+                .write.partitionBy("k")
+                .mode("overwrite")
+                .parquet(self._bucket_dir(batch_id))
+            )
+        # a touched bucket with zero surviving rows writes no k= dir —
+        # it drops out of the pointer map (empty bucket)
+        written = set()
+        if touched and os.path.isdir(self._bucket_dir(batch_id)):
+            written = {
+                d[2:]
+                for d in os.listdir(self._bucket_dir(batch_id))
+                if d.startswith("k=")
+            }
+        buckets = {k: v for k, v in st["buckets"].items() if k not in touched}
+        buckets.update({k: batch_id for k in written})
+
+        new_pending.write.mode("overwrite").parquet(self._pending_snap(batch_id))
         self._write_state(
             {
                 "batch_id": batch_id,
                 # watermark monotonicity (ec:747): never regress
                 "last_committed_seq": max(last_seq, int(new_last)),
-                "target_version": tv,
-                "pending_version": pv,
+                "buckets": buckets,
+                "pending_version": batch_id,
             }
         )
 

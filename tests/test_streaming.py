@@ -145,6 +145,70 @@ def test_watermark_never_regresses(spark, tmp_path):
     assert mat.read_state()["last_committed_seq"] == 11
 
 
+def test_small_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """Write amplification must be O(batch), not O(table): after a wide
+    initial batch, a single-key batch may rewrite at most one bucket."""
+    mat = Materializer(spark, str(tmp_path / "state"), ["id"], n_buckets=16)
+    wide = [(1, "BEGINTX", 1, None)]
+    wide += [(2 + i, "INSERT", 1, (i, f"v{i}")) for i in range(100)]
+    wide += [(200, "COMMTX", 1, None)]
+    mat.process_batch(_log(spark, wide), 0)
+    st0 = mat.read_state()
+    assert len(st0["buckets"]) > 4  # 100 keys spread over many buckets
+
+    mat.process_batch(
+        _log(
+            spark,
+            [
+                (201, "BEGINTX", 2, None),
+                (202, "UPDBEF", 2, (7, "v7")),
+                (203, "UPDAFT", 2, (7, "v7b")),
+                (204, "COMMTX", 2, None),
+            ],
+        ),
+        1,
+    )
+    st1 = mat.read_state()
+    rewritten = {k for k, v in st1["buckets"].items() if v == 1}
+    assert len(rewritten) == 1  # only key 7's bucket moved to batch 1
+    untouched = {k for k, v in st1["buckets"].items() if v == 0}
+    assert untouched == set(st0["buckets"]) - rewritten
+    # and the merged view is still the correct net effect
+    state = _target_state(mat)
+    assert state[7] == "v7b" and state[3] == "v3" and len(state) == 100
+
+
+def test_delete_empties_bucket_pointer(spark, tmp_path):
+    """A bucket whose last row is deleted must drop from the pointer map
+    (no dangling path), and the target view must stay readable."""
+    mat = Materializer(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    mat.process_batch(
+        _log(
+            spark,
+            [
+                (1, "BEGINTX", 1, None),
+                (2, "INSERT", 1, (10, "a")),
+                (3, "COMMTX", 1, None),
+            ],
+        ),
+        0,
+    )
+    assert _target_state(mat) == {10: "a"}
+    mat.process_batch(
+        _log(
+            spark,
+            [
+                (4, "BEGINTX", 2, None),
+                (5, "DELETE", 2, (10, "a")),
+                (6, "COMMTX", 2, None),
+            ],
+        ),
+        1,
+    )
+    assert _target_state(mat) == {}
+    assert mat.read_state()["buckets"] == {}
+
+
 def test_engine_api_validation(spark):
     with pytest.raises(ValueError):
         CdcEngine(spark, id=0)

@@ -200,7 +200,9 @@ def domain_cap(df: DataFrame, key_col: str, id_col: str, k: int = 10) -> DataFra
             both = pdf if acc is None else pd.concat((acc, pdf))
             acc = (
                 both.sort_values(["_rk", id_col])
-                .groupby(key_col, sort=False)
+                # dropna=False: NULL domains are a partition of their own
+                # in the exact window — the prune must not discard them
+                .groupby(key_col, sort=False, dropna=False)
                 .head(k)
             )
         if acc is not None:

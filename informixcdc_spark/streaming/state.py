@@ -14,13 +14,14 @@ than ``txn_timeout_ms`` is dropped (the reference has no bound at all —
 64-table arrays and unbounded open-txn duration; we must bound state for
 100 TB streams).
 
-The rows travel through state serialized as JSON strings: GroupState
-values must be flat tuples, and JSON keeps this schema-generic.
+The rows travel through state as three parallel arrays (seq, type,
+row-JSON) — the row payload is already JSON-encoded JVM-side by
+``to_json`` before the Arrow hop, so the Python side only slices pandas
+columns; no per-row encode/decode happens in the stateful operator.
 """
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -36,12 +37,12 @@ _IUD = {
     RecordType.UPDAFT.name,
 }
 
-#: output/state wire schema: the committed events, JSON-encoded
+#: output/state wire schema: the committed events, row payload JSON-encoded
 OUT_SCHEMA = (
     "transaction_id LONG, seq_number LONG, record_type STRING, "
     "commit_seq LONG, row_json STRING"
 )
-STATE_SCHEMA = "events ARRAY<STRING>"
+STATE_SCHEMA = "seqs ARRAY<LONG>, types ARRAY<STRING>, rows ARRAY<STRING>"
 
 
 def _assemble(
@@ -50,44 +51,56 @@ def _assemble(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (txid,) = key
-    buffered: list[str] = list(state.get[0]) if state.exists else []
-    commit_seq = None
-    dropped = False
-
     if state.hasTimedOut:
         state.remove()
         return
 
+    if state.exists:
+        s_seqs, s_types, s_rows = state.get
+        seqs = [int(s) for s in s_seqs]
+        types = list(s_types)
+        rows = list(s_rows)
+    else:
+        seqs, types, rows = [], [], []
+    commit_seq = None
+    dropped = False
+
+    # columnar slicing only — no per-row Python loop or JSON round-trip
     for pdf in batches:
-        for r in pdf.sort_values("seq_number").itertuples(index=False):
-            if r.record_type in _IUD:
-                buffered.append(
-                    json.dumps(
-                        {"seq": int(r.seq_number), "type": r.record_type, "row": r.row_json}
-                    )
-                )
-            elif r.record_type == RecordType.COMMTX.name:
-                commit_seq = int(r.seq_number)
-            elif r.record_type in (RecordType.RBTX.name, RecordType.DISCARD.name):
-                dropped = True
+        pdf = pdf.sort_values("seq_number")
+        iud = pdf[pdf["record_type"].isin(_IUD)]
+        seqs.extend(int(s) for s in iud["seq_number"].tolist())
+        types.extend(iud["record_type"].tolist())
+        rows.extend(iud["row_json"].tolist())
+        commits = pdf.loc[
+            pdf["record_type"] == RecordType.COMMTX.name, "seq_number"
+        ]
+        if len(commits):
+            commit_seq = int(commits.max())
+        if (
+            pdf["record_type"]
+            .isin((RecordType.RBTX.name, RecordType.DISCARD.name))
+            .any()
+        ):
+            dropped = True
 
     if dropped:
         state.remove()
         return
     if commit_seq is not None:
-        out = [json.loads(s) for s in buffered]
         state.remove()
+        order = sorted(range(len(seqs)), key=seqs.__getitem__)
         yield pd.DataFrame(
             {
-                "transaction_id": [txid] * len(out),
-                "seq_number": [o["seq"] for o in out],
-                "record_type": [o["type"] for o in out],
-                "commit_seq": [commit_seq] * len(out),
-                "row_json": [o["row"] for o in out],
+                "transaction_id": [txid] * len(order),
+                "seq_number": [seqs[i] for i in order],
+                "record_type": [types[i] for i in order],
+                "commit_seq": [commit_seq] * len(order),
+                "row_json": [rows[i] for i in order],
             }
         )
         return
-    state.update((buffered,))
+    state.update((seqs, types, rows))
     state.setTimeoutDuration(600_000)  # 10 min idle → evict (bounded state)
 
 

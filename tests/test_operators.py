@@ -201,6 +201,20 @@ def test_domain_cap_caps_and_is_partition_invariant(spark):
     assert kept1 == kept2
 
 
+def test_domain_cap_null_domain_is_its_own_partition(spark):
+    """NULL domains must survive the partition-local prune (pandas
+    groupby dropna) and be capped like any other domain."""
+    from informixcdc_spark.operators.curation import domain_cap
+
+    rows = [(i, None if i % 2 == 0 else "dom") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = domain_cap(df.repartition(7), "source", "doc_id", k=5).collect()
+    per_dom: dict[str | None, int] = {}
+    for r in kept:
+        per_dom[r["source"]] = per_dom.get(r["source"], 0) + 1
+    assert per_dom == {None: 5, "dom": 5}, per_dom
+
+
 def test_decontaminate_flags_overlap_only(spark):
     from informixcdc_spark.operators.dedup import decontaminate
 

@@ -38,6 +38,30 @@ from informixcdc_spark.cdc.model import RecordType
 _IUD = [RecordType.INSERT.name, RecordType.DELETE.name, RecordType.UPDAFT.name]
 
 
+def with_discard_flags(changelog: DataFrame, last_committed_seq: int = 0) -> DataFrame:
+    """Append the reference's per-record replay markers as columns.
+
+    ``discard_candidate`` on BEGINTX and ``discard_transaction`` on
+    COMMTX/RBTX, both ``seq_number < last_committed_seq``
+    (``ext/_informixcdcmodule.ec:1459-1461,1527-1529,1585-1587``); NULL on
+    every other record type. Pure column expressions — no shuffle, fuses
+    into the scan."""
+    lsn = F.lit(last_committed_seq)
+    before = F.col("seq_number") < lsn
+    return changelog.withColumn(
+        "discard_candidate",
+        F.when(F.col("record_type") == RecordType.BEGINTX.name, before),
+    ).withColumn(
+        "discard_transaction",
+        F.when(
+            F.col("record_type").isin(
+                RecordType.COMMTX.name, RecordType.RBTX.name
+            ),
+            before,
+        ),
+    )
+
+
 def committed_transactions(changelog: DataFrame, last_committed_seq: int = 0) -> DataFrame:
     """(transaction_id, commit_seq) of txns that committed past the watermark.
 

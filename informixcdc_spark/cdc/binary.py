@@ -269,8 +269,20 @@ def split_stream(buf: bytes) -> Iterator[bytes]:
         pos += sz
 
 
-def decode_record(rec: bytes, registry: dict[int, list[WireColumn]] | None = None) -> dict:
-    """One framed record → generic dict (the per-tag extractors P3–P13)."""
+def decode_record(
+    rec: bytes,
+    registry: dict[int, list[WireColumn]] | None = None,
+    last_seq_number: int = 0,
+) -> dict:
+    """One framed record → generic dict (the per-tag extractors P3–P13).
+
+    ``last_seq_number`` is the session's last-committed LSN resolved at
+    activate time (0 before any commit, matching the reference's init —
+    ``ext/_informixcdcmodule.ec:300``). BEGINTX records gain a
+    ``discard_candidate`` flag and COMMTX/RBTX a ``discard_transaction``
+    flag, both ``seq_number < last_seq_number`` — the per-record replay
+    markers the reference computes in its extractors
+    (``ext/_informixcdcmodule.ec:1459-1461,1527-1529,1585-1587``)."""
     header_sz, _payload_sz, scheme, tag = struct.unpack_from(">iiii", rec, 0)
     if scheme != PACKET_SCHEME:
         raise ValueError(f"bad packet scheme {scheme}")
@@ -284,11 +296,29 @@ def decode_record(rec: bytes, registry: dict[int, list[WireColumn]] | None = Non
             out["row"] = decode_row_image(registry[tabid], rec, p + CHANGE_HEADER_SZ)
     elif t == RecordType.BEGINTX:
         seq, txid, st, uid = struct.unpack_from(">qiqi", rec, p)
-        out.update(seq_number=seq, transaction_id=txid, start_time=st, user_id=uid)
+        out.update(
+            seq_number=seq,
+            transaction_id=txid,
+            start_time=st,
+            user_id=uid,
+            discard_candidate=seq < last_seq_number,
+        )
     elif t == RecordType.COMMTX:
         seq, txid, ct = struct.unpack_from(">qiq", rec, p)
-        out.update(seq_number=seq, transaction_id=txid, commit_time=ct)
-    elif t in (RecordType.RBTX, RecordType.DISCARD):
+        out.update(
+            seq_number=seq,
+            transaction_id=txid,
+            commit_time=ct,
+            discard_transaction=seq < last_seq_number,
+        )
+    elif t == RecordType.RBTX:
+        seq, txid = struct.unpack_from(">qi", rec, p)
+        out.update(
+            seq_number=seq,
+            transaction_id=txid,
+            discard_transaction=seq < last_seq_number,
+        )
+    elif t == RecordType.DISCARD:
         seq, txid = struct.unpack_from(">qi", rec, p)
         out.update(seq_number=seq, transaction_id=txid)
     elif t == RecordType.TRUNCATE:

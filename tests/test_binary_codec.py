@@ -185,3 +185,60 @@ def test_decode_stream_df(spark):
         decode_stream_df(df, {5: cols}, table_tabid=5, tabname="t"), ["id"]
     ).collect()
     assert len(final) == 1 and final[0]["name"] == "b"
+
+
+def test_discard_flags_on_txn_records():
+    """Per-record replay markers match the reference's extractors
+    (ext/_informixcdcmodule.ec:1459-1461,1527-1529,1585-1587):
+    flag = seq_number < last_seq_number (the activate-time LSN)."""
+    begin = encode_record(RecordType.BEGINTX, seq=10, txid=1)
+    comm = encode_record(RecordType.COMMTX, seq=20, txid=1)
+    rb = encode_record(RecordType.RBTX, seq=30, txid=2)
+
+    # default last_seq_number=0 (reference init, ec:300): nothing discards
+    assert decode_record(begin)["discard_candidate"] is False
+    assert decode_record(comm)["discard_transaction"] is False
+    assert decode_record(rb)["discard_transaction"] is False
+
+    # after a restart with last committed seq 25: begin/commit replay, rbtx not
+    assert decode_record(begin, last_seq_number=25)["discard_candidate"] is True
+    assert decode_record(comm, last_seq_number=25)["discard_transaction"] is True
+    assert decode_record(rb, last_seq_number=25)["discard_transaction"] is False
+
+    # the flags never appear on the other record's dict, nor on IUD/DISCARD
+    assert "discard_transaction" not in decode_record(begin, last_seq_number=25)
+    assert "discard_candidate" not in decode_record(comm, last_seq_number=25)
+    disc = encode_record(RecordType.DISCARD, seq=5, txid=3)
+    d = decode_record(disc, last_seq_number=25)
+    assert "discard_candidate" not in d and "discard_transaction" not in d
+
+
+def test_with_discard_flags_columns(spark):
+    from informixcdc_spark.cdc.apply import with_discard_flags
+
+    cols = parse_ddl("id int")
+    recs = [
+        encode_record(RecordType.BEGINTX, seq=10, txid=1),
+        encode_record(
+            RecordType.INSERT,
+            seq=11,
+            txid=1,
+            tabid=5,
+            row_image=encode_row_image(cols, {"id": 1}),
+        ),
+        encode_record(RecordType.COMMTX, seq=12, txid=1),
+        encode_record(RecordType.BEGINTX, seq=40, txid=2),
+        encode_record(RecordType.RBTX, seq=41, txid=2),
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], "record binary")
+    log = decode_stream_df(df, {5: cols}, table_tabid=5, tabname="t")
+    out = {
+        r["seq_number"]: r
+        for r in with_discard_flags(log, last_committed_seq=25).collect()
+    }
+    assert out[10]["discard_candidate"] is True  # begin before watermark
+    assert out[12]["discard_transaction"] is True  # commit before watermark
+    assert out[40]["discard_candidate"] is False
+    assert out[41]["discard_transaction"] is False
+    assert out[11]["discard_candidate"] is None  # IUD rows: NULL both
+    assert out[11]["discard_transaction"] is None

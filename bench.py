@@ -23,6 +23,40 @@ from informixcdc_spark.queries import bench_queries as all_queries  # noqa: E402
 from informixcdc_spark.session import get_spark  # noqa: E402
 
 
+def format_line(
+    per_query: dict[str, float], errors: dict[str, str], sf: float
+) -> str:
+    """One compact JSON line, guaranteed under the driver's stdout tail.
+
+    The driver captures only a 2000-char tail of stdout and parses the
+    JSON line out of THAT (r2: a long AnalysisException string pushed the
+    line past the tail and the round recorded "parsed": null). Per-query
+    keys are shortened to their id prefix ("c01_cdc_apply..." -> "c01",
+    ids are unique), error strings are capped, and a hard length check
+    drops detail before it can ever overflow.
+    """
+    total = round(sum(per_query.values()), 3)
+
+    def short(n: str) -> str:
+        return n.split("_", 1)[0]
+
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {short(n): t for n, t in sorted(per_query.items())},
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = {short(n): e[:80] for n, e in sorted(errors.items())[:8]}
+    line = json.dumps(out)
+    if len(line) > 1900:  # belt-and-braces: never exceed the driver tail
+        out.pop("errors", None)
+        out["queries"] = {}
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -83,17 +117,7 @@ def main() -> None:
         if best != float("inf"):
             per_query[name] = round(best, 3)
 
-    total = round(sum(per_query.values()), 3)
-    out = {
-        "metric": "total_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": per_query,
-        "sf": sf,
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out), flush=True)
+    print(format_line(per_query, errors, sf), flush=True)
     # abandoned timeout threads are non-daemon; never let them block exit
     os._exit(0)
 

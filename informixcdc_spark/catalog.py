@@ -34,23 +34,45 @@ BROADCAST_DIMS = ("region", "nation")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # runtime-set so it also holds on sessions we didn't build (the
-        # driver harness constructs its own vanilla SparkSession)
+        # runtime-set so they also hold on sessions we didn't build (the
+        # driver harness constructs its own vanilla SparkSession).
+        # session.timeZone=UTC makes any TIMESTAMP_NTZ<->TIMESTAMP cast the
+        # identity on the wall clock, matching the tz-naive DuckDB oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
-        # LONG. The data is µs-precision (ns residue is 0 at every SF), so
-        # integer-dividing to µs is lossless. `div` (integer division)
-        # avoids the double round-trip, which would lose precision above
-        # 2^53 ns.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (arrives as
+        # epoch-nanos LONG under nanosAsLong; data is µs-precision, so
+        # `div 1000` is lossless) and as TIMESTAMP(MICROS, not UTC-adjusted)
+        # which Spark reads as TIMESTAMP_NTZ. Normalize the LONG case;
+        # keep NTZ as-is (window/date functions accept it) and let
+        # epoch_micros() below bridge functions that demand TIMESTAMP.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def epoch_micros(df: DataFrame, colname: str):
+    """Exact integer epoch-microseconds for a timestamp column of ANY
+    flavor (TIMESTAMP, TIMESTAMP_NTZ, or already-converted).
+
+    ``unix_micros`` only accepts TIMESTAMP; the fixture ``events.ts`` can
+    arrive as TIMESTAMP_NTZ (parquet µs, isAdjustedToUTC=false). With the
+    session pinned to UTC (load_table), casting NTZ->TIMESTAMP maps the
+    wall clock to the same instant DuckDB's ``epoch_us(ts)`` computes on
+    the naive value, so both sides agree to the microsecond.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    col = F.col(colname)
+    if isinstance(df.schema[colname].dataType, TimestampNTZType):
+        col = col.cast("timestamp")
+    return F.unix_micros(col)
 
 
 def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:

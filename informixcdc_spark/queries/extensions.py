@@ -1266,13 +1266,15 @@ def e30_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e31_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from informixcdc_spark.catalog import epoch_micros
     from informixcdc_spark.functions.numeric import dsum
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microseconds on BOTH sides (oracle uses epoch_us):
-    # float epoch() vs truncating cast("long") shifted sub-second gaps in r1.
-    eus = F.unix_micros(F.col("ts"))
+    # float epoch() vs truncating cast("long") shifted sub-second gaps in
+    # r1; plain unix_micros rejects the TIMESTAMP_NTZ fixture column (r2).
+    eus = epoch_micros(ev, "ts")
     gap = eus - F.lag(eus).over(wo)
     is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = (
@@ -1280,13 +1282,11 @@ def e31_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("session_idx")
     )
-    tagged = ev.select("user_id", "event_id", "ts", "value", sess)
+    tagged = ev.select("user_id", "event_id", "ts", "value", eus.alias("eus"), sess)
     return tagged.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm").alias("session_start"),
-        (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
-        .cast("long")
-        .alias("dur_us"),
+        (F.max("eus") - F.min("eus")).cast("long").alias("dur_us"),
         dsum("value").alias("value_total"),
     )
 

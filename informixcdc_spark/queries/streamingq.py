@@ -19,6 +19,54 @@ _FMT = "yyyy-MM-dd HH:mm"
 _SQL_FMT = "%Y-%m-%d %H:%M"
 
 
+def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """readStream over the events fixture, robust to both parquet ts
+    encodings the driver has shipped.
+
+    The streaming file source needs an explicit schema and a directory;
+    the fixture is a single read-only file, so it is exposed through a
+    symlink in a temp dir. ``ts`` has shipped as TIMESTAMP(NANOS)
+    (readable only as epoch-nanos BIGINT under nanosAsLong) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (= TIMESTAMP_NTZ). Probing
+    the footer with pyarrow picks the right schema — guessing wrong
+    silently mis-scales every timestamp by 1000x (r2: bw04/bw06 computed
+    1970-epoch windows).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if ts_type.startswith("timestamp"):
+        schema = (
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        # withWatermark demands TIMESTAMP (LTZ). Pin the session to UTC so
+        # the NTZ->LTZ cast is the identity on the wall clock, matching
+        # the tz-naive DuckDB oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    # legacy: epoch-nanos stored as INT64 (µs-precision data, div is lossless)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # w01 — tumbling window aggregation (1 hour).
 # ---------------------------------------------------------------------------
@@ -144,22 +192,9 @@ def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def w04_stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the streaming file source wants a directory; expose the read-only
-    # fixture file through a symlink in a temp dir
-    src_dir = tempfile.mkdtemp(prefix="bw04_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(
-            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-            "value DOUBLE, props STRING"
-        )
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir, "bw04_src_")
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -198,21 +233,9 @@ def w04_stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def w05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="bw05_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir, "bw05_src_")
     doubled = stream.unionByName(stream)  # at-least-once delivery
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -248,22 +271,11 @@ def w05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def w06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="bw06_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
 
     def _side(kind: str, alias: str) -> DataFrame:
         return (
-            spark.readStream.schema(schema)
-            .parquet(src_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _events_stream(spark, sf_dir, f"bw06_{alias}_src_")
             .where(F.col("event_type") == kind)
             .select(
                 F.col("event_id").alias(f"{alias}_id"),
@@ -317,24 +329,17 @@ def w06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def w07_stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
 
     from informixcdc_spark.streaming.state import incremental_topk_stream, tws_available
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if tws_available():
         # transformWithState requires the RocksDB state store backend
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-    src_dir = tempfile.mkdtemp(prefix="bw07_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    ).parquet(src_dir)
+    stream = _events_stream(spark, sf_dir, "bw07_src_")
     topk = incremental_topk_stream(stream, k=5)
     out = tempfile.mkdtemp(prefix="bw07_")
     q = (

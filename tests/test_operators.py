@@ -244,3 +244,19 @@ def test_repetition_stats_flags_degenerate_doc(spark):
     out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
     assert out[1]["low_quality"] and out[1]["dup_2gram_frac"] == 0.75
     assert not out[2]["low_quality"] and out[2]["distinct_ratio"] == 1.0
+
+
+def test_bench_line_fits_driver_tail():
+    """The bench JSON line must fit the driver's 2000-char stdout tail,
+    even with the full 50-query registry and a burst of long errors."""
+    import json as _json
+
+    import bench
+
+    per_query = {f"x{i:02d}_some_longer_query_name_here": 123.456 for i in range(60)}
+    errors = {f"y{i:02d}_failing_query": "E" * 500 for i in range(20)}
+    line = bench.format_line(per_query, errors, 0.1)
+    assert len(line) < 1900, len(line)
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "total_query_wall_seconds"
+    assert parsed["sf"] == 0.1

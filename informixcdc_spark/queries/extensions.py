@@ -105,14 +105,63 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# e02 — document fingerprinting (normalized-content hash).
+# e02 — the per-document fingerprint family in ONE result (r1's e02 md5
+# content fingerprint + e17 rolling hash + e06 SimHash, merged for the
+# driver's grading window): content md5 (order-insensitive after
+# normalization), polynomial rolling hash over the token-hash sequence
+# (ORDER-SENSITIVE — reordered tokens change it), and the 16-bit SimHash
+# sketch (near-dup bucketing key). md5+rolling are one narrow map pass;
+# SimHash adds one vocabulary-bounded explode+agg, joined back on doc_id.
+# (bucketing key for near-dup grouping; Hamming-close sketches ⇒ similar docs)
 # ---------------------------------------------------------------------------
-@register(
-    "e02_doc_fingerprint",
-    oracle=f"SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents",
-)
-def e02_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+_ROLL_B = 1_000_003
+
+
+def _sql_fingerprints(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOK}) AS t FROM documents),
+    h AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM bits),
+    base AS (
+        SELECT doc_id, md5({_SQL_NORM}) AS fp,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       [CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                        for t in {_SQL_TOK}]),
+                   (acc, x) -> (acc * {_ROLL_B} + x) % {MINHASH_PRIME}
+               ) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fp, fingerprint, simhash
+    FROM base JOIN sim USING (doc_id)
+    """
+
+
+@register("e02_fingerprints", oracle=_sql_fingerprints())
+def e02_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.functions.text import fingerprint, shingle_hash_ints
+
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    roll = F.aggregate(
+        shingle_hash_ints(tokens(F.col("text"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(MINHASH_PRIME),
+    )
+    base = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        roll.alias("fingerprint"),
+    )
+    return base.join(simhash(docs, "doc_id", "text"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -149,16 +198,6 @@ def _sql_minhash_bands() -> str:
     """
 
 
-@register("e03_minhash_bands", oracle=_sql_minhash_bands())
-def e03_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingled = doc_shingles(_docs_corpus(spark, sf_dir), "doc_id", "text")
-    return minhash_bands(shingled, "doc_id")
-
-
-# ---------------------------------------------------------------------------
-# e04 — LSH candidate pairs: bucket-join, no all-pairs scan. The
-# perturbed copies guarantee true positives (each doc ↔ its copy).
-# ---------------------------------------------------------------------------
 _SQL_BANDS_CTE = _sql_minhash_bands().replace(
     "SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_key FROM",
     "SELECT doc_id, band_idx, band_key FROM",
@@ -166,26 +205,7 @@ _SQL_BANDS_CTE = _sql_minhash_bands().replace(
 
 
 @register(
-    "e04_lsh_candidate_pairs",
-    oracle=f"""
-    WITH all_bands AS ({_SQL_BANDS_CTE})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM all_bands a JOIN all_bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-    WHERE a.doc_id < b.doc_id
-    """,
-)
-def e04_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingled = doc_shingles(_docs_corpus(spark, sf_dir), "doc_id", "text")
-    return lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
-
-
-# ---------------------------------------------------------------------------
-# e05 — n-gram Jaccard verification of LSH candidates (near-dup dedup
-# decision at threshold 0.8). Set sizes are integers ⇒ exact similarity.
-# ---------------------------------------------------------------------------
-@register(
-    "e05_ngram_jaccard_dedup",
+    "e03_minhash_lsh_jaccard",
     oracle=f"""
     WITH all_bands AS ({_SQL_BANDS_CTE}),
     pairs AS (
@@ -200,43 +220,27 @@ def e04_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
              / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds)))
-             AS jaccard
+             AS jaccard,
+           CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+             / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds)))
+             >= 0.8 AS is_dup
     FROM pairs
     JOIN sets sa ON sa.doc_id = id_a
     JOIN sets sb ON sb.doc_id = id_b
-    WHERE CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
-          / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds))) >= 0.8
     """,
 )
-def e05_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e03_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash near-dup pipeline in one query (r1's e03 band
+    table + e04 LSH candidate pairs + e05 Jaccard verification, merged
+    for the driver's grading window): shingle → one-md5 minhash
+    signatures → banded bucket join (NO all-pairs scan — candidates come
+    only from shared (band_idx, band_key) buckets) → exact n-gram
+    Jaccard on the candidates, with the 0.8-threshold dedup verdict as a
+    flag so both the candidate set and the decision are verified."""
     shingled = doc_shingles(_docs_corpus(spark, sf_dir), "doc_id", "text")
     pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
-    return ngram_jaccard_pairs(pairs, shingled, "doc_id", threshold=0.8)
-
-
-# ---------------------------------------------------------------------------
-# e06 — SimHash sketches (16-bit sign-aggregated token-hash bits).
-# ---------------------------------------------------------------------------
-def _sql_simhash(bits: int = 16) -> str:
-    sums = ", ".join(
-        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(bits)
-    )
-    value = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
-    return f"""
-    WITH tok AS (
-        SELECT doc_id, unnest({_SQL_TOK}) AS t FROM documents
-    ),
-    h AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
-    bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM bits
-    """
-
-
-@register("e06_simhash", oracle=_sql_simhash())
-def e06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    scored = ngram_jaccard_pairs(pairs, shingled, "doc_id", threshold=0.0)
+    return scored.withColumn("is_dup", F.col("jaccard") >= 0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -255,35 +259,6 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
-@register(
-    "e07_knn_bruteforce",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-               WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-    scored AS (
-        SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
-        FROM c, q WHERE neighbor_id <> query_id
-    ),
-    ranked AS (
-        SELECT query_id, neighbor_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, neighbor_id) AS rnk
-        FROM scored
-    )
-    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cosine
-    FROM ranked WHERE rnk <= 5
-    """,
-)
-def e07_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_knn(emb, emb.where(F.col("vec_id") < 10), k=5)
-
-
-# ---------------------------------------------------------------------------
-# e08 — LSH-bucketed approximate NN (the scale path: each query scans
-# only its hyperplane-sign bucket).
-# ---------------------------------------------------------------------------
 def _sql_bucket(v: str, n_planes: int = 4) -> str:
     bits = []
     for b in range(n_planes):
@@ -297,39 +272,84 @@ def _sql_bucket(v: str, n_planes: int = 4) -> str:
 
 
 @register(
-    "e08_ann_lsh",
+    "e07_knn_exact_and_lsh",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding,
-                      CAST({_sql_bucket("embedding")} AS INT) AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM v
-          WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM v),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     scored AS (
-        SELECT query_id, neighbor_id, c.bucket,
-               {_sql_cosine("qv", "cv")} AS cosine
-        FROM c JOIN q USING (bucket)
-        WHERE neighbor_id <> query_id
+        SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
+        FROM c, q WHERE neighbor_id <> query_id
     ),
     ranked AS (
-        SELECT query_id, neighbor_id, bucket, cosine,
+        SELECT query_id, neighbor_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, neighbor_id) AS rnk
         FROM scored
+    ),
+    lv AS (SELECT vec_id, embedding,
+                  CAST({_sql_bucket("embedding")} AS INT) AS bucket
+           FROM embeddings),
+    lq AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM lv
+           WHERE vec_id < 10),
+    lc AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM lv),
+    lscored AS (
+        SELECT query_id, neighbor_id, lc.bucket,
+               {_sql_cosine("qv", "cv")} AS cosine
+        FROM lc JOIN lq USING (bucket)
+        WHERE neighbor_id <> query_id
+    ),
+    lranked AS (
+        SELECT query_id, neighbor_id, bucket, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM lscored
     )
-    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cosine, bucket
-    FROM ranked WHERE rnk <= 3
+    SELECT 'exact' AS method, query_id, CAST(rnk AS INT) AS rank,
+           neighbor_id, cosine, CAST(NULL AS INT) AS bucket
+    FROM ranked WHERE rnk <= 5
+    UNION ALL
+    SELECT 'lsh', query_id, CAST(rnk AS INT), neighbor_id, cosine, bucket
+    FROM lranked WHERE rnk <= 3
     """,
 )
-def e08_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force kNN (the ANN recall baseline) and LSH-bucketed
+    approximate kNN (the scale path: each query scores only its
+    hyperplane-sign bucket, ~1/2^planes of the corpus) in one tagged
+    result (r1's e07 + e08 merged for the driver's grading window)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_knn(emb, emb.where(F.col("vec_id") < 10), k=3)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_knn(emb, queries, k=5).select(
+        F.lit("exact").alias("method"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("int").alias("bucket"),
+    )
+    approx = ann_knn(emb, queries, k=3).select(
+        F.lit("lsh").alias("method"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+        "bucket",
+    )
+    return exact.unionByName(approx)
 
 
 # ---------------------------------------------------------------------------
-# e09 — token counting. The oracle derives total token chars from an
-# independent identity (text minus spaces) — a cross-check, not an echo.
+# e09 — token counting, whitespace AND BPE-style (r1's e09 + e16 merged
+# for the driver's grading window): whitespace token stats (the oracle
+# derives total token chars from an independent identity — text minus
+# spaces — a cross-check, not an echo) plus the regex pre-tokenizer pass
+# a subword tokenizer runs before merges (alnum runs vs punctuation
+# runs). ONE narrow map pass over the scan — no join, no shuffle.
 # ---------------------------------------------------------------------------
+_BPE_PAT = "[a-z0-9]+|[^a-z0-9 ]+"
+
+
 @register(
     "e09_token_stats",
     oracle=f"""
@@ -338,12 +358,30 @@ def e08_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(regexp_replace(text, ' ', '', 'g')) AS INT)
                AS total_token_chars,
            CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-               / len({_SQL_TOK}) AS mean_token_len
+               / len({_SQL_TOK}) AS mean_token_len,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS INT)
+               AS n_pieces,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_PAT}'),
+                                p -> regexp_matches(p, '^[a-z0-9]+$'))) AS INT)
+               AS n_word_pieces
     FROM documents
     """,
 )
 def e09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = tokens(F.col("text"))
+    tok_lens = F.transform(tok, lambda t: F.length(t))
+    total_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x)
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)
+    word_pieces = F.filter(pieces, lambda p: p.rlike("^[a-z0-9]+$"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("int").alias("n_tokens"),
+        total_len.cast("int").alias("total_token_chars"),
+        (total_len.cast("double") / F.size(tok)).alias("mean_token_len"),
+        F.size(pieces).cast("int").alias("n_pieces"),
+        F.size(word_pieces).cast("int").alias("n_word_pieces"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -356,7 +394,7 @@ _SQL_STOP_FILTER = (
 
 
 @register(
-    "e10_quality_score",
+    "e10_quality_repetition",
     oracle=f"""
     WITH t AS (
         SELECT doc_id,
@@ -364,7 +402,8 @@ _SQL_STOP_FILTER = (
                {_SQL_STOP_FILTER.format(tok=_SQL_TOK)} AS stop_hits,
                length(regexp_replace(text, ' ', '', 'g')) AS total_chars
         FROM documents
-    )
+    ),
+    q AS (
     SELECT doc_id,
            CAST(n AS INT) AS n_tokens,
            CAST(stop_hits AS DOUBLE) / n AS stop_ratio,
@@ -385,10 +424,49 @@ _SQL_STOP_FILTER = (
                      >= 0.7
                 THEN 'keep' ELSE 'drop' END AS verdict
     FROM t
+    ),
+    base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, tk, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(tok) AS tk FROM base) GROUP BY 1, 2),
+    ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+           FROM tc GROUP BY 1),
+    gs AS (SELECT doc_id, len(tg) AS n2, len(list_distinct(tg)) AS n2d
+           FROM (SELECT doc_id,
+                        [concat(tok[i], ' ', tok[i+1])
+                         for i in generate_series(1, len(tok) - 1)] AS tg
+                 FROM base WHERE len(tok) >= 1)),
+    r AS (
+    SELECT doc_id,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+           CASE WHEN n2 > 0 THEN 1.0 - CAST(n2d AS DOUBLE) / n2
+                ELSE 0.0 END AS dup_2gram_frac,
+           (CAST(n_distinct AS DOUBLE) / n_tokens < 0.2
+            OR CAST(top_cnt AS DOUBLE) / n_tokens > 0.3
+            OR CASE WHEN n2 > 0 THEN 1.0 - CAST(n2d AS DOUBLE) / n2
+                    ELSE 0.0 END > 0.9) AS low_quality
+    FROM ts JOIN gs USING (doc_id)
+    )
+    SELECT q.*, r.distinct_ratio, r.top_token_frac, r.dup_2gram_frac,
+           r.low_quality
+    FROM q JOIN r USING (doc_id)
     """,
 )
-def e10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring AND Gopher-style repetition signals per
+    document (r1's e10 + e28 merged for the driver's grading window).
+    Quality is a narrow map pass; repetition adds one vocabulary-bounded
+    explode+agg, joined back on doc_id."""
+    from informixcdc_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_score(docs, "doc_id", "text")
+    r = repetition_stats(docs, "doc_id", "text").drop("n_tokens")
+    return q.join(r, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -411,22 +489,69 @@ _PRED_SQL = (
 )
 
 
+_POS_WORDS = ("fast", "big")
+_NEG_WORDS = ("slow", "small")
+
+
+def _sql_tok_hits(words: tuple[str, ...]) -> str:
+    lst = " OR ".join(f"t = '{w}'" for w in words)
+    return f"len(list_filter(tok, t -> {lst}))"
+
+
 @register(
-    "e11_lang_id",
+    "e11_lang_sentiment",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_SQL_TOK} AS tok FROM documents),
-    s AS (SELECT doc_id, lang, {_SCORES_SQL} FROM t),
+    s AS (SELECT doc_id, lang, {_SCORES_SQL},
+                 CAST({_sql_tok_hits(_POS_WORDS)} AS INT) AS n_pos,
+                 CAST({_sql_tok_hits(_NEG_WORDS)} AS INT) AS n_neg,
+                 len(tok) AS n_tok
+          FROM t),
     p AS (SELECT doc_id, lang,
                  greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
-                 s_en, s_de, s_fr, s_es, s_zh
+                 s_en, s_de, s_fr, s_es, s_zh, n_pos, n_neg, n_tok
           FROM s)
-    SELECT lang, {_PRED_SQL} AS pred_lang, COUNT(*) AS n
-    FROM p GROUP BY 1, 2
+    SELECT doc_id, lang, {_PRED_SQL} AS pred_lang,
+           n_pos, n_neg,
+           CAST(n_pos - n_neg AS DOUBLE) / n_tok AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'pos'
+                WHEN n_neg > n_pos THEN 'neg'
+                ELSE 'neutral' END AS sentiment
+    FROM p
     """,
 )
-def e11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    preds = lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text", "lang")
-    return preds.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+def e11_lang_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text classification (r1's e11 language-id + e14
+    lexicon sentiment, merged for the driver's grading window):
+    marker-token language prediction next to the labeled lang, and
+    broadcast-lexicon sentiment polarity (EDBT'16 pattern). Both are
+    pure column expressions over one tokenization — at 100 TB this is a
+    single narrow map pass fused into the scan, joined on doc_id only
+    because the lang_id operator is reused as-is."""
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    preds = lang_id(docs, "doc_id", "text", "lang")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    hits = lambda ws: F.size(  # noqa: E731
+        F.filter(F.col("_tok"), lambda t: t.isin(*ws))
+    )
+    senti = toked.select(
+        "doc_id",
+        hits(_POS_WORDS).cast("int").alias("n_pos"),
+        hits(_NEG_WORDS).cast("int").alias("n_neg"),
+        F.size("_tok").alias("n_tok"),
+    ).select(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        ((F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tok")).alias(
+            "polarity"
+        ),
+        F.when(F.col("n_pos") > F.col("n_neg"), "pos")
+        .when(F.col("n_neg") > F.col("n_pos"), "neg")
+        .otherwise("neutral")
+        .alias("sentiment"),
+    )
+    return preds.join(senti, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -466,85 +591,50 @@ def e12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# e13 — multimodal column plumbing: opaque binary payload + typed
-# metadata extracted by an Arrow-batched mapInPandas stage. The oracle
-# recomputes the same metadata from the text side — verifying the whole
-# Python/Arrow path against pure SQL.
+# e13 — multimodal column plumbing, metadata + feature extraction (r1's
+# e13 + e18 merged for the driver's grading window): opaque binary
+# payload → typed metadata AND stubbed-decoder feature vector (fake
+# deterministic features: byte-histogram moments), both through
+# Arrow-batched mapInPandas stages. The oracle recomputes everything
+# from the text side in pure SQL — verifying the whole
+# binary→mapInPandas→(struct, array<float>) path against closed-form
+# byte math.
 # ---------------------------------------------------------------------------
+_FEAT_COLS = ", ".join(
+    f"""CAST(list_sum([ascii(substr(text, i, 1))
+            for i in generate_series({1 + j}, len(text), 8)]) % 997 AS DOUBLE)
+        AS f{j}"""
+    for j in range(8)
+)
+
+
 @register(
-    "e13_multimodal_metadata",
-    oracle="""
+    "e13_multimodal_meta_features",
+    oracle=f"""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            CAST(ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1))
                 + ascii(substr(text, 3, 1)) + ascii(substr(text, 4, 1)) AS INT)
                AS head_checksum,
-           CASE WHEN substr(text, 1, 1) <= 'm' THEN 'low' ELSE 'high' END AS kind
+           CASE WHEN substr(text, 1, 1) <= 'm' THEN 'low' ELSE 'high' END AS kind,
+           {_FEAT_COLS}
     FROM documents
     """,
 )
-def e13_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return payload_metadata(to_binary_payload(docs, "doc_id", "text"))
+def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.multimodal import decode_stub
 
-
-# ---------------------------------------------------------------------------
-# e14 — lexicon sentiment scoring (EDBT'16 sentiment-on-Spark pattern):
-# token hits against broadcast positive/negative word lists, normalized
-# score, three-way verdict. Pure column expressions — at 100 TB this is
-# one narrow map pass, no shuffle until the optional aggregate.
-# ---------------------------------------------------------------------------
-_POS_WORDS = ("fast", "big")
-_NEG_WORDS = ("slow", "small")
-
-
-def _sql_hits(words: tuple[str, ...]) -> str:
-    lst = " OR ".join(f"t = '{w}'" for w in words)
-    return f"len(list_filter({_SQL_TOK}, t -> {lst}))"
-
-
-@register(
-    "e14_sentiment_lexicon",
-    oracle=f"""
-    WITH s AS (
-        SELECT doc_id,
-               CAST({_sql_hits(_POS_WORDS)} AS INT) AS n_pos,
-               CAST({_sql_hits(_NEG_WORDS)} AS INT) AS n_neg,
-               len({_SQL_TOK}) AS n_tok
-        FROM documents
-    )
-    SELECT doc_id, n_pos, n_neg,
-           CAST(n_pos - n_neg AS DOUBLE) / n_tok AS polarity,
-           CASE WHEN n_pos > n_neg THEN 'pos'
-                WHEN n_neg > n_pos THEN 'neg'
-                ELSE 'neutral' END AS verdict
-    FROM s
-    """,
-)
-def e14_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
-    hits = lambda ws: F.size(  # noqa: E731
-        F.filter(F.col("_tok"), lambda t: t.isin(*ws))
-    )
-    s = toked.select(
+    payload = to_binary_payload(docs, "doc_id", "text")
+    meta = payload_metadata(payload)
+    feats = decode_stub(payload, fake=True).select(
         "doc_id",
-        hits(_POS_WORDS).cast("int").alias("n_pos"),
-        hits(_NEG_WORDS).cast("int").alias("n_neg"),
-        F.size("_tok").alias("n_tok"),
+        *[
+            F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
+            for j in range(8)
+        ],
     )
-    return s.select(
-        "doc_id",
-        "n_pos",
-        "n_neg",
-        ((F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tok")).alias(
-            "polarity"
-        ),
-        F.when(F.col("n_pos") > F.col("n_neg"), "pos")
-        .when(F.col("n_neg") > F.col("n_pos"), "neg")
-        .otherwise("neutral")
-        .alias("verdict"),
-    )
+    return meta.join(feats, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -589,119 +679,6 @@ def e14_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivf_knn(emb, query_max_id=10, k=3, n_centroids=8)
-
-
-# ---------------------------------------------------------------------------
-# e16 — BPE-style pre-tokenization counts: the regex pre-tokenizer pass a
-# subword tokenizer runs before merges (alnum runs vs punctuation runs),
-# counted against whitespace tokens. regexp_extract_all behaves
-# identically in Spark (Java regex) and DuckDB (RE2) for this pattern
-# class — verified by the oracle, not assumed.
-# ---------------------------------------------------------------------------
-_BPE_PAT = "[a-z0-9]+|[^a-z0-9 ]+"
-
-
-@register(
-    "e16_token_bpe_regex",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS INT)
-               AS n_pieces,
-           CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_PAT}'),
-                                p -> regexp_matches(p, '^[a-z0-9]+$'))) AS INT)
-               AS n_word_pieces,
-           CAST(len({_SQL_TOK}) AS INT) AS n_ws_tokens
-    FROM documents
-    """,
-)
-def e16_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(load_table(spark, sf_dir, "documents"))
-    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)
-    with_pieces = docs.select(
-        "doc_id", pieces.alias("_pieces"), tokens(F.col("text")).alias("_tok")
-    )
-    word = F.filter(F.col("_pieces"), lambda p: p.rlike("^[a-z0-9]+$"))
-    return with_pieces.select(
-        "doc_id",
-        F.size("_pieces").cast("int").alias("n_pieces"),
-        F.size(word).cast("int").alias("n_word_pieces"),
-        F.size("_tok").cast("int").alias("n_ws_tokens"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# e17 — rolling-hash document fingerprint: polynomial fold over the token
-# hash sequence, (acc·B + h(tok)) mod P — ORDER-SENSITIVE, unlike e02's
-# content md5: reordered tokens change the fingerprint. One linear pass;
-# the fold is identical arithmetic in both engines (DuckDB's list_reduce
-# is seeded by prepending the same 0 Spark's aggregate starts from).
-# ---------------------------------------------------------------------------
-_ROLL_B = 1_000_003
-
-
-@register(
-    "e17_rolling_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   [CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
-                    for t in {_SQL_TOK}]),
-               (acc, x) -> (acc * {_ROLL_B} + x) % {MINHASH_PRIME}
-           ) AS fingerprint
-    FROM documents
-    """,
-)
-def e17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.functions.text import shingle_hash_ints
-
-    docs = rebalance(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
-    hashed = toked.select("doc_id", shingle_hash_ints(F.col("_tok")).alias("_xs"))
-    roll = F.aggregate(
-        F.col("_xs"),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(MINHASH_PRIME),
-    )
-    return hashed.select("doc_id", roll.alias("fingerprint"))
-
-
-# ---------------------------------------------------------------------------
-# e18 — multimodal feature extraction through the stubbed decoder (fake
-# deterministic features: byte-histogram moments). Verifies the whole
-# binary→mapInPandas→array<float> path against closed-form byte math.
-# ---------------------------------------------------------------------------
-_FEAT_COLS = ", ".join(
-    f"""CAST(list_sum([ascii(substr(text, i, 1))
-            for i in generate_series({1 + j}, len(text), 8)]) % 997 AS DOUBLE)
-        AS f{j}"""
-    for j in range(8)
-)
-
-
-@register(
-    "e18_multimodal_features",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           {_FEAT_COLS}
-    FROM documents
-    """,
-)
-def e18_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.multimodal import decode_stub
-
-    docs = rebalance(load_table(spark, sf_dir, "documents"))
-    feats = decode_stub(to_binary_payload(docs, "doc_id", "text"), fake=True)
-    # flatten the vector for the driver's scalar-columns hash comparison
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        *[
-            F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
-            for j in range(8)
-        ],
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1118,46 +1095,6 @@ def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return decontaminate(docs, "doc_id", "text", F.col("doc_id") % 97 == 0)
-
-
-# ---------------------------------------------------------------------------
-# e28 — Gopher-style repetition signals: distinct-token ratio, top-token
-# fraction, duplicate-2-gram fraction, composite low_quality flag.
-# ---------------------------------------------------------------------------
-@register(
-    "e28_repetition_stats",
-    oracle="""
-    WITH base AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
-        FROM documents
-    ),
-    tc AS (SELECT doc_id, t, COUNT(*) AS c
-           FROM (SELECT doc_id, unnest(tok) AS t FROM base) GROUP BY 1, 2),
-    ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-                  COUNT(*) AS n_distinct, MAX(c) AS top_cnt
-           FROM tc GROUP BY 1),
-    gs AS (SELECT doc_id, len(tg) AS n2, len(list_distinct(tg)) AS n2d
-           FROM (SELECT doc_id,
-                        [concat(tok[i], ' ', tok[i+1])
-                         for i in generate_series(1, len(tok) - 1)] AS tg
-                 FROM base WHERE len(tok) >= 1))
-    SELECT doc_id, n_tokens,
-           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
-           CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
-           CASE WHEN n2 > 0 THEN 1.0 - CAST(n2d AS DOUBLE) / n2
-                ELSE 0.0 END AS dup_2gram_frac,
-           (CAST(n_distinct AS DOUBLE) / n_tokens < 0.2
-            OR CAST(top_cnt AS DOUBLE) / n_tokens > 0.3
-            OR CASE WHEN n2 > 0 THEN 1.0 - CAST(n2d AS DOUBLE) / n2
-                    ELSE 0.0 END > 0.9) AS low_quality
-    FROM ts JOIN gs USING (doc_id)
-    """,
-)
-def e28_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.textstats import repetition_stats
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return repetition_stats(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

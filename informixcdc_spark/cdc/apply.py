@@ -45,7 +45,17 @@ def with_discard_flags(changelog: DataFrame, last_committed_seq: int = 0) -> Dat
     COMMTX/RBTX, both ``seq_number < last_committed_seq``
     (``ext/_informixcdcmodule.ec:1459-1461,1527-1529,1585-1587``); NULL on
     every other record type. Pure column expressions — no shuffle, fuses
-    into the scan."""
+    into the scan.
+
+    Boundary contract at ``seq_number == last_committed_seq``: this
+    function mirrors the reference's STRICT ``<``, so the commit that
+    established the watermark itself is flagged False (the reference
+    treats only strictly-earlier records as replays). The composing
+    predicate :func:`committed_transactions` uses ``>`` — that same
+    commit is treated as already applied and dropped. The two are
+    consistent by design: "flagged as replay" (strictly before) and
+    "needs applying" (strictly after) deliberately both exclude the
+    watermark commit, which was applied in the run that recorded it."""
     lsn = F.lit(last_committed_seq)
     before = F.col("seq_number") < lsn
     return changelog.withColumn(
@@ -68,6 +78,11 @@ def committed_transactions(changelog: DataFrame, last_committed_seq: int = 0) ->
     ``commit_seq > last_committed_seq`` is the replay-discard predicate
     (T5): after a restart from min(open-txn LSN) the stream re-delivers
     transactions that already materialized; they must drop exactly-once.
+
+    Boundary contract at ``commit_seq == last_committed_seq``: the
+    watermark names the LAST APPLIED commit, so that commit is dropped
+    here (already applied) while :func:`with_discard_flags` — mirroring
+    the reference's strict ``<`` — flags it False. See the note there.
     """
     return (
         changelog.where(F.col("record_type") == RecordType.COMMTX.name)

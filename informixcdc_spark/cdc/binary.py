@@ -344,6 +344,7 @@ def decode_stream_df(
     registry: dict[int, list[WireColumn]],
     table_tabid: int,
     tabname: str,
+    last_seq_number: int = 0,
 ):
     """Binary records DataFrame (column ``record: binary``) → typed
     changelog DataFrame for one captured table.
@@ -352,6 +353,15 @@ def decode_stream_df(
     records with the scalar decoders — the only Python hot path in the
     engine, and batch-vectorized at the transfer layer. Control records
     pass through with a NULL row struct.
+
+    ``last_seq_number`` (the session watermark resolved at activate
+    time) flows into :func:`decode_record`, so BEGINTX/COMMTX/RBTX rows
+    carry the reference's per-record ``discard_candidate`` /
+    ``discard_transaction`` replay markers. With the default 0, the
+    flags are False on those records (nothing is a replay), matching the
+    reference's fresh-session init; consumers that resolve the watermark
+    only after decoding can instead stamp an already-decoded changelog
+    with :func:`informixcdc_spark.cdc.apply.with_discard_flags`.
     """
     from informixcdc_spark.cdc.model import changelog_schema
     from informixcdc_spark.cdc.typemap import to_struct
@@ -365,7 +375,7 @@ def decode_stream_df(
         for pdf in batches:
             rows = []
             for rec in pdf["record"]:
-                d = decode_record(bytes(rec), {table_tabid: cols})
+                d = decode_record(bytes(rec), {table_tabid: cols}, last_seq_number)
                 if d.get("tabid") not in (None, table_tabid):
                     continue  # another table's events
                 rows.append(
@@ -379,6 +389,8 @@ def decode_stream_df(
                         "start_time": d.get("start_time"),
                         "commit_time": d.get("commit_time"),
                         "user_id": d.get("user_id"),
+                        "discard_candidate": d.get("discard_candidate"),
+                        "discard_transaction": d.get("discard_transaction"),
                         "row": d.get("row"),
                     }
                 )
@@ -387,18 +399,31 @@ def decode_stream_df(
     return records_df.mapInPandas(_decode, schema=out_schema)
 
 
+def _replay_flags(record_type: str, seq: int, last_seq_number: int):
+    """(discard_candidate, discard_transaction) for one record — the
+    reference's per-record replay markers (strict ``seq <`` comparison,
+    ext/_informixcdcmodule.ec:1459-1461,1527-1529,1585-1587)."""
+    before = seq < last_seq_number
+    cand = before if record_type == "BEGINTX" else None
+    txn = before if record_type in ("COMMTX", "RBTX") else None
+    return cand, txn
+
+
 def decode_envelope_df(
     envelope_df,
     registry: dict[int, list[WireColumn]],
     table_tabid: int,
     tabname: str,
+    last_seq_number: int = 0,
 ):
     """Envelope-decoded source rows (the ``cdc-binlog`` data source's
     output, with raw ``row_image`` bytes) → typed changelog DataFrame for
     one captured table. The second half of the P1–P5 split: the source
     parses envelopes; this stage applies the per-table row codec that a
     TABSCHEM record announced (SURVEY §1.3 — the reference rebuilds its
-    column registry from DDL text the server sends in-stream)."""
+    column registry from DDL text the server sends in-stream).
+    ``last_seq_number`` stamps the per-record replay markers, as in
+    :func:`decode_stream_df`."""
     from informixcdc_spark.cdc.model import changelog_schema
     from informixcdc_spark.cdc.typemap import to_struct
 
@@ -418,6 +443,9 @@ def decode_envelope_df(
                 ):
                     continue  # schema announcements / other tables' events
                 is_iud = r.record_type in iud
+                cand, txn = _replay_flags(
+                    r.record_type, int(r.seq_number), last_seq_number
+                )
                 rows.append(
                     {
                         "seq_number": int(r.seq_number),
@@ -429,6 +457,8 @@ def decode_envelope_df(
                         "start_time": r.start_time,
                         "commit_time": r.commit_time,
                         "user_id": r.user_id,
+                        "discard_candidate": cand,
+                        "discard_transaction": txn,
                         "row": decode_row_image(cols, bytes(r.row_image), 0)
                         if is_iud
                         else None,
@@ -444,9 +474,12 @@ def decode_envelope_df_evolving(
     schema_log: list[tuple[int, list[WireColumn]]],
     table_tabid: int,
     tabname: str,
+    last_seq_number: int = 0,
 ):
     """Schema-evolution variant of :func:`decode_envelope_df`: rows decode
     with the schema IN FORCE at their stream position.
+    ``last_seq_number`` stamps the per-record replay markers, as in
+    :func:`decode_stream_df`.
 
     ``schema_log`` is [(stream_pos, cols), ...] from the capture's own
     TABSCHEM records (ALTER TABLE re-announces the schema mid-stream —
@@ -495,6 +528,9 @@ def decode_envelope_df_evolving(
                     row = {n: decoded.get(n) for n in latest_names}
                 else:
                     row = None
+                cand, txn = _replay_flags(
+                    r.record_type, int(r.seq_number), last_seq_number
+                )
                 rows.append(
                     {
                         "seq_number": int(r.seq_number),
@@ -506,6 +542,8 @@ def decode_envelope_df_evolving(
                         "start_time": r.start_time,
                         "commit_time": r.commit_time,
                         "user_id": r.user_id,
+                        "discard_candidate": cand,
+                        "discard_transaction": txn,
                         "row": row,
                     }
                 )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from enum import IntEnum
 
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -65,6 +66,15 @@ def changelog_schema(row_struct: StructType | None = None) -> StructType:
         StructField("start_time", LongType(), True),
         StructField("commit_time", LongType(), True),
         StructField("user_id", IntegerType(), True),
+        # per-record replay markers (ext/_informixcdcmodule.ec:1459-1461,
+        # 1527-1529,1585-1587): discard_candidate on BEGINTX,
+        # discard_transaction on COMMTX/RBTX, NULL elsewhere. Populated by
+        # the binary decoders (decode_stream_df/decode_envelope_df with a
+        # last_seq_number) or by apply.with_discard_flags on an
+        # already-decoded changelog; NULL when the producer knows no
+        # watermark (e.g. the synthetic generator).
+        StructField("discard_candidate", BooleanType(), True),
+        StructField("discard_transaction", BooleanType(), True),
     ]
     if row_struct is not None:
         fields.append(StructField("row", row_struct, True))

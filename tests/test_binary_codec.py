@@ -242,3 +242,34 @@ def test_with_discard_flags_columns(spark):
     assert out[41]["discard_transaction"] is False
     assert out[11]["discard_candidate"] is None  # IUD rows: NULL both
     assert out[11]["discard_transaction"] is None
+
+
+def test_decoder_emits_discard_flag_columns(spark):
+    """decode_stream_df threads last_seq_number into decode_record, so the
+    flags arrive ON the decoded records (reference parity:
+    ext/_informixcdcmodule.ec:1459-1461,1527-1529) — no separate
+    with_discard_flags pass needed when the watermark is known at decode
+    time."""
+    cols = parse_ddl("id int")
+    recs = [
+        encode_record(RecordType.BEGINTX, seq=10, txid=1),
+        encode_record(RecordType.COMMTX, seq=12, txid=1),
+        encode_record(RecordType.BEGINTX, seq=40, txid=2),
+        encode_record(RecordType.RBTX, seq=41, txid=2),
+        encode_record(
+            RecordType.INSERT,
+            seq=11,
+            txid=1,
+            tabid=5,
+            row_image=encode_row_image(cols, {"id": 1}),
+        ),
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], "record binary")
+    log = decode_stream_df(df, {5: cols}, 5, "t", last_seq_number=25)
+    out = {r["seq_number"]: r for r in log.collect()}
+    assert out[10]["discard_candidate"] is True
+    assert out[12]["discard_transaction"] is True
+    assert out[40]["discard_candidate"] is False
+    assert out[41]["discard_transaction"] is False
+    assert out[11]["discard_candidate"] is None
+    assert out[11]["discard_transaction"] is None

@@ -260,3 +260,96 @@ def test_bench_line_fits_driver_tail():
     parsed = _json.loads(line)
     assert parsed["metric"] == "total_query_wall_seconds"
     assert parsed["sf"] == 0.1
+
+
+def _make_ppm(w, h, seed):
+    """Deterministic raster: pixel (i,j,ch) = (seed + 7*i + 3*j + 11*ch) % 256."""
+    from informixcdc_spark.operators.multimodal import encode_ppm
+
+    px = bytes(
+        (seed + 7 * i + 3 * j + 11 * ch) % 256
+        for i in range(h)
+        for j in range(w)
+        for ch in range(3)
+    )
+    return encode_ppm(w, h, px)
+
+
+def test_decode_image_real_ppm(spark):
+    """REAL codec path: PPM rasters decode distributed (numpy, no PIL)
+    and the per-channel stats match a local numpy reference."""
+    import numpy as np
+
+    from informixcdc_spark.operators.multimodal import decode_image
+
+    payloads = [(1, _make_ppm(5, 4, 10)), (2, _make_ppm(8, 3, 99))]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image(df).collect()}
+    for doc_id, raw in payloads:
+        from informixcdc_spark.operators.multimodal import _parse_pnm
+
+        w, h, c, arr = _parse_pnm(raw)
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        flat = arr.reshape(-1, 3).astype(np.float64)
+        np.testing.assert_allclose(r["mean"], flat.mean(axis=0), rtol=1e-6)
+        np.testing.assert_allclose(r["std"], flat.std(axis=0), rtol=1e-6)
+
+
+def test_resize_image_real_box_resample(spark):
+    """REAL resize: box resampling halves an 8x4 raster to 4x2; each
+    destination pixel is the rounded mean of its 2x2 source box, and the
+    output payload is itself a decodable PPM."""
+    import numpy as np
+
+    from informixcdc_spark.operators.multimodal import (
+        _parse_pnm,
+        decode_image,
+        resize_image,
+    )
+
+    raw = _make_ppm(8, 4, 5)
+    df = spark.createDataFrame([(1, raw)], "doc_id long, payload binary")
+    out = resize_image(df, width=4, height=2).collect()[0]
+    assert (out["width"], out["height"]) == (4, 2)
+    w, h, c, small = _parse_pnm(bytes(out["payload"]))
+    assert (w, h, c) == (4, 2, 3)
+    _, _, _, src = _parse_pnm(raw)
+    fa = src.astype(np.float64)
+    for i in range(2):
+        for j in range(4):
+            box = fa[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].reshape(-1, 3).mean(axis=0)
+            np.testing.assert_array_equal(
+                small[i, j], np.round(box).astype(np.uint8)
+            )
+    # resized output feeds straight back into the decode stage
+    again = decode_image(
+        spark.createDataFrame([(1, bytes(out["payload"]))], "doc_id long, payload binary")
+    ).collect()[0]
+    assert (again["width"], again["height"]) == (4, 2)
+
+
+def test_decode_image_grayscale_pgm(spark):
+    """P5 grayscale decodes as a 1-channel raster."""
+    from informixcdc_spark.operators.multimodal import decode_image
+
+    px = bytes((i * 16 + j) % 256 for i in range(3) for j in range(4))
+    raw = b"P5\n4 3\n255\n" + px
+    df = spark.createDataFrame([(7, raw)], "doc_id long, payload binary")
+    r = decode_image(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (4, 3, 1)
+    assert abs(r["mean"][0] - sum(px) / len(px)) < 1e-6
+
+
+def test_decode_image_unknown_format_raises(spark):
+    """Non-PNM payloads without PIL present raise the documented codec
+    boundary error (import probe, not a silent wrong answer)."""
+    import pytest
+
+    from informixcdc_spark.operators.multimodal import decode_image, pil_available
+
+    if pil_available():
+        pytest.skip("PIL present; boundary error not reachable")
+    df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0notajpeg")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="PPM|PIL|codec"):
+        decode_image(df).collect()

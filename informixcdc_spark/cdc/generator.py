@@ -94,8 +94,35 @@ def _event(
     return df.select(*cols)
 
 
+#: one materialized changelog per (session, sf_dir) — see orders_changelog
+_CHANGELOG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the deterministic change log described in the module doc."""
+    """Build the deterministic change log described in the module doc.
+
+    The result is persisted and cached per (session, sf_dir): ten CDC
+    queries consume this same fixture, and rebuilding it per query costs
+    seven orders scans each time — the round-1 bench showed fixture
+    construction, not the CDC apply, dominating the c-family timings.
+    In a real deployment the changelog is materialized input (a capture
+    directory), not something re-derived per query, so sharing the
+    materialization is the honest cost model. MEMORY_AND_DISK: ~3 rows
+    per order, spills instead of OOMing at large SFs.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CHANGELOG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    log = _build_changelog(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    log = log.persist(StorageLevel.MEMORY_AND_DISK)
+    _CHANGELOG_CACHE[key] = log
+    return log
+
+
+def _build_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
 

@@ -34,3 +34,19 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "revenue" in df.columns
+
+
+def test_registry_holds_exactly_fifty_queries():
+    """The driver correctness-grades only the FIRST 50 registry entries
+    (insertion order). With exactly 50 registered, every operator gets a
+    per-round verdict; >50 silently drops queries out of grading, <50
+    wastes slots. Guard the contract."""
+    assert len(_QUERIES) == 50, sorted(_QUERIES)
+    assert set(_ORACLE) <= set(_QUERIES)
+
+
+def test_every_registered_query_has_an_oracle():
+    """Rows-only checks are a weaker driver verdict; keep the full
+    surface hash-checked."""
+    missing = sorted(set(_QUERIES) - set(_ORACLE))
+    assert not missing, missing

@@ -231,12 +231,18 @@ class CdcEngine:
     ``1 <= id <= 32767``, ``timeout >= 0``, ``max_records > 0``.
     """
 
+    #: class-level counter standing in for the server-allocated session id
+    _next_session_id = 0
+
     def __init__(
         self,
         spark: SparkSession,
+        dbservername: str = "spark",
         id: int = 1,
         timeout: int = 60,
         max_records: int = 100,
+        syscdcdb: str = "syscdcv1",
+        lo_buffer_sz: int = 64,
         use_savepoints: bool = True,
     ):
         if not 1 <= id <= 32767:
@@ -245,20 +251,57 @@ class CdcEngine:
             raise ValueError("timeout must be >= 0")
         if max_records <= 0:
             raise ValueError("max_records must be > 0")
+        if lo_buffer_sz < 64:  # KiB, reference's MIN_LO_BUFFER_SZ (ec:51,333)
+            raise ValueError("lo_buffer_sz must be >= 64 (KiB)")
         self.spark = spark
+        self._dbservername = dbservername
         self.id = id
-        self.timeout = timeout
-        self.max_records = max_records
+        self._timeout = timeout
+        self._max_records = max_records
+        self._syscdcdb = syscdcdb
+        self.lo_buffer_sz = lo_buffer_sz
         self.use_savepoints = use_savepoints
         self.source_path: str | None = None
-        self.is_connected = False
+        self._session_id: int | None = None
+        self._is_connected = False
         self._tables: dict[str, list[str] | None] = {}
+
+    # -- read-only introspection attrs, mirroring the reference's getters
+    # (ext/_informixcdcmodule.ec:365-438) ------------------------------
+    @property
+    def dbservername(self) -> str:
+        return self._dbservername
+
+    @property
+    def timeout(self) -> int:
+        return self._timeout
+
+    @property
+    def max_records(self) -> int:
+        return self._max_records
+
+    @property
+    def syscdcdb(self) -> str:
+        return self._syscdcdb
+
+    @property
+    def session_id(self) -> int | None:
+        """None before connect; a positive handle after (the reference
+        returns the server's SBLOB session handle from cdc_opensess)."""
+        return self._session_id
+
+    @property
+    def is_connected(self) -> bool:
+        return self._is_connected
 
     def connect(self, source_path: str) -> int:
         """Bind the change-log source (≙ CONNECT + cdc_opensess). Returns
-        0 on success, mirroring the reference's SQLCODE-style return."""
+        0 on success, mirroring the reference's SQLCODE-style return, and
+        allocates ``session_id``."""
         self.source_path = source_path
-        self.is_connected = True
+        CdcEngine._next_session_id += 1
+        self._session_id = CdcEngine._next_session_id
+        self._is_connected = True
         return 0
 
     def enable(self, database: str, owner: str, table: str, columns: str) -> int:

@@ -218,8 +218,18 @@ def test_engine_api_validation(spark):
         CdcEngine(spark, timeout=-1)
     with pytest.raises(ValueError):
         CdcEngine(spark, max_records=0)
+    with pytest.raises(ValueError):
+        CdcEngine(spark, lo_buffer_sz=32)
     eng = CdcEngine(spark)
+    # read-only introspection attrs mirror the reference's getters
+    # (ext/_informixcdcmodule.ec:365-438) incl. constructor defaults
+    assert eng.dbservername == "spark" and eng.syscdcdb == "syscdcv1"
+    assert eng.timeout == 60 and eng.max_records == 100
+    assert eng.session_id is None and not eng.is_connected
+    with pytest.raises(AttributeError):
+        eng.timeout = 5
     assert eng.connect("/tmp/x") == 0 and eng.is_connected
+    assert isinstance(eng.session_id, int) and eng.session_id > 0
     assert eng.enable("db", "me", "orders", "o_orderkey, o_totalprice") == 0
     assert eng.projection("db:me.orders") == ["o_orderkey", "o_totalprice"]
 

@@ -194,6 +194,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return sums.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
+def simhash_expr(tok: Column, bits: int = 16) -> Column:
+    """SimHash as ONE column expression over a tokens array — same value
+    as :func:`simhash`, zero shuffles: per-token hex hashes fold into a
+    ``bits``-element sign-sum array (`aggregate` + `zip_with`), then the
+    sketch bits assemble arithmetically. Each token is md5-hashed exactly
+    once (hex array materialized before the fold — higher-order
+    functions get no common-subexpression elimination, so hashing inside
+    the fold lambda would recompute per bit). The 100 TB shape: the whole
+    fingerprint family becomes a narrow map pass fused into the scan,
+    where the explode+agg formulation pays a per-doc hash-agg shuffle."""
+    hexes = F.transform(tok, lambda t: F.substring(F.md5(t), 1, bits))
+    contrib = lambda h: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda j: F.when(F.substring(h, j, 1).isin(*"89abcdef"), 1).otherwise(-1),
+    )
+    sums = F.aggregate(
+        hexes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, contrib(h), lambda a, c: a + c),
+    )
+    weights = F.array(*[F.lit(2**j) for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
 def perturbed_copies(
     df: DataFrame, id_col: str, text_col: str, id_offset: int = 1_000_000
 ) -> DataFrame:

@@ -149,19 +149,25 @@ def _sql_fingerprints(bits: int = 16) -> str:
 @register("e02_fingerprints", oracle=_sql_fingerprints())
 def e02_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.functions.text import fingerprint, shingle_hash_ints
+    from informixcdc_spark.operators.dedup import simhash_expr
 
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # materialize the token array once; every fingerprint folds over it
+    toked = docs.select("doc_id", F.col("text"), tokens(F.col("text")).alias("_tok"))
     roll = F.aggregate(
-        shingle_hash_ints(tokens(F.col("text"))),
+        shingle_hash_ints(F.col("_tok")),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(MINHASH_PRIME),
     )
-    base = docs.select(
+    # single narrow map pass, zero shuffles: md5 fp + rolling hash +
+    # fold-based simhash (simhash_expr ≡ operators.dedup.simhash, minus
+    # its explode/agg/join) all evaluate inside the scan stage.
+    return toked.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         roll.alias("fingerprint"),
+        simhash_expr(F.col("_tok")).alias("simhash"),
     )
-    return base.join(simhash(docs, "doc_id", "text"), "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -353,3 +353,22 @@ def test_decode_image_unknown_format_raises(spark):
     df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0notajpeg")], "doc_id long, payload binary")
     with pytest.raises(Exception, match="PPM|PIL|codec"):
         decode_image(df).collect()
+
+
+def test_simhash_fold_equals_explode_agg(spark):
+    """simhash_expr (zero-shuffle fold) must equal the explode+agg
+    simhash operator bit-for-bit."""
+    from informixcdc_spark.functions.text import tokens as _tokens
+    from informixcdc_spark.operators.dedup import simhash, simhash_expr
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    via_fold = docs.select(
+        "doc_id", simhash_expr(_tokens(F.col("text"))).alias("simhash")
+    )
+    via_agg = simhash(docs, "doc_id", "text")
+    a = {r["doc_id"]: r["simhash"] for r in via_fold.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in via_agg.collect()}
+    assert a == b and len(a) > 0

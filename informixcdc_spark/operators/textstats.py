@@ -161,3 +161,42 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (distinct_ratio < 0.2) | (top_frac > 0.3) | (dup2 > 0.9)
         ).alias("low_quality"),
     )
+
+
+def repetition_exprs(tok: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, distinct_ratio, top_token_frac, dup_2gram_frac) as PURE
+    column expressions over a tokens array — same values as
+    :func:`repetition_stats`, zero shuffles.
+
+    The most-frequent-token count folds over the SORTED array with a
+    (prev, run, best) run-length accumulator: equal neighbors extend the
+    run, the maximum run of a sorted array IS the top frequency. At
+    100 TB this turns the repetition gate into a scan-fused map pass;
+    the explode+agg formulation (kept for vocabulary-style consumers)
+    pays a per-(doc, distinct-token) hash aggregate instead.
+    Requires ``size(tok) >= 1`` (both formulations drop empty docs).
+    """
+    from informixcdc_spark.functions.text import word_shingles
+
+    n = F.size(tok)
+    srt = F.array_sort(tok)
+    run0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(srt, run0, _step, lambda acc: acc["best"])
+    g2 = word_shingles(tok, 2)
+    n2, n2d = F.size(g2), F.size(F.array_distinct(g2))
+    dup2 = F.when(
+        n2 > 0, F.lit(1.0) - n2d.cast("double") / n2
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    return n, distinct_ratio, top_cnt.cast("double") / n, dup2

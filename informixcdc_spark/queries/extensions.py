@@ -26,7 +26,6 @@ from informixcdc_spark.operators.dedup import (
     minhash_bands,
     ngram_jaccard_pairs,
     perturbed_copies,
-    simhash,
 )
 from informixcdc_spark.operators.curation import (
     sql_deterministic_split,
@@ -40,12 +39,7 @@ from informixcdc_spark.operators.similarity import (
     embedding_near_dups,
     ivf_knn,
 )
-from informixcdc_spark.operators.textstats import (
-    doc_fingerprints,
-    lang_id,
-    quality_score,
-    token_stats,
-)
+from informixcdc_spark.operators.textstats import lang_id
 from informixcdc_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -464,15 +458,34 @@ _SQL_STOP_FILTER = (
 )
 def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring AND Gopher-style repetition signals per
-    document (r1's e10 + e28 merged for the driver's grading window).
-    Quality is a narrow map pass; repetition adds one vocabulary-bounded
-    explode+agg, joined back on doc_id."""
-    from informixcdc_spark.operators.textstats import repetition_stats
+    document (r1's e10 + e28 merged for the driver's grading window) in
+    ONE narrow map pass: both metric families are pure column
+    expressions over a single materialized token array (repetition's
+    top-token count is a run-length fold over the sorted array —
+    operators.textstats.repetition_exprs), so the whole quality gate
+    fuses into the scan with zero shuffles."""
+    from informixcdc_spark.operators.textstats import (
+        quality_score_exprs,
+        repetition_exprs,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    q = quality_score(docs, "doc_id", "text")
-    r = repetition_stats(docs, "doc_id", "text").drop("n_tokens")
-    return q.join(r, "doc_id")
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    n, stop_ratio, mean_len, score = quality_score_exprs(F.col("_tok"))
+    _, distinct_ratio, top_frac, dup2 = repetition_exprs(F.col("_tok"))
+    low_quality = (distinct_ratio < 0.2) | (top_frac > 0.3) | (dup2 > 0.9)
+    return toked.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        mean_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+        F.when(score >= 0.7, "keep").otherwise("drop").alias("verdict"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_token_frac"),
+        dup2.alias("dup_2gram_frac"),
+        low_quality.alias("low_quality"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -372,3 +372,32 @@ def test_simhash_fold_equals_explode_agg(spark):
     a = {r["doc_id"]: r["simhash"] for r in via_fold.collect()}
     b = {r["doc_id"]: r["simhash"] for r in via_agg.collect()}
     assert a == b and len(a) > 0
+
+
+def test_repetition_exprs_equals_explode_agg(spark):
+    """repetition_exprs (zero-shuffle fold) must equal the explode+agg
+    repetition_stats operator on every metric."""
+    from informixcdc_spark.functions.text import tokens as _tokens
+    from informixcdc_spark.operators.textstats import (
+        repetition_exprs,
+        repetition_stats,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    n, dr, tf, d2 = repetition_exprs(_tokens(F.col("text")))
+    via_fold = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dr.alias("distinct_ratio"),
+        tf.alias("top_token_frac"),
+        d2.alias("dup_2gram_frac"),
+    )
+    via_agg = repetition_stats(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "distinct_ratio", "top_token_frac", "dup_2gram_frac"
+    )
+    a = {r["doc_id"]: tuple(r)[1:] for r in via_fold.collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in via_agg.collect()}
+    assert a == b and len(a) > 0

@@ -79,22 +79,27 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str, true_lang_col: str) -> DataFrame:
-    """Predict language by marker-token hits; deterministic priority-order
-    tie-break. Output keeps the labeled language for confusion analysis."""
-    tok = tokens(F.col(text_col))
+def lang_pred_expr(tok: Column) -> Column:
+    """Predicted language as one column expression over a tokens array:
+    marker-token hit counts per language, deterministic priority-order
+    tie-break (first language with a maximal score wins)."""
     scores = {lang: _hits(tok, words) for lang, words in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
-    # priority chain: first language with a maximal score wins
     best = F.greatest(*[scores[lg] for lg in langs])
     pred = None
     for lg in reversed(langs):
         cond = scores[lg] == best
         pred = F.when(cond, lg) if pred is None else F.when(cond, lg).otherwise(pred)
+    return pred
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, true_lang_col: str) -> DataFrame:
+    """Predict language by marker-token hits; deterministic priority-order
+    tie-break. Output keeps the labeled language for confusion analysis."""
     return rebalance(df).select(
         F.col(id_col),
         F.col(true_lang_col).alias("lang"),
-        pred.alias("pred_lang"),
+        lang_pred_expr(tokens(F.col(text_col))).alias("pred_lang"),
     )
 
 

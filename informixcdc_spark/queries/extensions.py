@@ -544,22 +544,27 @@ def e11_lang_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon sentiment, merged for the driver's grading window):
     marker-token language prediction next to the labeled lang, and
     broadcast-lexicon sentiment polarity (EDBT'16 pattern). Both are
-    pure column expressions over one tokenization — at 100 TB this is a
-    single narrow map pass fused into the scan, joined on doc_id only
-    because the lang_id operator is reused as-is."""
+    pure column expressions over ONE materialized tokenization — a
+    single narrow map pass fused into the scan, zero shuffles."""
+    from informixcdc_spark.operators.textstats import lang_pred_expr
+
     docs = rebalance(load_table(spark, sf_dir, "documents"))
-    preds = lang_id(docs, "doc_id", "text", "lang")
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    toked = docs.select("doc_id", "lang", tokens(F.col("text")).alias("_tok"))
     hits = lambda ws: F.size(  # noqa: E731
         F.filter(F.col("_tok"), lambda t: t.isin(*ws))
     )
-    senti = toked.select(
+    counted = toked.select(
         "doc_id",
+        "lang",
+        lang_pred_expr(F.col("_tok")).alias("pred_lang"),
         hits(_POS_WORDS).cast("int").alias("n_pos"),
         hits(_NEG_WORDS).cast("int").alias("n_neg"),
         F.size("_tok").alias("n_tok"),
-    ).select(
+    )
+    return counted.select(
         "doc_id",
+        "lang",
+        "pred_lang",
         "n_pos",
         "n_neg",
         ((F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tok")).alias(
@@ -570,7 +575,6 @@ def e11_lang_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("sentiment"),
     )
-    return preds.join(senti, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -641,19 +645,23 @@ _FEAT_COLS = ", ".join(
     """,
 )
 def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.multimodal import decode_stub
+    from informixcdc_spark.operators.multimodal import payload_meta_features
 
     docs = rebalance(load_table(spark, sf_dir, "documents"))
     payload = to_binary_payload(docs, "doc_id", "text")
-    meta = payload_metadata(payload)
-    feats = decode_stub(payload, fake=True).select(
+    # ONE Arrow-batched walk emits metadata and features together — each
+    # payload's bytes cross the Python boundary once, no join-back.
+    fused = payload_meta_features(payload, fake=True)
+    return fused.select(
         "doc_id",
+        "n_bytes",
+        "head_checksum",
+        "kind",
         *[
             F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
             for j in range(8)
         ],
     )
-    return meta.join(feats, "doc_id")
 
 
 # ---------------------------------------------------------------------------

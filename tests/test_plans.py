@@ -167,3 +167,26 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     )[1].split("]")[0], plan
     got = {r["event_type"] for r in back.select("event_type").distinct().collect()}
     assert got == {"purchase"}
+
+
+def test_fused_doc_queries_are_single_pass(spark, sf_dir):
+    """The fold-based per-document queries (fingerprints, quality+
+    repetition, lang+sentiment) must stay ONE narrow map pass: no
+    Exchange beyond the single rebalance repartition, no join, no
+    aggregate in the plan."""
+    import re
+
+    from informixcdc_spark.queries.extensions import (
+        e02_fingerprints,
+        e10_quality_repetition,
+        e11_lang_sentiment,
+    )
+
+    for fn in (e02_fingerprints, e10_quality_repetition, e11_lang_sentiment):
+        plan = formatted_plan(fn(spark, sf_dir))
+        # formatted mode lists each node in the tree AND a detail section
+        # — count the numbered detail headers, one per physical node
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange <= 1, f"{fn.__name__}: {n_exchange} exchanges"
+        assert "Join" not in plan, fn.__name__
+        assert "HashAggregate" not in plan, fn.__name__

@@ -271,3 +271,104 @@ def ivf_knn(
             F.col("cell").cast("long").alias("cell"),
         )
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means codebook for IVF (Lloyd iterations):
+    assign every vector to its nearest current centroid by cosine, then
+    recompute each centroid as its cell's (normalized) mean.
+
+    Each iteration is one broadcast-join assignment pass plus one
+    aggregate — the corpus never shuffles by cell contents, only the
+    K·dim centroid table moves (collected to the driver: K centroids of
+    a few hundred floats, metadata-sized at any corpus scale). Seeding
+    is the deterministic lowest-id vectors, so the codebook is
+    reproducible run to run. Empty cells keep their previous centroid.
+    Returns [(cell_id, centroid_vector), ...].
+    """
+    v = rebalance(corpus).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).persist()
+    dim = len(v.select("_vec").first()[0])
+    seed = v.where(F.col("_id") < n_centroids).select("_id", "_vec").collect()
+    centroids = {int(r["_id"]) - 0: [float(x) for x in r["_vec"]] for r in seed}
+    # re-key 0..K-1 in id order for stable cell ids
+    centroids = {
+        i: vec for i, (_, vec) in enumerate(sorted(centroids.items()))
+    }
+    spark = corpus.sparkSession
+    for _ in range(n_iter):
+        cent_rows = [(cid, vec) for cid, vec in sorted(centroids.items())]
+        cent = spark.createDataFrame(
+            cent_rows, "_cid INT, _cvec ARRAY<FLOAT>"
+        ).withColumn("_cn", l2_norm(F.col("_cvec")))
+        cos = F.when(
+            (F.col("_n") > 0) & (F.col("_cn") > 0),
+            dot(F.col("_vec"), F.col("_cvec")) / (F.col("_n") * F.col("_cn")),
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cid"))
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("_cos", cos)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+        )
+        # per-cell mean: aggregate elementwise sums + counts (one hash
+        # aggregate, map-side combined; K rows out)
+        sums = assigned.groupBy("_cid").agg(
+            *[
+                F.sum(F.element_at("_vec", j + 1).cast("double")).alias(f"s{j}")
+                for j in range(dim)
+            ],
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        new = {}
+        for r in sums.collect():
+            cnt = r["_cnt"]
+            new[int(r["_cid"])] = [float(r[f"s{j}"]) / cnt for j in range(dim)]
+        centroids = {
+            cid: new.get(cid, vec) for cid, vec in centroids.items()
+        }
+    return sorted(centroids.items())
+
+
+def ivf_cells_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """:func:`ivf_cells` with a trained k-means codebook instead of the
+    lowest-id-vector stand-in — same output shape (id, vec, _norm, cell).
+    The codebook is tiny and broadcast; assignment is one pass."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iter)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        cents, "_cid INT, _cvec ARRAY<FLOAT>"
+    ).withColumn("_cn", l2_norm(F.col("_cvec")))
+    v = rebalance(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+    )
+    cos = F.when(
+        (F.col("_norm") > 0) & (F.col("_cn") > 0),
+        dot(F.col(vec_col), F.col("_cvec")) / (F.col("_norm") * F.col("_cn")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "_norm", F.col("_cid").alias("cell"))
+    )

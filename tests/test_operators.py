@@ -401,3 +401,46 @@ def test_repetition_exprs_equals_explode_agg(spark):
     a = {r["doc_id"]: tuple(r)[1:] for r in via_fold.collect()}
     b = {r["doc_id"]: tuple(r)[1:] for r in via_agg.collect()}
     assert a == b and len(a) > 0
+
+
+def test_kmeans_ivf_reduces_inertia_and_assigns_all(spark):
+    """The Lloyd-iteration codebook must (a) strictly improve (or hold)
+    mean within-cell cosine vs the lowest-id seed assignment, and (b)
+    assign every vector to a valid cell."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.functions.vector import dot, l2_norm
+    from informixcdc_spark.operators.similarity import (
+        ivf_cells,
+        ivf_cells_kmeans,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+
+    def mean_cell_cos(cells):
+        # recompute each cell's centroid, then the mean member->centroid
+        # cosine — the spherical k-means objective
+        dim = len(emb.select("embedding").first()[0])
+        cent = cells.groupBy("cell").agg(
+            *[
+                (F.sum(F.element_at("embedding", j + 1).cast("double"))
+                 / F.count(F.lit(1))).alias(f"c{j}")
+                for j in range(dim)
+            ]
+        ).select(
+            "cell", F.array(*[F.col(f"c{j}") for j in range(dim)]).alias("_cvec")
+        ).withColumn("_cn", l2_norm(F.col("_cvec")))
+        joined = cells.join(cent, "cell")
+        cos = dot(F.col("embedding"), F.col("_cvec")) / (
+            F.col("_norm") * F.col("_cn")
+        )
+        return joined.agg(F.avg(cos)).collect()[0][0]
+
+    seeded = ivf_cells(emb, n_centroids=8)
+    trained = ivf_cells_kmeans(emb, n_centroids=8, n_iter=4)
+    assert trained.count() == n
+    assert trained.select("cell").distinct().count() <= 8
+    assert mean_cell_cos(trained) >= mean_cell_cos(seeded) - 1e-9

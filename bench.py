@@ -83,7 +83,10 @@ def main() -> None:
     # one pathological plan (r1: e33's optimizer blowup) must never zero
     # out the whole round's bench artifact — it gets an "errors" entry
     # and the JSON line still prints.
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    # 3 reps: the r3 registry benches 43 queries (merged from 88), so
+    # best-of-3 still runs fewer total executions than r2's best-of-2
+    # while cutting the recorded total's host-noise swing further.
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -372,3 +372,74 @@ def ivf_cells_kmeans(
         .where(F.col("_rn") == 1)
         .select(id_col, vec_col, "_norm", F.col("_cid").alias("cell"))
     )
+
+
+def ann_knn_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 4,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket PLUS the
+    ``nprobe - 1`` buckets reachable by flipping one hyperplane sign bit
+    (the classic multi-probe sequence — a vector near a hyperplane most
+    likely lands just across it). Recall rises toward exact as nprobe
+    grows while each query still scans ~nprobe/2^n_planes of the corpus;
+    the corpus side is computed ONCE (no re-hash per probe) and the
+    probe expansion explodes only the tiny broadcast query side."""
+    if not 1 <= nprobe <= n_planes + 1:
+        raise ValueError("nprobe must be in [1, n_planes + 1]")
+    c = rebalance(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    base = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("_home"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    # probe 0 = home bucket; probe b>0 = home XOR bit (b-1)
+    probes = F.array(
+        F.col("_home"),
+        *[
+            F.col("_home").bitwiseXOR(F.lit(2 ** (b - 1)))
+            for b in range(1, nprobe)
+        ],
+    )
+    q = base.select(
+        "query_id",
+        "_qvec",
+        "_qn",
+        "_home",
+        F.explode(F.slice(probes, 1, nprobe)).alias("bucket"),
+    )
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine",
+            F.col("_home").alias("home_bucket"),
+            "bucket",
+        )
+    )

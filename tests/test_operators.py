@@ -444,3 +444,45 @@ def test_kmeans_ivf_reduces_inertia_and_assigns_all(spark):
     assert trained.count() == n
     assert trained.select("cell").distinct().count() <= 8
     assert mean_cell_cos(trained) >= mean_cell_cos(seeded) - 1e-9
+
+
+def test_multiprobe_recall_improves_monotonically(spark):
+    """Multi-probe LSH: recall vs the exact top-k must be monotonically
+    non-decreasing in nprobe, and nprobe=1 must match single-probe
+    ann_knn's candidate restriction."""
+    from informixcdc_spark.operators.similarity import (
+        ann_knn,
+        ann_knn_multiprobe,
+        brute_force_knn,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 12)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_knn_multiprobe(emb, queries, k=3, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r1 <= r3 <= r5, (r1, r3, r5)
+    assert r5 > r1 or r1 == 1.0  # probing more buckets must help (or already perfect)
+
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_knn(emb, queries, k=3).collect()
+    }
+    mp1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_knn_multiprobe(emb, queries, k=3, nprobe=1).collect()
+    }
+    assert mp1 == single

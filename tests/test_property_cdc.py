@@ -84,3 +84,34 @@ def test_replayed_stream_is_idempotent(spark, events):
     log = _log(spark, events + events)
     got = _state(apply_changes(log, key_cols=["id"]))
     assert got == _serial_reference(events)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log(), st.data())
+def test_restart_from_any_watermark_is_exactly_once(spark, events, data):
+    """T5 as a property: pick ANY commit point as the restart watermark,
+    materialize the prefix applied by a first run, then replay the WHOLE
+    stream (delivered twice) against that watermark on top of the base —
+    the result must equal the serial model of the full stream, for every
+    watermark position (§2.8.1-3; this is the c02 query's shape with the
+    split point randomized)."""
+    commit_seqs = sorted(s for s, rt, _, _ in events if rt == "COMMTX")
+    if not commit_seqs:
+        return  # nothing committed: nothing to restart from
+    watermark = data.draw(st.sampled_from(commit_seqs))
+    committed_at = {
+        tx for s, rt, tx, _ in events if rt == "COMMTX" and s <= watermark
+    }
+    first_run = [e for e in events if e[2] in committed_at]
+    base = apply_changes(_log(spark, first_run), key_cols=["id"])
+    replayed = _log(spark, events + events)
+    got = _state(
+        apply_changes(
+            replayed, key_cols=["id"], last_committed_seq=watermark, base=base
+        )
+    )
+    assert got == _serial_reference(events)

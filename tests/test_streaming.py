@@ -307,3 +307,57 @@ def test_incremental_topk_state_spans_batches(spark, tmp_path):
         {(r["rank"], r["event_id"], r["value"]) for r in out if r["value"] >= 50}
     )
     assert final_top == [(1, 102, 52.0), (2, 101, 51.0), (3, 100, 50.0)]
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """Real late-data semantics: with a 1-hour watermark and
+    maxFilesPerTrigger=1, an event arriving in batch 2 whose timestamp is
+    far behind batch 1's max must NOT resurrect its expired window (state
+    for that window was evicted once the watermark passed it)."""
+    import datetime as dt
+
+    import time
+
+    src = str(tmp_path / "ev")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def _f(rows):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mod times => deterministic batch order
+
+    # file 1: events in windows [00:00) and [06:00); max event time 06:10
+    _f([(1, t0), (2, t0 + dt.timedelta(minutes=10)),
+        (3, t0 + dt.timedelta(hours=6, minutes=10))])
+    # file 2: fresh event only — lets the 05:10 watermark computed from
+    # file 1 take effect (the engine applies a new watermark one batch
+    # after the data that produced it)
+    _f([(9, t0 + dt.timedelta(hours=6, minutes=20))])
+    # file 3: one event 5+ hours behind the watermark, one fresh event
+    _f([(4, t0 + dt.timedelta(minutes=20)),
+        (5, t0 + dt.timedelta(hours=6, minutes=30))])
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")  # append emits a window only once it CLOSES
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["ws"]: r["n"] for r in spark.table("late_out").collect()}
+    # the 00:00 window closed with exactly the 2 on-time events —
+    # event 4 (late by >1h behind the watermark) must not be counted
+    assert rows.get("2026-01-01 00:00") == 2, rows

@@ -1,0 +1,53 @@
+"""Scale smoke: the CDC apply pipeline at ~8x the largest fixture.
+
+Correctness at sf0.01 is the driver's gate; this test probes HEADROOM —
+the same plan executing against millions of change records without
+collect()s, stragglers, or state blowups. The scaled corpus is built by
+unioning key-shifted copies of the sf0.1 changelog where the shift is a
+multiple of lcm(5, 7, 10, 13, 11) = 10010, so every generator condition
+(k%5 updates, k%7 deletes, k%10 rollbacks, k%13 opens) is preserved and
+the net-effect row count must be EXACTLY copies x the base count — a
+closed-form check with no oracle re-derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from informixcdc_spark.cdc.apply import apply_changes
+from informixcdc_spark.cdc.generator import orders_changelog
+
+_LCM = 10010  # lcm of every modulus the generator uses
+_COPIES = 8
+
+
+def test_cdc_apply_scales_linearly(spark):
+    sf_dir = "/root/testdata/sf0.1"
+    log = orders_changelog(spark, sf_dir)
+    base_count = apply_changes(log, key_cols=["o_orderkey"]).count()
+    assert base_count > 0
+
+    max_key = log.agg(F.max("transaction_id")).collect()[0][0]
+    stride = ((max_key // _LCM) + 1) * _LCM  # multiple of every modulus
+
+    def shifted(i: int):
+        off = i * stride
+        passthrough = [
+            c for c in log.columns
+            if c not in ("seq_number", "transaction_id", "row")
+        ]
+        return log.select(
+            (F.col("seq_number") + F.lit(off * 10)).alias("seq_number"),
+            (F.col("transaction_id") + F.lit(off)).alias("transaction_id"),
+            *passthrough,
+            F.col("row").withField(
+                "o_orderkey", F.col("row.o_orderkey") + F.lit(off)
+            ).alias("row"),
+        )
+
+    big = shifted(0)
+    for i in range(1, _COPIES):
+        big = big.unionByName(shifted(i))
+
+    applied = apply_changes(big, key_cols=["o_orderkey"])
+    assert applied.count() == _COPIES * base_count

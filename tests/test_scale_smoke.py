@@ -51,3 +51,45 @@ def test_cdc_apply_scales_linearly(spark):
 
     applied = apply_changes(big, key_cols=["o_orderkey"])
     assert applied.count() == _COPIES * base_count
+
+
+def test_salted_skew_join_scales_linearly(spark):
+    """The salted-join pattern at ~4.8M events: replicating every event
+    8x multiplies each hot key's row count 8x (the skew gets WORSE, the
+    exact situation salting exists for); per-segment aggregates must
+    come out exactly 8x the base."""
+    from informixcdc_spark.catalog import load_table
+    from informixcdc_spark.queries.relational import q25_salted_skew_join
+
+    sf_dir = "/root/testdata/sf0.1"
+    base = {
+        r["c_mktsegment"]: r["n_events"]
+        for r in q25_salted_skew_join(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    big = events
+    for i in range(1, 8):
+        big = big.unionByName(
+            events.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_events = big.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(8)))
+    salted_cust = customer.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+    )
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in (
+            salted_events.join(
+                salted_cust,
+                (F.col("user_id") == F.col("c_custkey"))
+                & (salted_events["_salt"] == salted_cust["_salt"]),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == {k: 8 * v for k, v in base.items()}

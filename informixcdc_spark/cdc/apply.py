@@ -14,10 +14,21 @@ tracks txn lifecycle in its savepoint tables; SURVEY.md §2.4):
   stream's total order, ``ext/_informixcdcmodule.ec:747``);
 - TRUNCATE wipes all earlier-applied rows of its table
   (``ext/_informixcdcmodule.ec:1657-1720``);
-- within a key, the LAST committed event wins (net effect): a trailing
-  DELETE removes the row, a trailing UPDAFT/INSERT defines it. UPDBEF
-  records carry the pre-image only (``ext/_informixcdcmodule.ec:74``)
-  and never define final state.
+- within a key, the LAST committed event wins (net effect), where
+  "last" is COMMIT order: a transaction's writes become visible
+  atomically at its COMMTX (the reference's consumer buffers events and
+  applies them when the commit record arrives —
+  ``ext/_informixcdcmodule.ec:1527-1529,2269-2299``), so the winner
+  ordering key is ``(commit_seq, seq_number)``, never raw event seq.
+  Raw-seq ordering is NOT incrementally consistent: when txn A begins
+  before but commits after txn B, a restart whose base already holds
+  B's (higher-seq) write would let A's lower-seq replayed write win —
+  the bug round 3's property suite caught. Commit-order IS consistent:
+  every replayed commit_seq exceeds the watermark, which bounds every
+  base row's commit position, so base-at-(-inf,-inf) stays correct.
+  A trailing DELETE removes the row, a trailing UPDAFT/INSERT defines
+  it. UPDBEF records carry the pre-image only
+  (``ext/_informixcdcmodule.ec:74``) and never define final state.
 
 Scale design: one shuffle to join events to commit outcomes (hash on
 transaction_id — broadcastable when the commit set is small, AQE
@@ -119,14 +130,19 @@ def committed_events(
 
 
 def _truncate_floor(changelog: DataFrame, last_committed_seq: int) -> DataFrame:
-    """Per-table max committed TRUNCATE seq: events below it are wiped."""
+    """Per-table max committed TRUNCATE position, as a (commit_seq,
+    seq_number) struct: events at or below it are wiped. The pair ordering
+    matches the net-effect winner key — an event from a txn that committed
+    AFTER the truncate's txn survives even if its raw seq is lower."""
     commits = committed_transactions(changelog, last_committed_seq)
     return (
         changelog.where(F.col("record_type") == RecordType.TRUNCATE.name)
         .join(commits, F.col("transaction_id") == F.col("_ct_txid"), "inner")
         .groupBy("tabname")
-        .agg(F.max("seq_number").alias("_trunc_seq"))
-        .select(F.col("tabname").alias("_tr_tab"), "_trunc_seq")
+        .agg(
+            F.max(F.struct("_commit_seq", "seq_number")).alias("_tr_floor")
+        )
+        .select(F.col("tabname").alias("_tr_tab"), "_tr_floor")
     )
 
 
@@ -135,16 +151,25 @@ def apply_changes(
     key_cols: Sequence[str],
     last_committed_seq: int = 0,
     base: DataFrame | None = None,
+    truncate_wipes_base: bool = False,
 ) -> DataFrame:
     """Materialize the net effect of a change log; returns the final rows.
 
     ``changelog`` must have the :func:`informixcdc_spark.cdc.model.
     changelog_schema` shape with a typed ``row`` struct. ``base`` is an
     optional already-materialized table (rows behave like inserts at
-    seq = -infinity). Output columns = the fields of ``row``.
+    commit position (-inf, -inf) — correct because every commit this
+    apply admits is past the watermark that produced ``base``). Output
+    columns = the fields of ``row``.
+
+    ``truncate_wipes_base=True`` makes a committed post-watermark
+    TRUNCATE also drop ``base`` rows (base rows carry no tabname, so the
+    per-table floor join can't see them). Single-table appliers — the
+    streaming materializer — must set it; the default keeps base immune
+    for ad-hoc multi-table logs where base provenance is unknown.
     """
-    # the net-effect window below subsumes record-level dedup: replayed
-    # duplicates are bit-identical rows, so skip that whole shuffle
+    # the net-effect aggregation below subsumes record-level dedup:
+    # replayed duplicates are bit-identical rows, so skip that shuffle
     events = committed_events(changelog, last_committed_seq, dedup_records=False)
 
     # truncate floors aggregate to <= one row per table — broadcast the
@@ -154,33 +179,50 @@ def apply_changes(
     events = events.join(
         F.broadcast(truncs), events["tabname"] == truncs["_tr_tab"], "left"
     ).where(
-        F.col("_trunc_seq").isNull() | (F.col("seq_number") > F.col("_trunc_seq"))
-    ).drop("_tr_tab", "_trunc_seq")
+        F.col("_tr_floor").isNull()
+        | (F.struct("_commit_seq", "seq_number") > F.col("_tr_floor"))
+    ).drop("_tr_tab", "_tr_floor")
 
     flat = events.select(
+        F.col("_commit_seq"),
         F.col("seq_number"),
         F.col("record_type"),
         F.col("row.*"),
     )
     if base is not None:
+        neg_inf = F.lit(-(1 << 62)).cast("long")
         base_as_inserts = base.select(
-            F.lit(-(1 << 62)).alias("seq_number"),
+            neg_inf.alias("_commit_seq"),
+            neg_inf.alias("seq_number"),
             F.lit(RecordType.INSERT.name).alias("record_type"),
             "*",
         ).select(*flat.columns)
+        if truncate_wipes_base:
+            # base predates every admitted commit, so ANY floor wipes it;
+            # 0-or-1-row broadcast cross join, no driver round-trip
+            any_floor = truncs.agg(F.max("_tr_floor").alias("_tr_floor"))
+            base_as_inserts = (
+                base_as_inserts.join(F.broadcast(any_floor), how="cross")
+                .where(F.col("_tr_floor").isNull())
+                .drop("_tr_floor")
+            )
         flat = flat.unionByName(base_as_inserts)
 
-    # net effect = the highest-seq event per key — a hash aggregation with
-    # max_by, NOT a row_number window: the aggregate partial-combines
-    # map-side, so the shuffle carries at most one row per key per input
-    # partition (vs. every event) and needs no sort. Ties (bit-identical
-    # replayed records) pick an equivalent winner.
-    row_fields = [c for c in flat.columns if c not in ("seq_number", "record_type")]
+    # net effect = the highest-(commit_seq, seq_number) event per key — a
+    # hash aggregation with max_by, NOT a row_number window: the aggregate
+    # partial-combines map-side, so the shuffle carries at most one row
+    # per key per input partition (vs. every event) and needs no sort.
+    # Commit-first ordering = commit-time visibility (see module doc);
+    # ties (bit-identical replayed records) pick an equivalent winner.
+    row_fields = [
+        c for c in flat.columns
+        if c not in ("_commit_seq", "seq_number", "record_type")
+    ]
     payload = [c for c in row_fields if c not in key_cols]
     winner = flat.groupBy(*key_cols).agg(
         F.max_by(
             F.struct(F.col("record_type"), *[F.col(c) for c in payload]),
-            F.col("seq_number"),
+            F.struct(F.col("_commit_seq"), F.col("seq_number")),
         ).alias("_w")
     )
     return winner.where(

@@ -122,6 +122,107 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log
 
 
+#: cached like the main changelog — c01/c02 both consume it
+_CONFLICT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def orders_conflict_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached :func:`conflict_changelog` with ``max_key`` resolved from
+    the parquet (one scalar agg, metadata-sized collect)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CONFLICT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    max_key = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    log = conflict_changelog(spark, sf_dir, int(max_key))
+    from pyspark import StorageLevel
+
+    log = log.persist(StorageLevel.MEMORY_AND_DISK)
+    _CONFLICT_CACHE[key] = log
+    return log
+
+
+def conflict_changelog(spark: SparkSession, sf_dir: str, max_key: int) -> DataFrame:
+    """Cross-transaction SAME-KEY conflicts where commit order differs
+    from event-seq order — the interleaving the base fixture can never
+    produce (each order's txn owns its key), added so the graded surface
+    exercises commit-time visibility (the r3 property-suite find).
+
+    Per order key k (M = ``max_key``, target key kk = k + 2M,
+    seq base s = (2M + k) * 100 — disjoint from the base fixture's seqs
+    and txids):
+
+    ========  ======================================  ==============
+    seq        record                                  transaction_id
+    ========  ======================================  ==============
+    s          BEGINTX                                 10M + 2k
+    s+1        BEGINTX                                 10M + 2k + 1
+    s+2        INSERT (kk, original price)             10M + 2k
+    s+4        INSERT (kk, price * 2)                  10M + 2k + 1
+    s+6        COMMTX (txB commits FIRST)              10M + 2k + 1
+    s+9        COMMTX (txA commits LAST → wins)        10M + 2k
+    ========  ======================================  ==============
+
+    Event-seq ordering would pick txB's doubled price (seq s+4 > s+2);
+    commit-order picks txA's original price (commit s+9 > s+6). Closed
+    form for the oracle: every key k+2M survives with txA's row — i.e.
+    the original order row with o_orderkey shifted by 2M.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = F.lit(int(max_key))
+    s = (m * 2 + k) * 100
+
+    def ev(rtype, seq, txid, row_price=None):
+        cols = [
+            seq.cast("long").alias("seq_number"),
+            F.lit(rtype.name).alias("record_type"),
+            txid.cast("long").alias("transaction_id"),
+            F.lit(ORDERS_TABID if row_price is not None else None)
+            .cast("int").alias("tabid"),
+            F.lit(ORDERS_TAB if row_price is not None else None).alias("tabname"),
+            F.lit(0 if row_price is not None else None).cast("int").alias("flags"),
+            F.lit(None).cast("long").alias("start_time"),
+            F.lit(None).cast("long").alias("commit_time"),
+            F.lit(None).cast("int").alias("user_id"),
+        ]
+        if row_price is not None:
+            row_cols = [
+                (k + m * 2).cast("bigint").alias("o_orderkey")
+                if c == "o_orderkey"
+                else row_price.alias("o_totalprice")
+                if c == "o_totalprice"
+                else F.col(c)
+                for c in _ROW_COLS
+            ]
+            cols.append(F.struct(*row_cols).alias("row"))
+        else:
+            cols.append(
+                F.lit(None)
+                .cast(
+                    "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+                    "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string>"
+                )
+                .alias("row")
+            )
+        return orders.select(*cols)
+
+    tx_a = m * 10 + k * 2
+    tx_b = m * 10 + k * 2 + 1
+    return (
+        ev(RecordType.BEGINTX, s, tx_a)
+        .unionByName(ev(RecordType.BEGINTX, s + 1, tx_b))
+        .unionByName(ev(RecordType.INSERT, s + 2, tx_a, F.col("o_totalprice")))
+        .unionByName(ev(RecordType.INSERT, s + 4, tx_b, F.col("o_totalprice") * 2))
+        .unionByName(ev(RecordType.COMMTX, s + 6, tx_b))
+        .unionByName(ev(RecordType.COMMTX, s + 9, tx_a))
+    )
+
+
 def _build_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from informixcdc_spark.cdc.apply import apply_changes, update_pairs
-from informixcdc_spark.cdc.generator import orders_changelog
+from informixcdc_spark.cdc.generator import (
+    orders_changelog,
+    orders_conflict_changelog,
+)
 from informixcdc_spark.cdc.savepoints import open_transactions, restart_state
 from informixcdc_spark.queries import register
 
@@ -42,13 +45,38 @@ _FINAL_STATE_ORACLE = """
 """
 
 
+# conflict keys (generator.conflict_changelog): every order key k also
+# exists shifted by 2*MAX(k), written by TWO interleaved transactions
+# whose commit order inverts their event-seq order — the later COMMIT
+# (original price) must win, so an engine ordering by raw event seq
+# (doubled price wins) hash-mismatches here. Closed form: the original
+# row at the shifted key.
+_CONFLICT_KEYS_ORACLE = """
+    SELECT CAST(o_orderkey + 2 * (SELECT MAX(o_orderkey) FROM orders)
+                AS BIGINT) AS o_orderkey,
+           o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders
+"""
+
+_FINAL_STATE_WITH_CONFLICTS_ORACLE = f"""
+    {_FINAL_STATE_ORACLE}
+    UNION ALL
+    {_CONFLICT_KEYS_ORACLE}
+"""
+
+
 # ---------------------------------------------------------------------------
 # c01 — full batch apply: inserts + update pairs + deletes + rollbacks +
-# open transactions → materialized net effect (T1–T6 semantics).
+# open transactions + cross-txn same-key conflicts (commit order !=
+# event-seq order) → materialized net effect (T1–T6 semantics with
+# commit-time visibility).
 # ---------------------------------------------------------------------------
-@register("c01_cdc_apply_net_effect", oracle=_FINAL_STATE_ORACLE)
+@register("c01_cdc_apply_net_effect", oracle=_FINAL_STATE_WITH_CONFLICTS_ORACLE)
 def c01_cdc_apply_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    log = orders_changelog(spark, sf_dir)
+    log = orders_changelog(spark, sf_dir).unionByName(
+        orders_conflict_changelog(spark, sf_dir)
+    )
     return apply_changes(log, key_cols=["o_orderkey"])
 
 
@@ -61,13 +89,17 @@ def c01_cdc_apply_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replay). Record-level seq dedup + the replay-discard watermark (T5)
 # must together yield the identical closed-form final state.
 # ---------------------------------------------------------------------------
-@register("c02_cdc_exactly_once", oracle=_FINAL_STATE_ORACLE)
+@register("c02_cdc_exactly_once", oracle=_FINAL_STATE_WITH_CONFLICTS_ORACLE)
 def c02_cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    log = orders_changelog(spark, sf_dir)
+    log = orders_changelog(spark, sf_dir).unionByName(
+        orders_conflict_changelog(spark, sf_dir)
+    )
     orders = log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
     mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
     watermark = mid * 10 + 9  # commit seq of txn `mid`
-    # base: what the first run materialized up to the watermark
+    # base: what the first run materialized up to the watermark (the
+    # conflict txns all commit past it, so they replay entirely on
+    # restart — cross-txn conflicts must resolve identically to c01)
     first_half = log.where(F.col("transaction_id") <= mid)
     base = apply_changes(first_half, key_cols=["o_orderkey"])
     # restart: the full stream, delivered twice, against the watermark

@@ -173,7 +173,13 @@ class Materializer:
             ]
         )
         new_target = apply_changes(
-            log, self.key_cols, last_committed_seq=last_seq, base=base
+            log,
+            self.key_cols,
+            last_committed_seq=last_seq,
+            base=base,
+            # single-table materialization: a committed TRUNCATE wipes
+            # rows from earlier batches (the base) too
+            truncate_wipes_base=True,
         )
 
         # new pending: IUD/BEGINTX events of txns with no terminator yet
@@ -212,15 +218,67 @@ class Materializer:
         buckets.update({k: batch_id for k in written})
 
         new_pending.write.mode("overwrite").parquet(self._pending_snap(batch_id))
-        self._write_state(
-            {
-                "batch_id": batch_id,
-                # watermark monotonicity (ec:747): never regress
-                "last_committed_seq": max(last_seq, int(new_last)),
-                "buckets": buckets,
-                "pending_version": batch_id,
-            }
-        )
+        new_state = {
+            "batch_id": batch_id,
+            # watermark monotonicity (ec:747): never regress
+            "last_committed_seq": max(last_seq, int(new_last)),
+            "buckets": buckets,
+            "pending_version": batch_id,
+        }
+        self._write_state(new_state)
+        self._gc(new_state)
+
+    # -- snapshot garbage collection -----------------------------------------
+    #: pending versions retained behind the pointer (concurrent readers
+    #: that grabbed the previous state.json can still finish their read)
+    GC_KEEP_PENDING = 2
+
+    def _gc(self, state: dict) -> None:
+        """Reclaim snapshot storage no longer referenced by ``state``.
+
+        Without this, storage grows O(total batches ever run) even though
+        per-batch compute is O(touched buckets) — a long-running stream
+        leaks its whole history. Runs strictly AFTER the atomic pointer
+        swap and deletes only unreferenced paths, so a crash mid-GC never
+        tears readable state (orphans are swept by the next batch's GC).
+        Deletes: (a) ``target/b{n}`` dirs referenced by no bucket,
+        (b) dead ``k=`` subdirs inside still-referenced dirs (a dir stays
+        alive while ANY bucket points at it, but each bucket pins only
+        its own subdir), (c) ``pending/v{n}`` older than the last
+        ``GC_KEEP_PENDING`` versions. Leaves the state dir holding
+        O(n_buckets) + O(GC_KEEP_PENDING) entries, independent of stream
+        lifetime. Single-writer contract (one streaming query per state
+        dir) — same assumption the pointer swap already makes.
+        """
+        import shutil
+
+        target_root = os.path.join(self.state_dir, "target")
+        # bucket id -> owning batch dir; a dir lives iff some bucket maps to it
+        live_by_dir: dict[str, set[str]] = {}
+        for bucket, bid in state["buckets"].items():
+            live_by_dir.setdefault(f"b{bid}", set()).add(f"k={bucket}")
+        if os.path.isdir(target_root):
+            for d in os.listdir(target_root):
+                live_subdirs = live_by_dir.get(d)
+                if live_subdirs is None:
+                    shutil.rmtree(os.path.join(target_root, d), ignore_errors=True)
+                    continue
+                for sub in os.listdir(os.path.join(target_root, d)):
+                    if sub.startswith("k=") and sub not in live_subdirs:
+                        shutil.rmtree(
+                            os.path.join(target_root, d, sub), ignore_errors=True
+                        )
+
+        pending_root = os.path.join(self.state_dir, "pending")
+        floor = state["pending_version"] - (self.GC_KEEP_PENDING - 1)
+        if os.path.isdir(pending_root):
+            for d in os.listdir(pending_root):
+                try:
+                    version = int(d.lstrip("v"))
+                except ValueError:
+                    continue
+                if version < floor:
+                    shutil.rmtree(os.path.join(pending_root, d), ignore_errors=True)
 
 
 class CdcEngine:

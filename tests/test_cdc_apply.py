@@ -197,6 +197,74 @@ def test_update_pairs_interleaved(spark):
     assert pairs == {10: ("a1", "a2"), 20: ("b1", "b2")}
 
 
+def test_commit_order_defines_visibility(spark):
+    # §2.8 trap (r3 property-suite find): txn1 writes key 10 EARLY by seq
+    # but commits LAST — commit-time visibility means its value wins,
+    # even though txn2's write has the higher event seq
+    log = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "v_txn1")),
+            (5, "BEGINTX", 2, None),
+            (6, "INSERT", 2, (10, "v_txn2")),
+            (8, "COMMTX", 2, None),  # txn2 commits first...
+            (9, "COMMTX", 1, None),  # ...txn1 commits last → wins
+        ],
+    )
+    assert _state(apply_changes(log, ["id"])) == {10: "v_txn1"}
+
+
+def test_restart_apply_matches_batch_apply_on_conflicts(spark):
+    # the r3 falsifying example: txn1 seqs 2-4, txn2 seqs 6-7 on the same
+    # key; txn2 commits (8) before txn1 (9). Restart from watermark 8
+    # (base = txn2's state) must equal full-batch apply.
+    events = [
+        (1, "BEGINTX", 1, None),
+        (2, "INSERT", 1, (0, "v2")),
+        (3, "UPDBEF", 1, (0, "v2")),
+        (4, "UPDAFT", 1, (0, "v4")),
+        (5, "BEGINTX", 2, None),
+        (6, "INSERT", 2, (0, "v6")),
+        (7, "UPDAFT", 2, (0, "v7")),
+        (8, "COMMTX", 2, None),
+        (9, "COMMTX", 1, None),
+    ]
+    full = _state(apply_changes(_log(spark, events), ["id"]))
+    # first run applied only txn2 (committed at <= 8)
+    base = apply_changes(
+        _log(spark, [e for e in events if e[2] == 2]), ["id"]
+    )
+    replayed = _log(spark, events + events)  # at-least-once delivery
+    restarted = _state(
+        apply_changes(replayed, ["id"], last_committed_seq=8, base=base)
+    )
+    assert full == restarted == {0: "v4"}  # txn1 committed last
+
+
+def test_truncate_wipes_base_when_single_table(spark):
+    base = spark.createDataFrame([(10, "old"), (11, "older")], ROW)
+    log = _log(
+        spark,
+        [
+            (5, "BEGINTX", 2, None),
+            (6, "TRUNCATE", 2, None, "t"),
+            (7, "INSERT", 2, (12, "c")),
+            (8, "COMMTX", 2, None),
+        ],
+    )
+    # single-table materialization: base rows predate the truncate → wiped
+    assert _state(
+        apply_changes(log, ["id"], base=base, truncate_wipes_base=True)
+    ) == {12: "c"}
+    # default (multi-table logs, unknown base provenance): base immune
+    assert _state(apply_changes(log, ["id"], base=base)) == {
+        10: "old",
+        11: "older",
+        12: "c",
+    }
+
+
 def test_last_committed_monotonic(spark):
     # §2.8.3: watermark only advances — max over commits regardless of order
     log = _log(

@@ -47,12 +47,20 @@ def interleaved_log(draw):
 
 
 def _serial_reference(events):
-    """Pure-Python model: committed txns' IUD events applied in seq order."""
-    committed = {tx for _, rt, tx, _ in events if rt == "COMMTX"}
+    """Pure-Python model: committed txns' IUD events applied in COMMIT
+    order (a txn's writes become visible atomically at COMMTX — the
+    reference's consumer buffers until the commit record,
+    ``ext/_informixcdcmodule.ec:1527-1529,2269-2299``); within a txn,
+    events apply in seq order. Matches ``apply_changes``'s
+    ``(commit_seq, seq_number)`` winner key — the only ordering that is
+    also incrementally consistent under restart-from-watermark."""
+    commit_of = {tx: seq for seq, rt, tx, _ in events if rt == "COMMTX"}
     table: dict[int, str] = {}
-    for seq, rt, tx, row in sorted(events):
-        if tx not in committed or row is None:
-            continue
+    applied = sorted(
+        (e for e in events if e[2] in commit_of and e[3] is not None),
+        key=lambda e: (commit_of[e[2]], e[0]),
+    )
+    for seq, rt, tx, row in applied:
         key, val = row
         if rt == "DELETE":
             table.pop(key, None)
@@ -61,8 +69,12 @@ def _serial_reference(events):
     return table
 
 
+# derandomize=True: r1-r3 each shipped with a red gate that "passed when
+# committed" on a lucky random seed — the CI profile is deterministic with
+# a real example budget, so a pass at commit time means a pass in verify
 @settings(
-    max_examples=12,
+    max_examples=30,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -73,7 +85,8 @@ def test_random_interleavings_match_serial_model(spark, events):
 
 
 @settings(
-    max_examples=8,
+    max_examples=20,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -87,7 +100,8 @@ def test_replayed_stream_is_idempotent(spark, events):
 
 
 @settings(
-    max_examples=8,
+    max_examples=50,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

@@ -209,6 +209,52 @@ def test_delete_empties_bucket_pointer(spark, tmp_path):
     assert mat.read_state()["buckets"] == {}
 
 
+def test_snapshot_gc_bounds_state_dir(spark, tmp_path):
+    """Storage must be O(buckets) + O(GC_KEEP_PENDING), independent of
+    how many batches ever ran — without GC a long-running stream leaks
+    its entire snapshot history."""
+    state_dir = str(tmp_path / "state")
+    mat = Materializer(spark, state_dir, ["id"], n_buckets=4)
+    n_batches = 6
+    for b in range(n_batches):
+        seq = b * 10
+        mat.process_batch(
+            _log(
+                spark,
+                [
+                    (seq + 1, "BEGINTX", b + 1, None),
+                    (seq + 2, "INSERT", b + 1, (b, f"v{b}")),
+                    (seq + 3, "COMMTX", b + 1, None),
+                ],
+            ),
+            b,
+        )
+    # correctness unaffected by GC
+    assert _target_state(mat) == {b: f"v{b}" for b in range(n_batches)}
+    st = mat.read_state()
+    target_dirs = set(os.listdir(os.path.join(state_dir, "target")))
+    # only dirs some bucket still points at survive
+    assert target_dirs == {f"b{v}" for v in st["buckets"].values()}
+    assert len(target_dirs) <= mat.n_buckets
+    # dead k= subdirs inside live dirs are pruned: every remaining subdir
+    # is pinned by the pointer map
+    live = {(f"b{v}", f"k={k}") for k, v in st["buckets"].items()}
+    on_disk = {
+        (d, sub)
+        for d in target_dirs
+        for sub in os.listdir(os.path.join(state_dir, "target", d))
+        if sub.startswith("k=")
+    }
+    assert on_disk == live
+    pending = sorted(os.listdir(os.path.join(state_dir, "pending")))
+    assert len(pending) <= Materializer.GC_KEEP_PENDING
+    assert f"v{n_batches - 1}" in pending
+    # replaying the last batch after GC is still a no-op (idempotency)
+    before = mat.read_state()
+    mat.process_batch(_log(spark, [(99, "COMMTX", 99, None)]), n_batches - 1)
+    assert mat.read_state() == before
+
+
 def test_engine_api_validation(spark):
     with pytest.raises(ValueError):
         CdcEngine(spark, id=0)

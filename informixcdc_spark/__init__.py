@@ -25,3 +25,19 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+class CdcError(RuntimeError):
+    """Engine-level error, exported as module-level ``error`` for drop-in
+    parity with the reference's ``informixcdc.error`` exception object
+    (``PyErr_NewException("informixcdc.error", ...)``,
+    ``ext/_informixcdcmodule.ec:2613-2620``): a consumer's
+    ``except informixcdc.error`` becomes
+    ``except informixcdc_spark.error`` unchanged. Subclasses
+    ``RuntimeError`` because that is what engine misuse raised before the
+    alias existed. (The reference's ``Str``/``Null`` exports are vestigial
+    C-skeleton remnants and intentionally have no counterpart here —
+    SURVEY.md §2.7.)"""
+
+
+error = CdcError

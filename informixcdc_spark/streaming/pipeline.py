@@ -352,11 +352,26 @@ class CdcEngine:
     def is_connected(self) -> bool:
         return self._is_connected
 
-    def connect(self, source_path: str) -> int:
+    def connect(
+        self,
+        source_path: str | None = None,
+        user: str | None = None,
+        passwd: str | None = None,
+    ) -> int:
         """Bind the change-log source (≙ CONNECT + cdc_opensess). Returns
         0 on success, mirroring the reference's SQLCODE-style return, and
-        allocates ``session_id``."""
-        self.source_path = source_path
+        allocates ``session_id``.
+
+        ``user``/``passwd`` are accepted for drop-in signature parity with
+        the reference's ``connect(user=None, passwd=None)``
+        (``ext/_informixcdcmodule.ec:1949-1957``) and ignored — there is
+        no server to authenticate against; the change-log directory is
+        the session's source. With no ``source_path`` the engine still
+        connects (a later ``activate`` may supply one), matching a
+        credentials-only reference call."""
+        del user, passwd  # signature parity only (MIGRATION.md)
+        if source_path is not None:
+            self.source_path = source_path
         CdcEngine._next_session_id += 1
         self._session_id = CdcEngine._next_session_id
         self._is_connected = True
@@ -387,7 +402,9 @@ class CdcEngine:
         from savepoint state (min open-txn LSN ≙ replay window; else
         last+1); else 0."""
         if not self.is_connected:
-            raise RuntimeError("connect() first")
+            from informixcdc_spark import CdcError
+
+            raise CdcError("connect() first")
         start_seq = seq_number
         if start_seq < 0 and self.use_savepoints and materializer is not None:
             st = materializer.read_state()

@@ -278,6 +278,26 @@ def test_engine_api_validation(spark):
     assert isinstance(eng.session_id, int) and eng.session_id > 0
     assert eng.enable("db", "me", "orders", "o_orderkey, o_totalprice") == 0
     assert eng.projection("db:me.orders") == ["o_orderkey", "o_totalprice"]
+    # drop-in signature parity with the reference's
+    # connect(user=None, passwd=None) (ext/_informixcdcmodule.ec:1949-1957):
+    # credentials accepted and ignored; source binding survives
+    eng2 = CdcEngine(spark)
+    assert eng2.connect(user="u", passwd="p") == 0 and eng2.is_connected
+    assert eng2.connect("/tmp/y", user="u", passwd="p") == 0
+    assert eng2.source_path == "/tmp/y"
+
+
+def test_module_level_error_export(spark):
+    # `except informixcdc.error` ports verbatim
+    # (ext/_informixcdcmodule.ec:2613-2620)
+    import informixcdc_spark
+
+    assert informixcdc_spark.error is informixcdc_spark.CdcError
+    eng = CdcEngine(spark)
+    with pytest.raises(informixcdc_spark.error):
+        eng.activate(None)  # not connected
+    with pytest.raises(RuntimeError):  # back-compat: still a RuntimeError
+        eng.activate(None)
 
 
 def test_stateful_txn_assembly_stream(spark, tmp_path):

@@ -40,6 +40,11 @@ def format_line(
     def short(n: str) -> str:
         return n.split("_", 1)[0]
 
+    # id prefixes must stay unique or the dict comprehension would
+    # silently drop a timing; fall back to full names on collision
+    if len({short(n) for n in per_query}) != len(per_query):
+        short = lambda n: n  # noqa: E731
+
     out = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -121,6 +126,28 @@ def main() -> None:
             per_query[name] = round(best, 3)
 
     print(format_line(per_query, errors, sf), flush=True)
+    # Full-resolution artifact (complete names, untruncated errors) —
+    # the stdout line is capped to the driver's 2000-char tail, so
+    # round-over-round per-query regressions are answerable only from
+    # this file. Committed each round as BENCH_LOCAL.json.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "sf": sf,
+                    "reps": reps,
+                    "total_sec": round(sum(per_query.values()), 3),
+                    "queries": dict(sorted(per_query.items())),
+                    "errors": dict(sorted(errors.items())),
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # a read-only checkout must not break the stdout contract
     # abandoned timeout threads are non-daemon; never let them block exit
     os._exit(0)
 

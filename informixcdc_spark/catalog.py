@@ -33,13 +33,14 @@ BROADCAST_DIMS = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # runtime-set so they also hold on sessions we didn't build (the
-        # driver harness constructs its own vanilla SparkSession).
-        # session.timeZone=UTC makes any TIMESTAMP_NTZ<->TIMESTAMP cast the
-        # identity on the wall clock, matching the tz-naive DuckDB oracle.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # runtime-set so they also hold on sessions we didn't build (the
+    # driver harness constructs its own vanilla SparkSession).
+    # session.timeZone=UTC makes any TIMESTAMP_NTZ<->TIMESTAMP cast the
+    # identity on the wall clock, matching the tz-naive DuckDB oracle.
+    # Set on EVERY load, not just events: a timestamp-formatting query
+    # must not depend on whether events happened to load first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (arrives as

@@ -288,8 +288,9 @@ def kmeans_centroids(
     aggregate — the corpus never shuffles by cell contents, only the
     K·dim centroid table moves (collected to the driver: K centroids of
     a few hundred floats, metadata-sized at any corpus scale). Seeding
-    is the deterministic lowest-id vectors, so the codebook is
-    reproducible run to run. Empty cells keep their previous centroid.
+    is the K lowest ids actually present (no assumption that ids start
+    at 0), so the codebook is reproducible run to run; fewer than K
+    vectors is an error. Empty cells keep their previous centroid.
     Returns [(cell_id, centroid_vector), ...].
     """
     v = rebalance(corpus).select(
@@ -297,12 +298,16 @@ def kmeans_centroids(
         F.col(vec_col).alias("_vec"),
         l2_norm(F.col(vec_col)).alias("_n"),
     ).persist()
-    dim = len(v.select("_vec").first()[0])
-    seed = v.where(F.col("_id") < n_centroids).select("_id", "_vec").collect()
-    centroids = {int(r["_id"]) - 0: [float(x) for x in r["_vec"]] for r in seed}
+    seed = v.orderBy("_id").limit(n_centroids).select("_id", "_vec").collect()
+    if len(seed) < n_centroids:
+        v.unpersist()
+        raise ValueError(
+            f"need >= {n_centroids} vectors to seed, got {len(seed)}"
+        )
     # re-key 0..K-1 in id order for stable cell ids
     centroids = {
-        i: vec for i, (_, vec) in enumerate(sorted(centroids.items()))
+        i: [float(x) for x in r["_vec"]]
+        for i, r in enumerate(sorted(seed, key=lambda r: r["_id"]))
     }
     spark = corpus.sparkSession
     for _ in range(n_iter):
@@ -321,22 +326,36 @@ def kmeans_centroids(
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
         )
-        # per-cell mean: aggregate elementwise sums + counts (one hash
-        # aggregate, map-side combined; K rows out)
-        sums = assigned.groupBy("_cid").agg(
-            *[
-                F.sum(F.element_at("_vec", j + 1).cast("double")).alias(f"s{j}")
-                for j in range(dim)
-            ],
-            F.count(F.lit(1)).alias("_cnt"),
+        # per-cell mean without one sum-column per dimension (dim-many
+        # aggregate columns fall over at 768+): posexplode to
+        # (cell, dim_idx, value), partial-combined sum per (cell, dim) —
+        # shuffle volume is K·dim doubles per map partition either way —
+        # then reassemble each centroid as ONE sorted array fold so the
+        # driver collects exactly K rows regardless of dimensionality.
+        sums = (
+            assigned.select("_cid", F.posexplode("_vec").alias("_p", "_x"))
+            .groupBy("_cid", "_p")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"),
+                F.count(F.lit(1)).alias("_cnt"),
+            )
+            .groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_p", "_s"))),
+                    lambda s: s["_s"],
+                ).alias("_sums"),
+                F.max("_cnt").alias("_cnt"),
+            )
         )
-        new = {}
-        for r in sums.collect():
-            cnt = r["_cnt"]
-            new[int(r["_cid"])] = [float(r[f"s{j}"]) / cnt for j in range(dim)]
+        new = {
+            int(r["_cid"]): [float(x) / r["_cnt"] for x in r["_sums"]]
+            for r in sums.collect()
+        }
         centroids = {
             cid: new.get(cid, vec) for cid, vec in centroids.items()
         }
+    v.unpersist()
     return sorted(centroids.items())
 
 

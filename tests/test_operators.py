@@ -446,6 +446,33 @@ def test_kmeans_ivf_reduces_inertia_and_assigns_all(spark):
     assert mean_cell_cos(trained) >= mean_cell_cos(seeded) - 1e-9
 
 
+def test_kmeans_seeding_is_id_offset_robust(spark):
+    """Seeding must use the K lowest ids PRESENT, not assume ids 0..K-1
+    exist; a corpus with too few vectors must raise, not silently train
+    a smaller codebook."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    cents = kmeans_centroids(shifted, n_centroids=4, n_iter=1)
+    assert [c for c, _ in cents] == [0, 1, 2, 3]
+    assert all(len(vec) > 0 for _, vec in cents)
+    # identical corpus, shifted ids -> identical codebook (seed = lowest
+    # K ids either way)
+    base = kmeans_centroids(emb, n_centroids=4, n_iter=1)
+    for (_, a), (_, b) in zip(base, cents):
+        assert a == pytest.approx(b)
+    with pytest.raises(ValueError, match="seed"):
+        kmeans_centroids(emb.limit(2), n_centroids=4, n_iter=1)
+
+
 def test_multiprobe_recall_improves_monotonically(spark):
     """Multi-probe LSH: recall vs the exact top-k must be monotonically
     non-decreasing in nprobe, and nprobe=1 must match single-probe

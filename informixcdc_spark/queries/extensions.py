@@ -739,8 +739,11 @@ def e19_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e20 — near-dup CLUSTER assignment: connected components over the LSH
 # candidate graph (a~b, b~c ⇒ one cluster — pairwise candidates alone
 # can't pick one representative per duplicate group). Spark side:
-# iterative min-label propagation (operators.dedup.dedup_clusters);
-# oracle: transitive closure via a recursive CTE over the same pairs.
+# alternating large-star/small-star contraction
+# (operators.dedup.dedup_clusters_star) — O(log² n) rounds vs label
+# propagation's O(diameter), the 100 TB path; the label-propagation twin
+# stays unit-test-equivalent. Oracle: transitive closure via a recursive
+# CTE over the same pairs.
 # ---------------------------------------------------------------------------
 def _sql_dedup_clusters() -> str:
     base = _SQL_BANDS_CTE.strip()
@@ -771,12 +774,12 @@ def _sql_dedup_clusters() -> str:
 
 @register("e20_dedup_clusters", oracle=_sql_dedup_clusters())
 def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.dedup import dedup_clusters
+    from informixcdc_spark.operators.dedup import dedup_clusters_star
 
     corpus = _docs_corpus(spark, sf_dir)
     shingled = doc_shingles(corpus, "doc_id", "text")
     pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
-    return dedup_clusters(pairs, corpus.select("doc_id"), "doc_id")
+    return dedup_clusters_star(pairs, corpus.select("doc_id"), "doc_id")
 
 
 # ---------------------------------------------------------------------------

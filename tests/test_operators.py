@@ -96,6 +96,60 @@ def test_dedup_clusters_transitive_chain(spark, sf_dir):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_dedup_clusters_star_matches_label_prop(spark):
+    """Star contraction and label propagation must produce identical
+    component-min labels on a mixed graph (chain + triangle + isolated
+    nodes + out-of-order ids)."""
+    from informixcdc_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (50, 7), (7, 49)],
+        "id_a LONG, id_b LONG",
+    )
+    node_ids = (1, 2, 3, 7, 10, 11, 12, 49, 50, 99, 100)
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id LONG")
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, nodes, "doc_id").collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters_star(pairs, nodes, "doc_id").collect()
+    }
+    assert star == prop
+    assert star[50] == 7 and star[49] == 7 and star[12] == 10 and star[99] == 99
+
+
+def test_dedup_clusters_star_beats_label_prop_on_high_diameter(spark):
+    """The scale motivation: on a 96-hop path, label propagation needs
+    ~one round per hop while large-star/small-star contracts in
+    O(log² n) alternations — strictly fewer rounds, same labels."""
+    from informixcdc_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    n = 97  # path 0-1-2-...-96: diameter 96
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    star_stats: dict = {}
+    star = dedup_clusters_star(pairs, nodes, "doc_id", stats=star_stats)
+    assert {r.cluster_id for r in star.collect()} == {0}
+    prop_stats: dict = {}
+    prop = dedup_clusters(
+        pairs, nodes, "doc_id", max_iter=n + 2, stats=prop_stats
+    )
+    assert {r.cluster_id for r in prop.collect()} == {0}
+    # label prop pays ~diameter rounds; star contraction is logarithmic
+    assert star_stats["rounds"] < prop_stats["rounds"]
+    assert star_stats["rounds"] <= 10
+
+
 def test_zorder_key_is_bijective_and_local(spark):
     from informixcdc_spark.operators.curation import zorder_key
 

@@ -93,3 +93,43 @@ def test_salted_skew_join_scales_linearly(spark):
         )
     }
     assert got == {k: 8 * v for k, v in base.items()}
+
+
+def test_star_cc_scales_linearly(spark):
+    """Connected components at 8x: 2000 disjoint 50-node chains
+    (100k nodes / 98k edges), then 8 shifted copies (800k nodes).
+    Closed form: exactly copies * 2000 clusters, every one of size 50
+    with the chain head as its label — and the round count must NOT grow
+    with data volume (it depends on max component diameter, which is
+    unchanged; that is the whole point of star contraction at scale)."""
+    from informixcdc_spark.operators.dedup import dedup_clusters_star
+
+    chains, length = 2000, 50
+    n = chains * length  # node i belongs to chain i // length
+
+    def graph(copies: int):
+        ids = spark.range(copies * n).select(F.col("id").alias("doc_id"))
+        # edge i -> i+1 within a chain; last node of each chain emits none
+        edges = (
+            spark.range(copies * n)
+            .where((F.col("id") % length) != length - 1)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        return edges, ids
+
+    base_stats: dict = {}
+    edges, ids = graph(1)
+    base = dedup_clusters_star(edges, ids, "doc_id", stats=base_stats)
+    sizes = base.groupBy("cluster_id").count()
+    assert sizes.count() == chains
+    assert sizes.agg(F.min("count"), F.max("count")).collect()[0] == (length, length)
+
+    big_stats: dict = {}
+    edges8, ids8 = graph(_COPIES)
+    big = dedup_clusters_star(edges8, ids8, "doc_id", stats=big_stats)
+    sizes8 = big.groupBy("cluster_id").count()
+    assert sizes8.count() == _COPIES * chains
+    assert sizes8.agg(F.min("count"), F.max("count")).collect()[0] == (length, length)
+    # every label is a chain head (id ≡ 0 mod length)
+    assert big.where(F.col("cluster_id") % length != 0).count() == 0
+    assert big_stats["rounds"] <= base_stats["rounds"] + 1

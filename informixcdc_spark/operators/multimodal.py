@@ -205,11 +205,8 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def _parse_pnm(raw: bytes):
-    """Decode P5 (grayscale) / P6 (RGB) binary PNM headers + raster.
-    Returns (width, height, channels, ndarray[h, w, c])."""
-    import numpy as np
-
+def _parse_pnm_header(raw: bytes):
+    """P5/P6 binary PNM header: (width, height, channels, raster_offset)."""
     if raw[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PNM payload")
     channels = 3 if raw[:2] == b"P6" else 1
@@ -231,11 +228,119 @@ def _parse_pnm(raw: bytes):
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError("only 8-bit PNM supported")
+    return width, height, channels, pos
+
+
+def _parse_pnm(raw: bytes):
+    """Decode P5 (grayscale) / P6 (RGB) binary PNM headers + raster.
+    Returns (width, height, channels, ndarray[h, w, c])."""
+    import numpy as np
+
+    width, height, channels, pos = _parse_pnm_header(raw)
     n = width * height * channels
     raster = np.frombuffer(raw[pos : pos + n], dtype=np.uint8)
     if raster.size != n:
         raise ValueError("truncated PNM raster")
     return width, height, channels, raster.reshape(height, width, channels)
+
+
+def _jpeg_dimensions(raw: bytes):
+    """(width, height, channels) from a JPEG's SOFn segment — pure byte
+    walk over the marker stream, no codec library. Handles baseline SOF0
+    and progressive SOF2 (plus the other SOFn variants), skips
+    standalone markers (SOI/RST/TEM) and fill bytes. Returns None when
+    the payload is not a parseable JPEG. Segment layout per ITU T.81
+    B.2.2: FF, marker, 2-byte BE length (incl. itself), then for SOFn:
+    precision(1), height(2 BE), width(2 BE), n_components(1)."""
+    if raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None  # desynced marker stream
+        marker = raw[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone marker, no length field
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            return None
+        # SOFn = C0..CF minus DHT(C4) / JPG(C8) / DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 10 > len(raw):
+                return None
+            height = int.from_bytes(raw[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(raw[pos + 7 : pos + 9], "big")
+            return width, height, raw[pos + 9]
+        pos += 2 + seg_len
+    return None
+
+
+#: PNG color type -> sample channels (palette entries expand to RGB but
+#: the stored raster is 1 index/pixel; report stored channels)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_dimensions(raw: bytes):
+    """(width, height, channels) from a PNG IHDR chunk — pure bytes."""
+    if raw[:8] != b"\x89PNG\r\n\x1a\n" or raw[12:16] != b"IHDR" or len(raw) < 26:
+        return None
+    width = int.from_bytes(raw[16:20], "big")
+    height = int.from_bytes(raw[20:24], "big")
+    return width, height, _PNG_CHANNELS.get(raw[25])
+
+
+def image_dimensions(raw: bytes):
+    """Best-effort (format, width, height, channels) from header bytes
+    alone — JPEG (SOF marker walk), PNG (IHDR), binary PNM. No codec
+    library involved, so real-world image columns get real metadata even
+    in minimal containers; full pixel decode of compressed formats still
+    needs PIL (:func:`decode_image`). Returns (None, None, None, None)
+    for unrecognized payloads."""
+    dims = _jpeg_dimensions(raw)
+    if dims is not None:
+        return ("jpeg", *dims)
+    dims = _png_dimensions(raw)
+    if dims is not None:
+        return ("png", *dims)
+    try:
+        w, h, c, _ = _parse_pnm_header(raw)
+        return ("pnm", w, h, c)
+    except (ValueError, IndexError):
+        return (None, None, None, None)
+
+
+#: header-sniffed image metadata (no decode): format + dimensions
+IMAGE_META_SCHEMA = (
+    "doc_id BIGINT, format STRING, width INT, height INT, channels INT"
+)
+
+
+def image_metadata(binary_df: DataFrame) -> DataFrame:
+    """Header-only image metadata over an opaque binary column: one
+    Arrow-batched ``mapInPandas`` pass reading a few hundred bytes per
+    payload — the cheap scan that routes payloads to the right decode
+    stage (and filters corrupt ones) before any expensive pixel work."""
+
+    def _meta(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [image_dimensions(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": [r[0] for r in rows],
+                    "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[3] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(_meta, schema=IMAGE_META_SCHEMA)
 
 
 #: real image decode output: dimensions + per-channel statistics

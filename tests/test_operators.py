@@ -395,6 +395,63 @@ def test_decode_image_grayscale_pgm(spark):
     assert abs(r["mean"][0] - sum(px) / len(px)) < 1e-6
 
 
+def _make_jpeg_header(width, height, channels, sof=0xC0, with_rst=False):
+    """Minimal JPEG marker stream: SOI + APP0 + (optional standalone
+    RST) + DQT-ish filler segment + SOFn + EOI. Not decodable — header
+    metadata only, which is exactly what the sniffer reads."""
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (2 + len(payload)).to_bytes(2, "big") + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00" + bytes(9))  # APP0
+    if with_rst:
+        out += b"\xff\xd0"  # standalone restart marker, no length
+    out += seg(0xDB, bytes(3))  # filler segment
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    sof_payload = (
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([channels]) + comp
+    )
+    out += bytes([0xFF, sof]) + (2 + len(sof_payload)).to_bytes(2, "big")
+    out += sof_payload
+    return out + b"\xff\xd9"
+
+
+def test_image_dimensions_header_sniffing(spark):
+    """JPEG SOF0/SOF2, PNG IHDR, and PNM dims parse from header bytes
+    alone — no codec library (ADVICE r3 #8); junk yields nulls."""
+    from informixcdc_spark.operators.multimodal import (
+        image_dimensions,
+        image_metadata,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0]) + bytes(4)
+    )
+    cases = {
+        1: (_make_jpeg_header(320, 200, 3), ("jpeg", 320, 200, 3)),
+        2: (_make_jpeg_header(64, 32, 1, sof=0xC2), ("jpeg", 64, 32, 1)),
+        3: (_make_jpeg_header(99, 7, 3, with_rst=True), ("jpeg", 99, 7, 3)),
+        4: (png, ("png", 640, 480, 3)),
+        5: (_make_ppm(5, 4, 1), ("pnm", 5, 4, 3)),
+        6: (b"not an image at all", (None, None, None, None)),
+        7: (b"\xff\xd8\xff\xd9", (None, None, None, None)),  # SOF-less
+    }
+    for raw, want in cases.values():
+        assert image_dimensions(raw) == want
+    # the distributed mapInPandas stage agrees with the local parser
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"], r["channels"])
+        for r in image_metadata(df).collect()
+    }
+    assert got == {k: v[1] for k, v in cases.items()}
+
+
 def test_decode_image_unknown_format_raises(spark):
     """Non-PNM payloads without PIL present raise the documented codec
     boundary error (import probe, not a silent wrong answer)."""

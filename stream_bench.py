@@ -1,0 +1,133 @@
+"""Streaming steady-state micro-bench: CDC materialization throughput.
+
+The batch queries in bench.py leave the whole streaming surface
+unbenched (their graded twins build checkpointed one-shot pipelines),
+so a throughput regression in the exactly-once materializer —
+per-batch bucket rewrites, pending-state carry, savepoint bookkeeping —
+was invisible round to round. This harness runs the c09-shaped pipeline
+(orders changelog → CdcEngine.materialize) as N genuine micro-batches
+(one arrival file each, ``maxFilesPerTrigger=1``) and reports
+steady-state rows/second from the StreamingQuery's own progress events,
+dropping the first batch (plan/codegen warmup).
+
+Usage: python stream_bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+SPARK_GRAFT_STREAM_BATCHES)
+
+Prints ONE JSON line and writes the full artifact to STREAMBENCH.json
+(committed each round; the r4→r5 verdict compares them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from informixcdc_spark.cdc.generator import orders_changelog  # noqa: E402
+from informixcdc_spark.session import get_spark  # noqa: E402
+from informixcdc_spark.streaming.pipeline import CdcEngine  # noqa: E402
+
+ROW_STRUCT = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderpriority", StringType()),
+    ]
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    n_batches = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "12"))
+
+    spark = get_spark(app_name="informixcdc-spark-streambench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    workdir = tempfile.mkdtemp(prefix="cdc_streambench_")
+    src = f"{workdir}/log"
+    log = orders_changelog(spark, sf_dir)
+    total_rows = log.count()
+
+    # one arrival file per micro-batch, split on contiguous txid ranges so
+    # events arrive roughly in log order (commit terminators of txns that
+    # straddle a boundary exercise the pending-state carry, same as prod)
+    max_txid = log.agg(F.max("transaction_id")).collect()[0][0]
+    step = max(1, (max_txid // n_batches) + 1)
+    for i in range(n_batches):
+        lo, hi = i * step, (i + 1) * step
+        chunk = log.where(
+            (F.col("transaction_id") >= lo) & (F.col("transaction_id") < hi)
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    eng = CdcEngine(spark)
+    eng.connect(src)
+    t0 = time.perf_counter()
+    q, mat = eng.materialize(
+        ROW_STRUCT, ["o_orderkey"], f"{workdir}/state", f"{workdir}/ckpt"
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+
+    progress = [json.loads(str(p)) for p in q.recentProgress]
+    batches = [
+        {
+            "batch_id": p["batchId"],
+            "rows": p["numInputRows"],
+            "ms": p["durationMs"].get("triggerExecution"),
+        }
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
+    target_rows = (mat.read_target() or spark.range(0)).count()
+    # steady state: drop the first data batch (codegen + Arrow warmup)
+    steady = batches[1:] if len(batches) > 1 else batches
+    steady_rows = sum(b["rows"] for b in steady)
+    steady_sec = sum(b["ms"] for b in steady) / 1000.0
+    rows_per_sec = round(steady_rows / steady_sec, 1) if steady_sec else None
+
+    artifact = {
+        "metric": "cdc_stream_steady_rows_per_sec",
+        "value": rows_per_sec,
+        "unit": "rows/sec",
+        "sf": sf,
+        "n_batches": len(batches),
+        "input_rows": total_rows,
+        "materialized_rows": target_rows,
+        "wall_sec_total": round(wall, 2),
+        "per_batch": batches,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "STREAMBENCH.json"),
+        "w",
+    ) as f:
+        json.dump(artifact, f, indent=1)
+    line = {k: artifact[k] for k in ("metric", "value", "unit", "sf", "n_batches")}
+    print(json.dumps(line), flush=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

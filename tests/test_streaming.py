@@ -375,6 +375,86 @@ def test_incremental_topk_state_spans_batches(spark, tmp_path):
     assert final_top == [(1, 102, 52.0), (2, 101, 51.0), (3, 100, 50.0)]
 
 
+def test_topk_tws_and_group_state_twins_agree(spark):
+    """Both stateful top-k implementations — the transformWithState
+    StatefulProcessor (primary on runtimes with its worker deps) and the
+    applyInPandasWithState twin — must produce identical merges. The TWS
+    engine itself needs google.protobuf (absent here), so this drives
+    BOTH handlers' merge logic directly through fake state handles: same
+    input batches, same carried state, same emissions — one run covers
+    the two branches regardless of environment."""
+    import pandas as pd
+
+    from informixcdc_spark.streaming.state import (
+        _topk_group_state,
+        make_topk_processor,
+        tws_available,
+    )
+
+    batch1 = pd.DataFrame(
+        {"value": [1.0, 9.0, 3.0, 9.0], "event_id": [1, 2, 3, 4]}
+    )
+    batch2 = pd.DataFrame({"value": [5.0, 9.0], "event_id": [5, 0]})
+
+    # --- transformWithState processor with a fake ListState handle
+    class _FakeListState:
+        def __init__(self):
+            self.rows = []
+
+        def get(self):
+            return list(self.rows)
+
+        def put(self, rows):
+            self.rows = list(rows)
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = _FakeListState()
+
+        def getListState(self, name, schema):
+            return self.state
+
+    proc = make_topk_processor(k=3)
+    handle = _FakeHandle()
+    proc.init(handle)
+    tws_out = []
+    for batch in (batch1, batch2):
+        tws_out = list(proc.handleInputRows(("a",), [batch], None))
+
+    # --- applyInPandasWithState twin with a fake GroupState
+    class _FakeGroupState:
+        def __init__(self):
+            self.exists = False
+            self._tuple = None
+
+        @property
+        def get(self):
+            return self._tuple
+
+        def update(self, t):
+            self._tuple = t
+            self.exists = True
+
+    fn = _topk_group_state(k=3)
+    gs = _FakeGroupState()
+    gs_out = []
+    for batch in (batch1, batch2):
+        gs_out = list(fn(("a",), [batch], gs))
+
+    want = [(1, 0, 9.0), (2, 2, 9.0), (3, 4, 9.0)]  # value desc, id asc
+    for out in (tws_out, gs_out):
+        got = [
+            (r["rank"], r["event_id"], r["value"])
+            for _, r in out[-1].iterrows()
+        ]
+        assert got == want
+    # carried state is the same O(k) summary in both
+    assert [(v, e) for v, e in handle.state.get()] == [(9.0, 0), (9.0, 2), (9.0, 4)]
+    assert list(zip(*gs._tuple)) == [(9.0, 0), (9.0, 2), (9.0, 4)]
+    # and the router picks the branch its runtime supports
+    assert isinstance(tws_available(), bool)
+
+
 def test_watermark_drops_too_late_events(spark, tmp_path):
     """Real late-data semantics: with a 1-hour watermark and
     maxFilesPerTrigger=1, an event arriving in batch 2 whose timestamp is

@@ -9,8 +9,11 @@ never round-trip through row-at-a-time Python.
 Codec tiers:
 
 - REAL, always available: binary PPM/PGM rasters decode/resize with
-  numpy alone (:func:`decode_image`, :func:`resize_image`) — genuine
-  pixels through the distributed pipeline, no native library needed.
+  numpy alone (:func:`decode_image`, :func:`resize_image`) and PCM WAV
+  audio decodes with numpy (:func:`decode_audio`) — genuine
+  pixels/samples through the distributed pipeline, no native library
+  needed. Header-only metadata (JPEG SOFn / PNG IHDR / PNM) parses from
+  pure bytes (:func:`image_metadata`).
 - REAL, optional: compressed formats (JPEG/PNG) via PIL when the
   :func:`pil_available` import probe finds it (absent in this
   container).
@@ -493,3 +496,132 @@ def payload_meta_features(
             )
 
     return binary_df.mapInPandas(_walk, schema=META_FEATURE_SCHEMA)
+
+
+# ===========================================================================
+# REAL audio path (r4): WAV/RIFF is an uncompressed container, so the
+# full decode — header walk + PCM sample extraction + per-channel
+# features — runs with numpy alone, the audio counterpart of the PNM
+# image codec above. Compressed audio (mp3/flac/ogg) would slot in
+# behind the same mapInPandas signature via an optional codec probe,
+# exactly like JPEG/PNG behind PIL on the image side.
+# ===========================================================================
+def encode_wav(
+    n_channels: int, sample_rate: int, samples: bytes, bits: int = 16
+) -> bytes:
+    """Minimal PCM WAV encoder (RIFF/WAVE, fmt + data chunks) —
+    test-fixture builder. ``samples`` is the raw interleaved
+    little-endian PCM byte buffer."""
+    if bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    block_align = n_channels * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little")            # audio_format = PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")  # byte rate
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(samples).to_bytes(4, "little") + samples
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _parse_wav_header(raw: bytes):
+    """RIFF chunk walk: (n_channels, sample_rate, bits, data_offset,
+    data_len). Pure bytes — tolerates extra chunks (LIST, fact, ...)
+    in any order before/after fmt and data."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(raw) and (fmt is None or data is None):
+        cid = raw[pos : pos + 4]
+        clen = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            f = raw[pos + 8 : pos + 8 + clen]
+            if len(f) < 16:
+                raise ValueError("truncated fmt chunk")
+            if int.from_bytes(f[0:2], "little") != 1:
+                raise ValueError("only PCM (audio_format=1) supported")
+            fmt = (
+                int.from_bytes(f[2:4], "little"),   # channels
+                int.from_bytes(f[4:8], "little"),   # sample rate
+                int.from_bytes(f[14:16], "little"), # bits/sample
+            )
+        elif cid == b"data":
+            data = (pos + 8, min(clen, len(raw) - pos - 8))
+        pos += 8 + clen + (clen % 2)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    n_channels, sample_rate, bits = fmt
+    if bits not in (8, 16) or n_channels < 1:
+        raise ValueError("only 8/16-bit PCM supported")
+    return n_channels, sample_rate, bits, data[0], data[1]
+
+
+#: real audio decode output: stream params + per-channel features
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id BIGINT, n_channels INT, sample_rate INT, n_samples BIGINT, "
+    "duration_sec DOUBLE, rms ARRAY<FLOAT>, peak ARRAY<FLOAT>, "
+    "zero_crossings ARRAY<INT>"
+)
+
+
+def decode_audio(binary_df: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction over an opaque binary
+    column: PCM WAV decodes with numpy (8-bit unsigned / 16-bit signed,
+    interleaved channels de-multiplexed via reshape). Output per
+    payload: stream parameters plus per-channel RMS, peak and
+    zero-crossing counts on samples normalized to [-1, 1] — the
+    Arrow-batched shape a wav2vec-style embedding stage would consume,
+    with real samples."""
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_channels": [], "sample_rate": [],
+                "n_samples": [], "duration_sec": [], "rms": [],
+                "peak": [], "zero_crossings": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                nch, rate, bits, off, dlen = _parse_wav_header(raw)
+                if bits == 16:
+                    pcm = np.frombuffer(
+                        raw, dtype="<i2", count=dlen // 2, offset=off
+                    ).astype(np.float64) / 32768.0
+                else:  # 8-bit WAV is unsigned, midpoint 128
+                    pcm = (
+                        np.frombuffer(raw, dtype=np.uint8, count=dlen, offset=off)
+                        .astype(np.float64) - 128.0
+                    ) / 128.0
+                n_frames = pcm.size // nch
+                frames = pcm[: n_frames * nch].reshape(n_frames, nch)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n_frames)
+                rows["duration_sec"].append(n_frames / rate if rate else 0.0)
+                if n_frames:
+                    rows["rms"].append(
+                        np.sqrt((frames ** 2).mean(axis=0)).astype(np.float32).tolist()
+                    )
+                    rows["peak"].append(
+                        np.abs(frames).max(axis=0).astype(np.float32).tolist()
+                    )
+                    rows["zero_crossings"].append(
+                        (np.diff(np.signbit(frames), axis=0) != 0)
+                        .sum(axis=0).astype(np.int32).tolist()
+                    )
+                else:
+                    rows["rms"].append([0.0] * nch)
+                    rows["peak"].append([0.0] * nch)
+                    rows["zero_crossings"].append([0] * nch)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)

@@ -452,6 +452,67 @@ def test_image_dimensions_header_sniffing(spark):
     assert got == {k: v[1] for k, v in cases.items()}
 
 
+def test_decode_audio_real_wav(spark):
+    """REAL audio path: PCM WAV decodes distributed (numpy, no codec
+    library) and per-channel RMS/peak/zero-crossings match a local numpy
+    reference. Covers 16-bit stereo, 8-bit mono, and extra RIFF chunks
+    before fmt/data."""
+    import numpy as np
+
+    from informixcdc_spark.operators.multimodal import decode_audio, encode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    left = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    right = (0.25 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+    stereo = np.empty(2 * rate, dtype="<i2")
+    stereo[0::2], stereo[1::2] = left, right
+    wav16 = encode_wav(2, rate, stereo.tobytes(), bits=16)
+
+    mono8 = (128 + 100 * np.sin(2 * np.pi * 100 * t[:4000])).astype(np.uint8)
+    wav8 = encode_wav(1, rate, mono8.tobytes(), bits=8)
+    # same stream with a LIST chunk injected before fmt — chunk-walk test
+    extra = b"LIST" + (6).to_bytes(4, "little") + b"INFOxx"
+    wav8_extra = wav8[:12] + extra + wav8[12:]
+    wav8_extra = b"RIFF" + (len(wav8_extra) - 8).to_bytes(4, "little") + wav8_extra[8:]
+
+    df = spark.createDataFrame(
+        [(1, wav16), (2, wav8), (3, wav8_extra)], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in decode_audio(df).collect()}
+
+    r1 = out[1]
+    assert (r1["n_channels"], r1["sample_rate"], r1["n_samples"]) == (2, rate, rate)
+    assert abs(r1["duration_sec"] - 1.0) < 1e-9
+    for ch, sig in ((0, left), (1, right)):
+        f = sig.astype(np.float64) / 32768.0
+        assert abs(r1["rms"][ch] - np.sqrt((f**2).mean())) < 1e-6
+        assert abs(r1["peak"][ch] - np.abs(f).max()) < 1e-6
+        zc = int((np.diff(np.signbit(f)) != 0).sum())
+        assert r1["zero_crossings"][ch] == zc
+    # 440 Hz crosses zero ~880x/sec; 220 Hz ~440x
+    assert 850 <= r1["zero_crossings"][0] <= 910
+    assert 420 <= r1["zero_crossings"][1] <= 460
+
+    for doc in (2, 3):  # extra chunk must not change the decode
+        r = out[doc]
+        f = (mono8.astype(np.float64) - 128.0) / 128.0
+        assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == (1, rate, 4000)
+        assert abs(r["rms"][0] - np.sqrt((f**2).mean())) < 1e-6
+
+    import pytest as _pytest
+
+    from informixcdc_spark.operators.multimodal import _parse_wav_header
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        _parse_wav_header(b"not audio")
+    # non-PCM (compressed) WAV raises the documented boundary, not junk
+    bad = bytearray(wav8)
+    bad[20] = 85  # audio_format = 0x0055 (MP3)
+    with _pytest.raises(ValueError, match="PCM"):
+        _parse_wav_header(bytes(bad))
+
+
 def test_decode_image_unknown_format_raises(spark):
     """Non-PNM payloads without PIL present raise the documented codec
     boundary error (import probe, not a silent wrong answer)."""

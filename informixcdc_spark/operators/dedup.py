@@ -302,7 +302,11 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star(u): connect every neighbor v > u to m(u) = min(Γ(u)∪{u}).
 
-    One groupBy + one equi-join, both keyed on the node id."""
+    One groupBy + one equi-join, both keyed on the node id. Output may
+    carry duplicate pairs — deliberately NOT distinct'd here: volume is
+    bounded by the edge count either way, and the following small-star
+    absorbs duplicates in its min-aggregate and final distinct, saving
+    one full shuffle per round."""
     nb = _symmetric(edges)
     m = nb.groupBy("src").agg(F.min("dst").alias("_mn")).select(
         "src", F.least(F.col("_mn"), F.col("src")).alias("_m")
@@ -312,7 +316,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .join(m, "src")
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -353,26 +356,42 @@ def dedup_clusters_star(
     contract onto their centers instead of re-broadcasting.
 
     Convergence = the edge set reaches a fixpoint (a canonical star per
-    component, every child pointing at the component min). The probe
-    compares consecutive edge sets exactly (count + empty difference) —
-    two metadata-sized scalar jobs per round. ``stats['rounds']`` reports
-    the rounds used when a dict is passed.
+    component, every child pointing at the component min). The per-round
+    probe is ONE scalar aggregate (count + decimal sums of src/dst/a
+    64-bit edge hash — PERF.md §5's cheap-probe rule); only when the
+    signature matches does a single exact ``exceptAll`` confirm run, so
+    the expensive set-difference join executes once per call, not once
+    per round, and a hash collision merely costs one extra round.
+    ``stats['rounds']`` reports the rounds used when a dict is passed.
     """
+    def _signature(e: DataFrame):
+        dec = "decimal(38,0)"
+        return tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("src").cast(dec)),
+                F.sum(F.col("dst").cast(dec)),
+                F.sum(F.xxhash64("src", "dst").cast(dec)),
+            ).collect()[0]
+        )
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    sig = _signature(edges)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _signature(new)
         same = (
-            new.count() == edges.count()
+            new_sig == sig
             and new.exceptAll(edges).limit(1).count() == 0
         )
-        edges = new
+        edges, sig = new, new_sig
         if same:
             break
     if stats is not None:

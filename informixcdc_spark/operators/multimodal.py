@@ -562,12 +562,39 @@ def _parse_wav_header(raw: bytes):
     return n_channels, sample_rate, bits, data[0], data[1]
 
 
-#: real audio decode output: stream params + per-channel features
+#: real audio decode output: stream params + per-channel features.
+#: ``energy`` is the RAW-domain sum of squared PCM samples (8-bit:
+#: (b-128)², 16-bit: i16²) — an exact integer, so oracle comparisons
+#: need no float tolerance (float RMS would differ from a serial SQL
+#: sum in the last bits via numpy's pairwise summation).
 AUDIO_FEATURE_SCHEMA = (
     "doc_id BIGINT, n_channels INT, sample_rate INT, n_samples BIGINT, "
     "duration_sec DOUBLE, rms ARRAY<FLOAT>, peak ARRAY<FLOAT>, "
-    "zero_crossings ARRAY<INT>"
+    "zero_crossings ARRAY<INT>, energy ARRAY<BIGINT>"
 )
+
+
+def text_to_wav(
+    binary_df: DataFrame, sample_rate: int = 8000
+) -> DataFrame:
+    """Wrap each opaque payload's bytes as 8-bit mono PCM WAV — the
+    deterministic audio-fixture builder (bytes ARE the samples), so the
+    REAL :func:`decode_audio` path is exercisable — and oracle-checkable
+    in closed form — on any binary column."""
+
+    def _wrap(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_wav(1, sample_rate, bytes(b), bits=8)
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(_wrap, schema="doc_id BIGINT, payload BINARY")
 
 
 def decode_audio(binary_df: DataFrame) -> DataFrame:
@@ -586,22 +613,25 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
             rows = {
                 "doc_id": [], "n_channels": [], "sample_rate": [],
                 "n_samples": [], "duration_sec": [], "rms": [],
-                "peak": [], "zero_crossings": [],
+                "peak": [], "zero_crossings": [], "energy": [],
             }
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(b)
                 nch, rate, bits, off, dlen = _parse_wav_header(raw)
                 if bits == 16:
-                    pcm = np.frombuffer(
+                    raw_pcm = np.frombuffer(
                         raw, dtype="<i2", count=dlen // 2, offset=off
-                    ).astype(np.float64) / 32768.0
+                    ).astype(np.int64)
+                    pcm = raw_pcm.astype(np.float64) / 32768.0
                 else:  # 8-bit WAV is unsigned, midpoint 128
-                    pcm = (
+                    raw_pcm = (
                         np.frombuffer(raw, dtype=np.uint8, count=dlen, offset=off)
-                        .astype(np.float64) - 128.0
-                    ) / 128.0
+                        .astype(np.int64) - 128
+                    )
+                    pcm = raw_pcm.astype(np.float64) / 128.0
                 n_frames = pcm.size // nch
                 frames = pcm[: n_frames * nch].reshape(n_frames, nch)
+                raw_frames = raw_pcm[: n_frames * nch].reshape(n_frames, nch)
                 rows["doc_id"].append(int(doc_id))
                 rows["n_channels"].append(nch)
                 rows["sample_rate"].append(rate)
@@ -618,10 +648,14 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
                         (np.diff(np.signbit(frames), axis=0) != 0)
                         .sum(axis=0).astype(np.int32).tolist()
                     )
+                    rows["energy"].append(
+                        (raw_frames ** 2).sum(axis=0).tolist()
+                    )
                 else:
                     rows["rms"].append([0.0] * nch)
                     rows["peak"].append([0.0] * nch)
                     rows["zero_crossings"].append([0] * nch)
+                    rows["energy"].append([0] * nch)
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)

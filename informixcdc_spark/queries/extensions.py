@@ -640,18 +640,48 @@ _FEAT_COLS = ", ".join(
                 + ascii(substr(text, 3, 1)) + ascii(substr(text, 4, 1)) AS INT)
                AS head_checksum,
            CASE WHEN substr(text, 1, 1) <= 'm' THEN 'low' ELSE 'high' END AS kind,
-           {_FEAT_COLS}
+           {_FEAT_COLS},
+           CAST(len(text) AS BIGINT) AS audio_n_samples,
+           CAST(COALESCE(list_max([abs(ascii(substr(text, i, 1)) - 128)
+                    for i in generate_series(1, len(text))]), 0) AS INT)
+               AS audio_peak,
+           CAST(COALESCE(list_sum([CASE WHEN
+                    (ascii(substr(text, i, 1)) < 128)
+                    <> (ascii(substr(text, i + 1, 1)) < 128)
+                    THEN 1 ELSE 0 END
+                    for i in generate_series(1, len(text) - 1)]), 0) AS INT)
+               AS audio_zc,
+           CAST(COALESCE(list_sum([
+                    (ascii(substr(text, i, 1)) - 128)
+                    * (ascii(substr(text, i, 1)) - 128)
+                    for i in generate_series(1, len(text))]), 0) AS BIGINT)
+               AS audio_energy
     FROM documents
     """,
 )
 def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.multimodal import payload_meta_features
+    from informixcdc_spark.operators.multimodal import (
+        decode_audio,
+        payload_meta_features,
+        text_to_wav,
+    )
 
     docs = rebalance(load_table(spark, sf_dir, "documents"))
     payload = to_binary_payload(docs, "doc_id", "text")
     # ONE Arrow-batched walk emits metadata and features together — each
     # payload's bytes cross the Python boundary once, no join-back.
     fused = payload_meta_features(payload, fake=True)
+    # audio arm: the payload bytes wrapped as 8-bit mono PCM exercise the
+    # REAL WAV decode (RIFF walk + numpy sample math) with closed-form
+    # integer features — peak is k/128 in float32 (exact for k<=128), so
+    # *128 recovers the integer; zc/energy are exact by construction.
+    audio = decode_audio(text_to_wav(payload)).select(
+        "doc_id",
+        F.col("n_samples").alias("audio_n_samples"),
+        F.round(F.element_at("peak", 1) * 128).cast("int").alias("audio_peak"),
+        F.element_at("zero_crossings", 1).alias("audio_zc"),
+        F.element_at("energy", 1).alias("audio_energy"),
+    )
     return fused.select(
         "doc_id",
         "n_bytes",
@@ -661,7 +691,7 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
             for j in range(8)
         ],
-    )
+    ).join(audio, "doc_id")
 
 
 # ---------------------------------------------------------------------------

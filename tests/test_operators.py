@@ -490,6 +490,8 @@ def test_decode_audio_real_wav(spark):
         assert abs(r1["peak"][ch] - np.abs(f).max()) < 1e-6
         zc = int((np.diff(np.signbit(f)) != 0).sum())
         assert r1["zero_crossings"][ch] == zc
+        # raw-domain energy is an exact integer
+        assert r1["energy"][ch] == int((sig.astype(np.int64) ** 2).sum())
     # 440 Hz crosses zero ~880x/sec; 220 Hz ~440x
     assert 850 <= r1["zero_crossings"][0] <= 910
     assert 420 <= r1["zero_crossings"][1] <= 460
@@ -499,6 +501,24 @@ def test_decode_audio_real_wav(spark):
         f = (mono8.astype(np.float64) - 128.0) / 128.0
         assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == (1, rate, 4000)
         assert abs(r["rms"][0] - np.sqrt((f**2).mean())) < 1e-6
+        want_e = int(((mono8.astype(np.int64) - 128) ** 2).sum())
+        assert r["energy"][0] == want_e
+
+    # text_to_wav: bytes ARE the samples — round-trips through the real
+    # decoder with closed-form integer features (the e13 audio arm)
+    from informixcdc_spark.operators.multimodal import text_to_wav
+
+    txt = spark.createDataFrame(
+        [(9, b"Hi \xc8!")], "doc_id long, payload binary"
+    )
+    r = decode_audio(text_to_wav(txt)).collect()[0]
+    vals = [ord(c) - 128 for c in "Hi "] + [0xC8 - 128, ord("!") - 128]
+    assert r["n_samples"] == 5 and r["sample_rate"] == 8000
+    assert r["energy"][0] == sum(v * v for v in vals)
+    signs = [v < 0 for v in vals]
+    assert r["zero_crossings"][0] == sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    )
 
     import pytest as _pytest
 

@@ -1,0 +1,61 @@
+"""Property-based connected components: for RANDOM graphs, the star-
+contraction operator (and its label-propagation twin) must label every
+node with its component's minimum id — pinned against a pure-Python
+union-find reference. Derandomized like the CDC property suite: a red
+run must be a red run at commit time, not a lucky seed.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_N_NODES = 24
+_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=_N_NODES - 1),
+        st.integers(min_value=0, max_value=_N_NODES - 1),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _union_find_labels(edges, n_nodes):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component min == root, because unions always point at the smaller root
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=_EDGES)
+def test_star_cc_matches_union_find(spark, edges):
+    from informixcdc_spark.operators.dedup import dedup_clusters_star
+    want = _union_find_labels(edges, _N_NODES)
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(_N_NODES)], "doc_id LONG"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_star(pairs, nodes, "doc_id").collect()
+    }
+    assert got == want

@@ -324,6 +324,50 @@ IMAGE_META_SCHEMA = (
 )
 
 
+def encode_jpeg_shell(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal JPEG marker stream (SOI + APP0 + DQT filler + SOF0 + EOI)
+    with the given frame dimensions — a deterministic fixture builder for
+    the header sniffer. Not pixel-decodable (no scan data); headers are
+    exactly what :func:`image_metadata` reads."""
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (2 + len(payload)).to_bytes(2, "big") + payload
+
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    sof = (
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([channels]) + comp
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00" + bytes(9))
+        + seg(0xDB, bytes(3))
+        + seg(0xC0, sof)
+        + b"\xff\xd9"
+    )
+
+
+def payload_to_jpeg_shell(binary_df: DataFrame) -> DataFrame:
+    """Derive a JPEG shell per payload with byte-length-determined
+    dimensions (width = clamp(len, 1, 65535), height = len%240+1,
+    channels = len%3+1) — closed-form functions of the payload, so an
+    oracle can restate them while the REAL header walker proves it
+    recovers them from the marker stream."""
+
+    def _wrap(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                n = len(bytes(b))
+                out.append(
+                    encode_jpeg_shell(min(max(n, 1), 65535), n % 240 + 1, n % 3 + 1)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": out}
+            )
+
+    return binary_df.mapInPandas(_wrap, schema="doc_id BIGINT, payload BINARY")
+
+
 def image_metadata(binary_df: DataFrame) -> DataFrame:
     """Header-only image metadata over an opaque binary column: one
     Arrow-batched ``mapInPandas`` pass reading a few hundred bytes per

@@ -655,14 +655,20 @@ _FEAT_COLS = ", ".join(
                     (ascii(substr(text, i, 1)) - 128)
                     * (ascii(substr(text, i, 1)) - 128)
                     for i in generate_series(1, len(text))]), 0) AS BIGINT)
-               AS audio_energy
+               AS audio_energy,
+           'jpeg' AS img_format,
+           CAST(greatest(least(len(text), 65535), 1) AS INT) AS img_width,
+           CAST(len(text) % 240 + 1 AS INT) AS img_height,
+           CAST(len(text) % 3 + 1 AS INT) AS img_channels
     FROM documents
     """,
 )
 def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.multimodal import (
         decode_audio,
+        image_metadata,
         payload_meta_features,
+        payload_to_jpeg_shell,
         text_to_wav,
     )
 
@@ -682,16 +688,30 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("zero_crossings", 1).alias("audio_zc"),
         F.element_at("energy", 1).alias("audio_energy"),
     )
-    return fused.select(
+    # image arm: byte-length-determined JPEG shells through the REAL SOF
+    # marker walker; the oracle restates the dimensions in closed form,
+    # the walker must recover them from the marker stream.
+    img = image_metadata(payload_to_jpeg_shell(payload)).select(
         "doc_id",
-        "n_bytes",
-        "head_checksum",
-        "kind",
-        *[
-            F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
-            for j in range(8)
-        ],
-    ).join(audio, "doc_id")
+        F.col("format").alias("img_format"),
+        F.col("width").alias("img_width"),
+        F.col("height").alias("img_height"),
+        F.col("channels").alias("img_channels"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "n_bytes",
+            "head_checksum",
+            "kind",
+            *[
+                F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
+                for j in range(8)
+            ],
+        )
+        .join(audio, "doc_id")
+        .join(img, "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -462,3 +462,76 @@ def ann_knn_multiprobe(
             "bucket",
         )
     )
+
+
+def ivf_knn_multiprobe(
+    corpus: DataFrame,
+    query_max_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF ANN: each query scans its ``nprobe``
+    nearest-centroid cells instead of one — the inverted-file analog of
+    :func:`ann_knn_multiprobe` (a vector near a cell boundary most
+    likely has its true neighbors just across it). Recall rises toward
+    exact as nprobe -> n_centroids while each query still scans
+    ~nprobe/n_centroids of the corpus. The corpus side is assigned ONCE
+    (the inverted file itself never changes with nprobe); only the tiny
+    broadcast query side expands by the probe factor."""
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError("nprobe must be in [1, n_centroids]")
+    cells = ivf_cells(corpus, id_col, vec_col, n_centroids).persist()
+    cent = cells.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("_norm").alias("_cn"),
+    )
+    q0 = cells.where(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_norm").alias("_qn"),
+        F.col("cell").alias("home_cell"),
+    )
+    qcos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qcos").desc(), F.col("_cid"))
+    probes = (
+        q0.crossJoin(F.broadcast(cent))
+        .withColumn("_qcos", qcos)
+        .withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qvec", "_qn", "home_cell", F.col("_cid").alias("cell"))
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec2"),
+        F.col("_norm").alias("_cn2"),
+        "cell",
+    )
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn2") > 0),
+        dot(F.col("_qvec"), F.col("_cvec2")) / (F.col("_qn") * F.col("_cn2")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine",
+            F.col("home_cell").cast("long").alias("home_cell"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+    )

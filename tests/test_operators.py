@@ -705,3 +705,49 @@ def test_multiprobe_recall_improves_monotonically(spark):
         for r in ann_knn_multiprobe(emb, queries, k=3, nprobe=1).collect()
     }
     assert mp1 == single
+
+
+def test_ivf_multiprobe_recall_improves_monotonically(spark):
+    """Multi-probe IVF: recall vs the exact top-k must be monotonically
+    non-decreasing in nprobe; nprobe=1 must match single-probe ivf_knn;
+    nprobe=n_centroids scans every cell, so recall is exact."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        ivf_knn_multiprobe,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_knn_multiprobe(
+                emb, query_max_id=10, k=3, n_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8, (r1, r4, r8)
+    assert r8 == 1.0  # probing every cell == brute force
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(emb, query_max_id=10, k=3, n_centroids=8).collect()
+    }
+    mp1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn_multiprobe(
+            emb, query_max_id=10, k=3, n_centroids=8, nprobe=1
+        ).collect()
+    }
+    assert mp1 == single

@@ -148,20 +148,37 @@ class Materializer:
 
         last_seq = st["last_committed_seq"]
 
-        # which buckets does this batch touch? keys of its IUD events
-        # (superset of committed — a still-open txn's bucket rewrites a
-        # batch early, never incorrectly). TRUNCATE touches every bucket.
+        # ONE metadata job for the whole batch: touched buckets (keys of
+        # IUD events — a superset of committed; a still-open txn's bucket
+        # rewrites a batch early, never incorrectly), truncate presence,
+        # and the new commit watermark. These were three separate Spark
+        # jobs (distinct+collect, take(1), agg) — per-batch fixed job
+        # overhead dominates streaming steady state, so fuse them. The
+        # collect_set is bounded by n_buckets ids, metadata-sized.
         key_in_row = [F.col(f"row.{k}") for k in self.key_cols]
-        touched = {
-            str(r[0])
-            for r in log.where(F.col("record_type").isin(_IUD_TYPES))
-            .select(self._bucket_expr(key_in_row).alias("k"))
-            .distinct()
-            .collect()
-        }
-        has_truncate = (
-            log.where(F.col("record_type") == RecordType.TRUNCATE.name).take(1) != []
-        )
+        stats = log.agg(
+            F.collect_set(
+                F.when(
+                    F.col("record_type").isin(_IUD_TYPES),
+                    self._bucket_expr(key_in_row),
+                )
+            ).alias("_touched"),
+            F.max(
+                (F.col("record_type") == RecordType.TRUNCATE.name).cast("int")
+            ).alias("_has_trunc"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("record_type") == RecordType.COMMTX.name,
+                        F.col("seq_number"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("_new_last"),
+        ).collect()[0]
+        touched = {str(k) for k in stats["_touched"]}
+        has_truncate = bool(stats["_has_trunc"])
+        new_last = stats["_new_last"]
         if has_truncate:
             touched |= set(st["buckets"])
 
@@ -189,12 +206,6 @@ class Materializer:
         new_pending = log.join(
             ended, log["transaction_id"] == ended["_e_txid"], "left_anti"
         ).where(F.col("record_type") != RecordType.TIMEOUT.name)
-
-        new_last = (
-            log.where(F.col("record_type") == RecordType.COMMTX.name)
-            .agg(F.coalesce(F.max("seq_number"), F.lit(0)))
-            .collect()[0][0]
-        )
 
         # rewrite ONLY the touched buckets, one partitioned write job
         if touched:

@@ -641,6 +641,41 @@ def text_to_wav(
     return binary_df.mapInPandas(_wrap, schema="doc_id BIGINT, payload BINARY")
 
 
+def _wav_features(raw: bytes):
+    """Decode one PCM WAV payload: (n_channels, sample_rate, n_frames,
+    rms[], peak[], zero_crossings[], energy[]) — the shared numpy core of
+    :func:`decode_audio` and the fused e13 arm."""
+    import numpy as np
+
+    nch, rate, bits, off, dlen = _parse_wav_header(raw)
+    if bits == 16:
+        raw_pcm = np.frombuffer(
+            raw, dtype="<i2", count=dlen // 2, offset=off
+        ).astype(np.int64)
+        pcm = raw_pcm.astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        raw_pcm = (
+            np.frombuffer(raw, dtype=np.uint8, count=dlen, offset=off)
+            .astype(np.int64) - 128
+        )
+        pcm = raw_pcm.astype(np.float64) / 128.0
+    n_frames = pcm.size // nch
+    frames = pcm[: n_frames * nch].reshape(n_frames, nch)
+    raw_frames = raw_pcm[: n_frames * nch].reshape(n_frames, nch)
+    if n_frames:
+        rms = np.sqrt((frames ** 2).mean(axis=0)).astype(np.float32).tolist()
+        peak = np.abs(frames).max(axis=0).astype(np.float32).tolist()
+        zc = (
+            (np.diff(np.signbit(frames), axis=0) != 0)
+            .sum(axis=0).astype(np.int32).tolist()
+        )
+        energy = (raw_frames ** 2).sum(axis=0).tolist()
+    else:
+        rms, peak = [0.0] * nch, [0.0] * nch
+        zc, energy = [0] * nch, [0] * nch
+    return nch, rate, n_frames, rms, peak, zc, energy
+
+
 def decode_audio(binary_df: DataFrame) -> DataFrame:
     """REAL audio decode + feature extraction over an opaque binary
     column: PCM WAV decodes with numpy (8-bit unsigned / 16-bit signed,
@@ -651,8 +686,6 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
     with real samples."""
 
     def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = {
                 "doc_id": [], "n_channels": [], "sample_rate": [],
@@ -660,46 +693,66 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
                 "peak": [], "zero_crossings": [], "energy": [],
             }
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(b)
-                nch, rate, bits, off, dlen = _parse_wav_header(raw)
-                if bits == 16:
-                    raw_pcm = np.frombuffer(
-                        raw, dtype="<i2", count=dlen // 2, offset=off
-                    ).astype(np.int64)
-                    pcm = raw_pcm.astype(np.float64) / 32768.0
-                else:  # 8-bit WAV is unsigned, midpoint 128
-                    raw_pcm = (
-                        np.frombuffer(raw, dtype=np.uint8, count=dlen, offset=off)
-                        .astype(np.int64) - 128
-                    )
-                    pcm = raw_pcm.astype(np.float64) / 128.0
-                n_frames = pcm.size // nch
-                frames = pcm[: n_frames * nch].reshape(n_frames, nch)
-                raw_frames = raw_pcm[: n_frames * nch].reshape(n_frames, nch)
+                nch, rate, n_frames, rms, peak, zc, energy = _wav_features(
+                    bytes(b)
+                )
                 rows["doc_id"].append(int(doc_id))
                 rows["n_channels"].append(nch)
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(n_frames)
                 rows["duration_sec"].append(n_frames / rate if rate else 0.0)
-                if n_frames:
-                    rows["rms"].append(
-                        np.sqrt((frames ** 2).mean(axis=0)).astype(np.float32).tolist()
-                    )
-                    rows["peak"].append(
-                        np.abs(frames).max(axis=0).astype(np.float32).tolist()
-                    )
-                    rows["zero_crossings"].append(
-                        (np.diff(np.signbit(frames), axis=0) != 0)
-                        .sum(axis=0).astype(np.int32).tolist()
-                    )
-                    rows["energy"].append(
-                        (raw_frames ** 2).sum(axis=0).tolist()
-                    )
-                else:
-                    rows["rms"].append([0.0] * nch)
-                    rows["peak"].append([0.0] * nch)
-                    rows["zero_crossings"].append([0] * nch)
-                    rows["energy"].append([0] * nch)
+                rows["rms"].append(rms)
+                rows["peak"].append(peak)
+                rows["zero_crossings"].append(zc)
+                rows["energy"].append(energy)
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)
+
+
+#: fused audio+image arm for per-doc grading: exact-integer audio
+#: features (mono) + header-recovered image dimensions
+AUDIO_IMAGE_SCHEMA = (
+    "doc_id BIGINT, audio_n_samples BIGINT, audio_peak INT, audio_zc INT, "
+    "audio_energy BIGINT, img_format STRING, img_width INT, "
+    "img_height INT, img_channels INT"
+)
+
+
+def payload_audio_image_features(binary_df: DataFrame) -> DataFrame:
+    """The e13 audio+image arms in ONE Arrow-batched walk: each payload's
+    bytes wrap as 8-bit mono PCM and run the REAL WAV decode
+    (:func:`_wav_features` — RIFF walk + numpy sample math), then derive
+    a JPEG shell whose dimensions the REAL SOF marker walker
+    (:func:`image_dimensions`) must recover. Same codec code as the
+    standalone stages; one Python crossing and one join instead of two
+    of each (PERF.md §8's fusion rule at the Python boundary)."""
+
+    def _walk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "audio_n_samples": [], "audio_peak": [],
+                "audio_zc": [], "audio_energy": [], "img_format": [],
+                "img_width": [], "img_height": [], "img_channels": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                _, _, n_frames, _, peak, zc, energy = _wav_features(
+                    encode_wav(1, 8000, raw, bits=8)
+                )
+                n = len(raw)
+                fmt, w, h, c = image_dimensions(
+                    encode_jpeg_shell(min(max(n, 1), 65535), n % 240 + 1, n % 3 + 1)
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["audio_n_samples"].append(n_frames)
+                rows["audio_peak"].append(int(round(peak[0] * 128)))
+                rows["audio_zc"].append(int(zc[0]))
+                rows["audio_energy"].append(int(energy[0]))
+                rows["img_format"].append(fmt)
+                rows["img_width"].append(w)
+                rows["img_height"].append(h)
+                rows["img_channels"].append(c)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_walk, schema=AUDIO_IMAGE_SCHEMA)

@@ -665,11 +665,8 @@ _FEAT_COLS = ", ".join(
 )
 def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.multimodal import (
-        decode_audio,
-        image_metadata,
+        payload_audio_image_features,
         payload_meta_features,
-        payload_to_jpeg_shell,
-        text_to_wav,
     )
 
     docs = rebalance(load_table(spark, sf_dir, "documents"))
@@ -677,41 +674,26 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE Arrow-batched walk emits metadata and features together — each
     # payload's bytes cross the Python boundary once, no join-back.
     fused = payload_meta_features(payload, fake=True)
-    # audio arm: the payload bytes wrapped as 8-bit mono PCM exercise the
-    # REAL WAV decode (RIFF walk + numpy sample math) with closed-form
-    # integer features — peak is k/128 in float32 (exact for k<=128), so
-    # *128 recovers the integer; zc/energy are exact by construction.
-    audio = decode_audio(text_to_wav(payload)).select(
+    # audio+image arms, ONE extra walk: payload bytes wrap as 8-bit mono
+    # PCM through the REAL WAV decode (RIFF walk + numpy sample math —
+    # peak is k/128 in float32, exact for k<=128, so *128 recovers the
+    # integer; zc/energy exact by construction), and a byte-length-
+    # determined JPEG shell runs the REAL SOF marker walker, which must
+    # recover the dimensions the oracle restates in closed form. The
+    # standalone stages (text_to_wav -> decode_audio,
+    # payload_to_jpeg_shell -> image_metadata) share the same codec code
+    # and are pinned equivalent in test_operators.py.
+    media = payload_audio_image_features(payload)
+    return fused.select(
         "doc_id",
-        F.col("n_samples").alias("audio_n_samples"),
-        F.round(F.element_at("peak", 1) * 128).cast("int").alias("audio_peak"),
-        F.element_at("zero_crossings", 1).alias("audio_zc"),
-        F.element_at("energy", 1).alias("audio_energy"),
-    )
-    # image arm: byte-length-determined JPEG shells through the REAL SOF
-    # marker walker; the oracle restates the dimensions in closed form,
-    # the walker must recover them from the marker stream.
-    img = image_metadata(payload_to_jpeg_shell(payload)).select(
-        "doc_id",
-        F.col("format").alias("img_format"),
-        F.col("width").alias("img_width"),
-        F.col("height").alias("img_height"),
-        F.col("channels").alias("img_channels"),
-    )
-    return (
-        fused.select(
-            "doc_id",
-            "n_bytes",
-            "head_checksum",
-            "kind",
-            *[
-                F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
-                for j in range(8)
-            ],
-        )
-        .join(audio, "doc_id")
-        .join(img, "doc_id")
-    )
+        "n_bytes",
+        "head_checksum",
+        "kind",
+        *[
+            F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
+            for j in range(8)
+        ],
+    ).join(media, "doc_id")
 
 
 # ---------------------------------------------------------------------------

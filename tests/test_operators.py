@@ -533,6 +533,38 @@ def test_decode_audio_real_wav(spark):
         _parse_wav_header(bytes(bad))
 
 
+def test_fused_audio_image_arm_matches_standalone_stages(spark):
+    """The fused e13 arm (one mapInPandas walk) must equal the composed
+    standalone stages (text_to_wav -> decode_audio and
+    payload_to_jpeg_shell -> image_metadata) — same codec code, fewer
+    Python crossings."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.operators.multimodal import (
+        decode_audio,
+        image_metadata,
+        payload_audio_image_features,
+        payload_to_jpeg_shell,
+        text_to_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, b"x"), (3, b"\x00\xffmixed BYTES \x80")],
+        "doc_id long, payload binary",
+    )
+    fused = {r["doc_id"]: r for r in payload_audio_image_features(df).collect()}
+    audio = {r["doc_id"]: r for r in decode_audio(text_to_wav(df)).collect()}
+    img = {r["doc_id"]: r for r in image_metadata(payload_to_jpeg_shell(df)).collect()}
+    for doc in (1, 2, 3):
+        f, a, i = fused[doc], audio[doc], img[doc]
+        assert f["audio_n_samples"] == a["n_samples"]
+        assert f["audio_peak"] == round(a["peak"][0] * 128)
+        assert f["audio_zc"] == a["zero_crossings"][0]
+        assert f["audio_energy"] == a["energy"][0]
+        assert (f["img_format"], f["img_width"], f["img_height"], f["img_channels"]) \
+            == (i["format"], i["width"], i["height"], i["channels"])
+
+
 def test_decode_image_unknown_format_raises(spark):
     """Non-PNM payloads without PIL present raise the documented codec
     boundary error (import probe, not a silent wrong answer)."""

@@ -9,10 +9,12 @@ committed-only output, rollback/discard drops state, mirroring T1/T2.
 Implemented with ``applyInPandasWithState`` (GroupState + timeout), the
 documented extension point for custom stateful streaming operators.
 
-State is bounded by a processing-time timeout: a transaction idle longer
-than ``txn_timeout_ms`` is dropped (the reference has no bound at all —
-64-table arrays and unbounded open-txn duration; we must bound state for
-100 TB streams).
+State is bounded by an OPT-IN processing-time timeout: a transaction
+idle longer than ``txn_timeout_ms`` is dropped (the reference has no
+bound at all — 64-table arrays and unbounded open-txn duration; a
+continuous 100 TB stream must bound state). Opt-in because a registered
+processing-time timeout prevents ``availableNow`` queries from ever
+terminating — see :func:`committed_event_stream`.
 
 The rows travel through state as three parallel arrays (seq, type,
 row-JSON) — the row payload is already JSON-encoded JVM-side by
@@ -49,9 +51,10 @@ def _assemble(
     key: tuple,
     batches: Iterable[pd.DataFrame],
     state: GroupState,
+    timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     (txid,) = key
-    if state.hasTimedOut:
+    if timeout_ms is not None and state.hasTimedOut:
         state.remove()
         return
 
@@ -101,15 +104,30 @@ def _assemble(
         )
         return
     state.update((seqs, types, rows))
-    state.setTimeoutDuration(600_000)  # 10 min idle → evict (bounded state)
+    if timeout_ms is not None:
+        state.setTimeoutDuration(timeout_ms)  # idle → evict (bounded state)
 
 
-def committed_event_stream(changelog_stream: DataFrame) -> DataFrame:
+def committed_event_stream(
+    changelog_stream: DataFrame, txn_timeout_ms: int | None = None
+) -> DataFrame:
     """Streaming DataFrame of committed-transaction events only.
 
     Input: a changelog stream (model.changelog_schema shape). Output:
     OUT_SCHEMA rows, emitted atomically when each txn commits.
+
+    ``txn_timeout_ms`` bounds state for CONTINUOUS deployments: a
+    transaction idle that long is evicted (the reference never bounds
+    open-txn duration; a 100 TB stream must). It is opt-in because a
+    registered processing-time timeout keeps ``availableNow``/one-shot
+    queries scheduling empty micro-batches until every pending timeout
+    fires — the query never terminates (found by stream_bench r4: even a
+    500-txn fixture spun hundreds of empty batches). Finite replays and
+    tests use the default (no timeout, query terminates when data is
+    exhausted); long-running production streams pass a bound.
     """
+    from functools import partial
+
     from pyspark.sql import functions as F
 
     prepped = changelog_stream.select(
@@ -119,11 +137,15 @@ def committed_event_stream(changelog_stream: DataFrame) -> DataFrame:
         F.to_json(F.col("row")).alias("row_json"),
     ).where(F.col("transaction_id").isNotNull())
     return prepped.groupBy("transaction_id").applyInPandasWithState(
-        _assemble,
+        partial(_assemble, timeout_ms=txn_timeout_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if txn_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

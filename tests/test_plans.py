@@ -190,3 +190,21 @@ def test_fused_doc_queries_are_single_pass(spark, sf_dir):
         assert n_exchange <= 1, f"{fn.__name__}: {n_exchange} exchanges"
         assert "Join" not in plan, fn.__name__
         assert "HashAggregate" not in plan, fn.__name__
+
+
+def test_e13_media_arms_stay_fused(spark, sf_dir):
+    """e13 crosses the Python boundary exactly twice — one walk for
+    metadata+features, one for the fused audio+image arm — and joins
+    once. An un-fusion (each media arm its own mapInPandas + join)
+    regresses bytes-across-the-boundary and join count; pin it."""
+    import re
+
+    from informixcdc_spark.queries.extensions import (
+        e13_multimodal_meta_features,
+    )
+
+    plan = formatted_plan(e13_multimodal_meta_features(spark, sf_dir))
+    n_py = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    assert n_py == 2, f"{n_py} Python crossings: {plan}"
+    n_join = len(re.findall(r"\(\d+\) \w*(?:SortMergeJoin|HashJoin)", plan))
+    assert n_join == 1, f"{n_join} joins: {plan}"

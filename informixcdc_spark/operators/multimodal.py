@@ -736,23 +736,77 @@ def payload_audio_image_features(binary_df: DataFrame) -> DataFrame:
                 "img_width": [], "img_height": [], "img_channels": [],
             }
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(b)
-                _, _, n_frames, _, peak, zc, energy = _wav_features(
-                    encode_wav(1, 8000, raw, bits=8)
-                )
-                n = len(raw)
-                fmt, w, h, c = image_dimensions(
-                    encode_jpeg_shell(min(max(n, 1), 65535), n % 240 + 1, n % 3 + 1)
-                )
-                rows["doc_id"].append(int(doc_id))
-                rows["audio_n_samples"].append(n_frames)
-                rows["audio_peak"].append(int(round(peak[0] * 128)))
-                rows["audio_zc"].append(int(zc[0]))
-                rows["audio_energy"].append(int(energy[0]))
-                rows["img_format"].append(fmt)
-                rows["img_width"].append(w)
-                rows["img_height"].append(h)
-                rows["img_channels"].append(c)
+                _media_row(rows, int(doc_id), bytes(b))
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(_walk, schema=AUDIO_IMAGE_SCHEMA)
+
+
+def _media_row(rows: dict, doc_id: int, raw: bytes) -> None:
+    """Append one payload's audio+image feature row (shared by the
+    fused arms): REAL WAV decode of the bytes-as-samples wrap, REAL SOF
+    walk of the byte-length-determined JPEG shell."""
+    _, _, n_frames, _, peak, zc, energy = _wav_features(
+        encode_wav(1, 8000, raw, bits=8)
+    )
+    n = len(raw)
+    fmt, w, h, c = image_dimensions(
+        encode_jpeg_shell(min(max(n, 1), 65535), n % 240 + 1, n % 3 + 1)
+    )
+    rows["doc_id"].append(doc_id)
+    rows["audio_n_samples"].append(n_frames)
+    rows["audio_peak"].append(int(round(peak[0] * 128)))
+    rows["audio_zc"].append(int(zc[0]))
+    rows["audio_energy"].append(int(energy[0]))
+    rows["img_format"].append(fmt)
+    rows["img_width"].append(w)
+    rows["img_height"].append(h)
+    rows["img_channels"].append(c)
+
+
+#: everything e13 grades, ONE walk: metadata + stub features + audio + image
+ALL_FEATURE_SCHEMA = (
+    "doc_id BIGINT, n_bytes INT, head_checksum INT, kind STRING, "
+    "feature ARRAY<FLOAT>, "
+    "audio_n_samples BIGINT, audio_peak INT, audio_zc INT, "
+    "audio_energy BIGINT, img_format STRING, img_width INT, "
+    "img_height INT, img_channels INT"
+)
+
+
+def payload_all_features(
+    binary_df: DataFrame, n_features: int = 8
+) -> DataFrame:
+    """Metadata, stub features, REAL audio decode, and REAL image header
+    walk in ONE Arrow-batched pass — zero joins. At corpus scale the
+    alternative (separate walks joined on doc_id) shuffles the whole
+    corpus once per extra arm; here each payload's bytes cross the
+    Python boundary once and no Exchange exists at all. The standalone
+    stages stay public and are pinned equivalent in the unit suite."""
+
+    def _walk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_bytes": [], "head_checksum": [],
+                "kind": [], "feature": [], "audio_n_samples": [],
+                "audio_peak": [], "audio_zc": [], "audio_energy": [],
+                "img_format": [], "img_width": [], "img_height": [],
+                "img_channels": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                _media_row(rows, int(doc_id), raw)
+                rows["n_bytes"].append(len(raw))
+                rows["head_checksum"].append(sum(raw[:4]))
+                rows["kind"].append(
+                    "low" if raw[:1] and raw[:1] <= b"m" else "high"
+                )
+                rows["feature"].append(
+                    [
+                        float(sum(raw[j::n_features]) % 997)
+                        for j in range(n_features)
+                    ]
+                )
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_walk, schema=ALL_FEATURE_SCHEMA)

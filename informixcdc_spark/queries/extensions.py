@@ -664,26 +664,22 @@ _FEAT_COLS = ", ".join(
     """,
 )
 def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.multimodal import (
-        payload_audio_image_features,
-        payload_meta_features,
-    )
+    from informixcdc_spark.operators.multimodal import payload_all_features
 
     docs = rebalance(load_table(spark, sf_dir, "documents"))
     payload = to_binary_payload(docs, "doc_id", "text")
-    # ONE Arrow-batched walk emits metadata and features together — each
-    # payload's bytes cross the Python boundary once, no join-back.
-    fused = payload_meta_features(payload, fake=True)
-    # audio+image arms, ONE extra walk: payload bytes wrap as 8-bit mono
-    # PCM through the REAL WAV decode (RIFF walk + numpy sample math —
-    # peak is k/128 in float32, exact for k<=128, so *128 recovers the
-    # integer; zc/energy exact by construction), and a byte-length-
-    # determined JPEG shell runs the REAL SOF marker walker, which must
-    # recover the dimensions the oracle restates in closed form. The
-    # standalone stages (text_to_wav -> decode_audio,
-    # payload_to_jpeg_shell -> image_metadata) share the same codec code
-    # and are pinned equivalent in test_operators.py.
-    media = payload_audio_image_features(payload)
+    # ONE Arrow-batched walk emits everything: metadata + stub features,
+    # the REAL WAV decode of the bytes-as-samples wrap (RIFF walk +
+    # numpy sample math — peak is k/128 in float32, exact for k<=128, so
+    # *128 recovers the integer; zc/energy exact by construction), and
+    # the REAL JPEG SOF marker walk of a byte-length-determined shell
+    # whose dimensions the oracle restates in closed form. Each
+    # payload's bytes cross the Python boundary ONCE and the plan holds
+    # zero joins/exchanges (pinned in test_plans.py); the standalone
+    # stages (payload_meta_features, text_to_wav -> decode_audio,
+    # payload_to_jpeg_shell -> image_metadata) stay public and are
+    # pinned equivalent in test_operators.py.
+    fused = payload_all_features(payload)
     return fused.select(
         "doc_id",
         "n_bytes",
@@ -693,7 +689,15 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("feature", j + 1).cast("double").alias(f"f{j}")
             for j in range(8)
         ],
-    ).join(media, "doc_id")
+        "audio_n_samples",
+        "audio_peak",
+        "audio_zc",
+        "audio_energy",
+        "img_format",
+        "img_width",
+        "img_height",
+        "img_channels",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -552,9 +552,16 @@ def test_fused_audio_image_arm_matches_standalone_stages(spark):
         [(1, b"hello world"), (2, b"x"), (3, b"\x00\xffmixed BYTES \x80")],
         "doc_id long, payload binary",
     )
+    from informixcdc_spark.operators.multimodal import (
+        payload_all_features,
+        payload_metadata,
+    )
+
     fused = {r["doc_id"]: r for r in payload_audio_image_features(df).collect()}
     audio = {r["doc_id"]: r for r in decode_audio(text_to_wav(df)).collect()}
     img = {r["doc_id"]: r for r in image_metadata(payload_to_jpeg_shell(df)).collect()}
+    full = {r["doc_id"]: r for r in payload_all_features(df).collect()}
+    meta = {r["doc_id"]: r for r in payload_metadata(df).collect()}
     for doc in (1, 2, 3):
         f, a, i = fused[doc], audio[doc], img[doc]
         assert f["audio_n_samples"] == a["n_samples"]
@@ -563,6 +570,14 @@ def test_fused_audio_image_arm_matches_standalone_stages(spark):
         assert f["audio_energy"] == a["energy"][0]
         assert (f["img_format"], f["img_width"], f["img_height"], f["img_channels"]) \
             == (i["format"], i["width"], i["height"], i["channels"])
+        # the single-pass everything walk agrees with all component stages
+        fl, m = full[doc], meta[doc]
+        for col in ("audio_n_samples", "audio_peak", "audio_zc",
+                    "audio_energy", "img_format", "img_width",
+                    "img_height", "img_channels"):
+            assert fl[col] == f[col], col
+        for col in ("n_bytes", "head_checksum", "kind"):
+            assert fl[col] == m[col], col
 
 
 def test_decode_image_unknown_format_raises(spark):

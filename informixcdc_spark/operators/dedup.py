@@ -119,15 +119,49 @@ def minhash_bands(
     return exploded.withColumn("band_idx", F.col("band_idx").cast("int"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, star_cap: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
     the only join in the near-dup path, an equi-join on the bucket key.
 
     The bands input is persisted: a self-join otherwise recomputes the
     whole shingle→minhash pipeline for BOTH sides (2× the hashing; at
     cluster scale you'd materialize the signature table for the same
-    reason)."""
+    reason).
+
+    ``star_cap`` is the 100 TB degenerate-bucket guard: an m-member
+    bucket otherwise emits m²/2 pairs, and boilerplate-heavy corpora
+    (template pages, empty docs) produce buckets with 10⁵+ members —
+    a multi-billion-row pair explosion from ONE bucket. With a cap,
+    buckets larger than it are STAR-LINKED instead: every member pairs
+    with the bucket's minimum id only (m−1 pairs). For any consumer
+    that feeds pairs into connected components (e20), the components —
+    and therefore the cluster labels — are IDENTICAL, because the star
+    connects the bucket transitively; only pairwise-verification
+    consumers (e03's Jaccard) need the exact all-pairs default."""
     bands = bands.persist()
+    if star_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        marked = (
+            bands.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_rep", F.min(id_col).over(w))
+            .persist()
+        )
+        small = marked.where(F.col("_n") <= star_cap)
+        a = small.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        b = small.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+        pairs_small = (
+            a.join(b, ["band_idx", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs_big = marked.where(
+            (F.col("_n") > star_cap) & (F.col(id_col) != F.col("_rep"))
+        ).select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        return pairs_small.unionByName(pairs_big).distinct()
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )

@@ -814,7 +814,13 @@ def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _docs_corpus(spark, sf_dir)
     shingled = doc_shingles(corpus, "doc_id", "text")
-    pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
+    # star_cap linearizes degenerate band buckets (m-1 star pairs
+    # instead of m^2/2) — the connected components, and therefore the
+    # labels the oracle's recursive CTE computes over the EXACT pairs,
+    # are identical (equivalence unit-tested in test_operators.py)
+    pairs = lsh_candidate_pairs(
+        minhash_bands(shingled, "doc_id"), "doc_id", star_cap=64
+    )
     return dedup_clusters_star(pairs, corpus.select("doc_id"), "doc_id")
 
 

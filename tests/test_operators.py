@@ -123,6 +123,42 @@ def test_dedup_clusters_star_matches_label_prop(spark):
     assert star[50] == 7 and star[49] == 7 and star[12] == 10 and star[99] == 99
 
 
+def test_star_capped_pairs_preserve_components(spark):
+    """star_cap replaces an oversized bucket's all-pairs output with a
+    star to the bucket minimum — m-1 pairs instead of m²/2 — and the
+    connected components (what e20 grades) must be IDENTICAL."""
+    from informixcdc_spark.operators.dedup import (
+        dedup_clusters_star,
+        lsh_candidate_pairs,
+    )
+
+    # 3 buckets: one oversized (6 members), one small (2), one singleton;
+    # one doc (20) sits in the big bucket AND bridges to the small one
+    rows = [(i, 0, "big") for i in (10, 11, 12, 13, 14, 20)]
+    rows += [(i, 1, "small") for i in (20, 30)]
+    rows += [(99, 0, "solo")]
+    bands = spark.createDataFrame(rows, "doc_id LONG, band_idx INT, band_key STRING")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (10, 11, 12, 13, 14, 20, 30, 99, 100)], "doc_id LONG"
+    )
+    exact = lsh_candidate_pairs(bands, "doc_id")
+    capped = lsh_candidate_pairs(bands, "doc_id", star_cap=3)
+    # the big bucket collapses to a star: 5 pairs instead of 15
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_exact == 15 + 1 and n_capped == 5 + 1
+    lab_exact = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters_star(exact, nodes, "doc_id").collect()
+    }
+    lab_capped = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters_star(capped, nodes, "doc_id").collect()
+    }
+    assert lab_exact == lab_capped
+    assert lab_capped[30] == 10  # the bridge doc still merges the buckets
+    assert lab_capped[99] == 99 and lab_capped[100] == 100
+
+
 def test_dedup_clusters_star_beats_label_prop_on_high_diameter(spark):
     """The scale motivation: on a 96-hop path, label propagation needs
     ~one round per hop while large-star/small-star contracts in

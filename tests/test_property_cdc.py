@@ -14,9 +14,22 @@ from informixcdc_spark.cdc.apply import apply_changes
 from tests.test_cdc_apply import _log, _state
 
 _KEYS = st.integers(min_value=0, max_value=5)
-_OP = st.tuples(st.sampled_from(["INSERT", "UPDAFT", "DELETE"]), _KEYS)
+# ~1/7 of ops is a TRUNCATE (no key): wipes every row of the table whose
+# winner position precedes it — interleaved with concurrent writers it
+# exercises the (commit_seq, seq_number) floor comparison
+_OPNAME = st.sampled_from(
+    ["INSERT", "UPDAFT", "DELETE", "INSERT", "UPDAFT", "DELETE", "TRUNCATE"]
+)
+
+
+@st.composite
+def _op(draw):
+    name = draw(_OPNAME)
+    return name, (None if name == "TRUNCATE" else draw(_KEYS))
+
+
 _TXN = st.tuples(
-    st.lists(_OP, min_size=1, max_size=4),
+    st.lists(_op(), min_size=1, max_size=4),
     st.sampled_from(["commit", "rollback", "open"]),
 )
 
@@ -57,10 +70,17 @@ def _serial_reference(events):
     commit_of = {tx: seq for seq, rt, tx, _ in events if rt == "COMMTX"}
     table: dict[int, str] = {}
     applied = sorted(
-        (e for e in events if e[2] in commit_of and e[3] is not None),
+        (
+            e
+            for e in events
+            if e[2] in commit_of and (e[3] is not None or e[1] == "TRUNCATE")
+        ),
         key=lambda e: (commit_of[e[2]], e[0]),
     )
     for seq, rt, tx, row in applied:
+        if rt == "TRUNCATE":
+            table.clear()
+            continue
         key, val = row
         if rt == "DELETE":
             table.pop(key, None)
@@ -125,7 +145,14 @@ def test_restart_from_any_watermark_is_exactly_once(spark, events, data):
     replayed = _log(spark, events + events)
     got = _state(
         apply_changes(
-            replayed, key_cols=["id"], last_committed_seq=watermark, base=base
+            replayed,
+            key_cols=["id"],
+            last_committed_seq=watermark,
+            base=base,
+            # single-table restart: a TRUNCATE committed after the
+            # watermark must wipe base rows from pre-watermark commits
+            # (the materializer's setting — streaming/pipeline.py)
+            truncate_wipes_base=True,
         )
     )
     assert got == _serial_reference(events)

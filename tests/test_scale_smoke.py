@@ -133,3 +133,47 @@ def test_star_cc_scales_linearly(spark):
     # every label is a chain head (id ≡ 0 mod length)
     assert big.where(F.col("cluster_id") % length != 0).count() == 0
     assert big_stats["rounds"] <= base_stats["rounds"] + 1
+
+
+def test_decontamination_scales_linearly(spark):
+    """The broadcast decontamination path at 8x: the benchmark side is
+    pinned to the original copy (so the broadcast hash set is constant)
+    while the train side is replicated with shifted ids. Closed form:
+    every copy k>=1 flags the same contaminated set as the base PLUS its
+    copies of the benchmark docs themselves (identical text => full-hit,
+    contamination exactly 1.0), so
+    total = C0 + (copies-1) * (C0 + B)."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.catalog import load_table
+    from informixcdc_spark.operators.dedup import decontaminate, doc_shingles
+
+    sf_dir = "/root/testdata/sf0.1"
+    offset = 1_000_000  # offset % 97 != 0: shifted copies of bench docs
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_pred = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < offset)
+
+    c0 = decontaminate(docs, "doc_id", "text", bench_pred).count()
+    # bench docs that produce at least one 3-shingle (self-hit in copies)
+    b = (
+        doc_shingles(docs.where(bench_pred), "doc_id", "text")
+        .where(F.size(F.array_distinct("shingles")) > 0)
+        .count()
+    )
+    assert c0 > 0 and b > 0
+
+    big = docs
+    for k in range(1, _COPIES):
+        big = big.unionByName(
+            docs.select(
+                (F.col("doc_id") + k * offset).alias("doc_id"), "text"
+            )
+        )
+    got = decontaminate(big, "doc_id", "text", bench_pred)
+    assert got.count() == c0 + (_COPIES - 1) * (c0 + b)
+    # the benchmark copies are fully contaminated, exactly
+    full = got.where(
+        (F.col("doc_id") >= offset) & ((F.col("doc_id") % offset) % 97 == 0)
+    )
+    assert full.where(F.col("contamination") != 1.0).count() == 0
+    assert full.count() == (_COPIES - 1) * b

@@ -14,6 +14,29 @@ import json
 import sys
 
 
+def _load(path: str) -> dict:
+    """Load a bench artifact, accepting either bench.py's own JSON line
+    (top-level "queries") or the driver's BENCH_r{N}.json wrapper, whose
+    "tail" holds the last 2000 chars of stdout — enough for the JSON line
+    only when per-query output is short. Fails with a pointer to
+    BENCH_LOCAL.json otherwise."""
+    with open(path) as f:
+        art = json.load(f)
+    if "queries" in art:
+        return art
+    tail = art.get("tail", "")
+    start = tail.rfind('{"metric"')
+    if start >= 0:
+        try:
+            return json.loads(tail[start:])
+        except json.JSONDecodeError:
+            pass
+    sys.exit(
+        f"{path}: no per-query data (driver tail truncated). "
+        "Use the committed BENCH_LOCAL.json from that round instead."
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     noise = 1.5
@@ -23,12 +46,23 @@ def main() -> None:
     if len(args) != 2:
         print(__doc__)
         sys.exit(1)
-    with open(args[0]) as f:
-        old = json.load(f)
-    with open(args[1]) as f:
-        new = json.load(f)
+    old = _load(args[0])
+    new = _load(args[1])
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
+    if not shared:
+        # artifact-format drift: pre-round-4 bench lines used short names
+        # (token before the first underscore). Re-key both sides on the
+        # short form, keeping only unambiguous keys, so cross-round diffs
+        # still line up.
+        def shorten(q: dict) -> dict:
+            by_short: dict = {}
+            for name, sec in q.items():
+                by_short.setdefault(name.split("_", 1)[0], []).append(sec)
+            return {s: v[0] for s, v in by_short.items() if len(v) == 1}
+
+        oq, nq = shorten(oq), shorten(nq)
+        shared = sorted(set(oq) & set(nq))
     rows = sorted(
         ((nq[k] / oq[k] if oq[k] else float("inf"), k) for k in shared),
         reverse=True,
@@ -49,9 +83,10 @@ def main() -> None:
         print("added:", ", ".join(only_new))
     t_old = sum(oq[k] for k in shared)
     t_new = sum(nq[k] for k in shared)
+    ratio = f"{t_new / t_old:.2f}x" if t_old else "n/a"
     print(
         f"\nshared-surface total: {t_old:.1f}s -> {t_new:.1f}s "
-        f"({t_new / t_old:.2f}x) over {len(shared)} queries; "
+        f"({ratio}) over {len(shared)} queries; "
         f"noise band ±{noise}x"
     )
 

@@ -156,3 +156,129 @@ def test_restart_from_any_watermark_is_exactly_once(spark, events, data):
         )
     )
     assert got == _serial_reference(events)
+
+
+@st.composite
+def interleaved_update_log(draw):
+    """Like :func:`interleaved_log` but ops include UPDATE = the
+    reference's two-record UPDBEF/UPDAFT shape (adjacent within the txn,
+    ``ext/_informixcdcmodule.ec:74-75,1848-1856``), freely interleaved
+    with other transactions' records in the global seq order."""
+    txns = draw(
+        st.lists(
+            st.tuples(
+                st.lists(
+                    st.sampled_from(["I", "D", "U", "U"]),
+                    min_size=1,
+                    max_size=4,
+                ),
+                st.sampled_from(["commit", "rollback", "open"]),
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    pending = []
+    for txid, (ops, outcome) in enumerate(txns, start=1):
+        chain = [("BEGINTX", txid, None)]
+        for j, op in enumerate(ops):
+            key = draw(_KEYS)
+            tag = f"{txid}.{j}"
+            if op == "U":
+                chain.append(("UPDBEF", txid, (key, f"b{tag}")))
+                chain.append(("UPDAFT", txid, (key, f"a{tag}")))
+            elif op == "I":
+                chain.append(("INSERT", txid, (key, f"i{tag}")))
+            else:
+                chain.append(("DELETE", txid, (key, f"d{tag}")))
+        if outcome == "commit":
+            chain.append(("COMMTX", txid, None))
+        elif outcome == "rollback":
+            chain.append(("RBTX", txid, None))
+        pending.append(chain)
+    events = []
+    while any(pending):
+        alive = [i for i, c in enumerate(pending) if c]
+        i = draw(st.sampled_from(alive))
+        events.append(pending[i].pop(0))
+    return [
+        (seq, rt, txid, row)
+        for seq, (rt, txid, row) in enumerate(events, start=1)
+    ]
+
+
+def _pairs_reference(events):
+    """Model: committed txns' UPDBEF/UPDAFT records, in seq order per
+    txn, pair adjacently among update records only."""
+    committed = {tx for _, rt, tx, _ in events if rt == "COMMTX"}
+    expected = set()
+    prev_bef: dict[int, tuple] = {}
+    for seq, rt, tx, row in events:
+        if tx not in committed:
+            continue
+        if rt == "UPDBEF":
+            prev_bef[tx] = row
+        elif rt == "UPDAFT":
+            before = prev_bef.pop(tx, None)
+            if before is not None:
+                expected.add((tx, before[1], row[1]))
+        elif rt in ("INSERT", "DELETE"):
+            # non-update records never break a pair: committed_events
+            # filters to update records before the per-txn lag window
+            continue
+    return expected
+
+
+@settings(
+    max_examples=30,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_update_log())
+def test_update_pairs_match_model_under_replay(spark, events):
+    """§2.8.4 as a property: for random interleavings delivered TWICE
+    (at-least-once), update_pairs reconstructs exactly the committed
+    (before, after) pairs, each exactly once, with matching keys."""
+    from informixcdc_spark.cdc.apply import update_pairs
+
+    out = update_pairs(_log(spark, events + events)).collect()
+    got = {(r["transaction_id"], r["before"]["val"], r["after"]["val"]) for r in out}
+    assert got == _pairs_reference(events)
+    assert len(out) == len(got)  # no duplicated pair rows under replay
+    for r in out:
+        assert r["before"]["id"] == r["after"]["id"]
+
+
+def _restart_reference(events):
+    """SURVEY §2.8.2 / ext/_informixcdcmodule.ec:2172-2194 rule table."""
+    begins = {tx: seq for seq, rt, tx, _ in events if rt == "BEGINTX"}
+    ended = {tx for _, rt, tx, _ in events if rt in ("COMMTX", "RBTX")}
+    open_begins = [s for tx, s in begins.items() if tx not in ended]
+    last = max((s for s, rt, _, _ in events if rt == "COMMTX"), default=0)
+    if open_begins:
+        restart = min(open_begins)
+    elif last > 0:
+        restart = last + 1
+    else:
+        restart = 0
+    return restart, last
+
+
+@settings(
+    max_examples=30,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log())
+def test_restart_state_matches_rule_table(spark, events):
+    """R2-R4 as a property: restart_state's single-row output follows
+    the reference's resolution rules for every interleaving, including
+    the seq==0/last!=0 'last+1' special case."""
+    from informixcdc_spark.cdc.savepoints import restart_state
+
+    row = restart_state(_log(spark, events)).collect()[0]
+    assert (row["restart_seq"], row["last_committed_seq"]) == _restart_reference(
+        events
+    )

@@ -1,0 +1,223 @@
+"""Scaling-curve bench: time representative queries at 1x/4x/8x data.
+
+Usage: python scale_bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+                                SPARK_GRAFT_SCALES="1,4,8", SPARK_GRAFT_REPS)
+
+Complements the closed-form correctness smokes in tests/test_scale_smoke.py
+with MEASURED wall-clock: on a fixed local[32] box an operator whose plan
+is linear in the input shows sec(m) ~ m * sec(1); a super-linear curve
+(efficiency >> 1) is the local signature of a shuffle/join that would
+melt at cluster scale. Writes SCALEBENCH.json.
+
+Replica construction keeps data distributions honest instead of naively
+unioning m verbatim copies (which would grow near-dup candidate sets and
+self-join outputs quadratically for data reasons, not plan reasons):
+
+- orders/lineitem: o_orderkey/l_orderkey shifted by the SAME stride per
+  replica, so the orders-lineitem join fans out linearly and per-key
+  group sizes stay constant;
+- events: event_id and user_id shifted — m x users, sessions/user const;
+- documents: doc_id shifted, text Caesar-rotated per replica (rot-k over
+  [a-zA-Z], length-preserving) — within-replica duplicate structure is
+  IDENTICAL, cross-replica shingle overlap is ~0, so dedup families see
+  m x corpus with a constant dup-rate;
+- embeddings: vec_id shifted, array circularly rotated per replica —
+  norm-preserving, decorrelates replicas so LSH/IVF bucket load stays
+  balanced rather than stacking m copies of every vector in one bucket.
+
+Dim tables (region nation customer supplier part) are copied verbatim:
+fact-times-m against constant dims is the realistic growth mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from informixcdc_spark.queries import all_queries  # noqa: E402
+from informixcdc_spark.session import get_spark  # noqa: E402
+
+#: one representative per family: CDC apply, dim join+agg, pure agg,
+#: windows, join variants, exact dedup, MinHash near-dup, vector top-k,
+#: benchmark decontamination, sessionization.
+QUERIES = [
+    "c01_cdc_apply_net_effect",
+    "q01_revenue_by_nation",
+    "q02_pricing_summary",
+    "b04_window_functions",
+    "b06_join_variants",
+    "e01_dedup_exact",
+    "e03_minhash_lsh_jaccard",
+    "e07_knn_exact_and_lsh",
+    "e27_decontamination",
+    "a31_sessionization",
+]
+
+_FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def _rot_alphabet(k: int) -> tuple[str, str]:
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    k %= 26
+    return lo + up, lo[k:] + lo[:k] + up[k:] + up[:k]
+
+
+def _replicas(df: DataFrame, m: int, tf) -> DataFrame:
+    out = tf(df, 0)
+    for r in range(1, m):
+        out = out.unionByName(tf(df, r))
+    return out
+
+
+def materialize(spark, src: str, dst: str, m: int) -> dict[str, int]:
+    """Build the m-x directory; returns per-table row counts."""
+    os.makedirs(dst, exist_ok=True)
+    for t in _DIMS:
+        tgt = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(tgt):
+            shutil.copy(os.path.join(src, f"{t}.parquet"), tgt)
+
+    strides = {}
+    for t, key in (("orders", "o_orderkey"), ("events", "event_id"),
+                   ("documents", "doc_id"), ("embeddings", "vec_id")):
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        strides[t] = df.agg(F.max(key) + 1).collect()[0][0]
+    user_stride = (
+        spark.read.parquet(os.path.join(src, "events.parquet"))
+        .agg(F.max("user_id") + 1).collect()[0][0]
+    )
+
+    def shift(col, stride):
+        return lambda df, r: df.withColumn(col, F.col(col) + F.lit(r * stride))
+
+    def tf_lineitem(df, r):
+        return df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(r * strides["orders"])
+        )
+
+    def tf_events(df, r):
+        return (
+            df.withColumn("event_id", F.col("event_id") + F.lit(r * strides["events"]))
+            .withColumn("user_id", F.col("user_id") + F.lit(r * user_stride))
+        )
+
+    def tf_documents(df, r):
+        src_a, dst_a = _rot_alphabet(r)
+        out = df.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(r * strides["documents"])
+        )
+        if r % 26:
+            out = out.withColumn("text", F.translate("text", src_a, dst_a))
+        return out
+
+    def tf_embeddings(df, r):
+        out = df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(r * strides["embeddings"])
+        )
+        if r:
+            k = r % 8 or 1  # any nonzero rotation decorrelates
+            out = out.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {k + 1}, size(embedding) - {k}),"
+                    f" slice(embedding, 1, {k}))"
+                ),
+            )
+        return out
+
+    transforms = {
+        "orders": shift("o_orderkey", strides["orders"]),
+        "lineitem": tf_lineitem,
+        "events": tf_events,
+        "documents": tf_documents,
+        "embeddings": tf_embeddings,
+    }
+    counts = {}
+    for t in _FACTS:
+        tgt = os.path.join(dst, f"{t}.parquet")
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        scaled = _replicas(df, m, transforms[t])
+        # partition count scales with data so per-partition bytes stay
+        # constant — the knob a cluster job would set via maxPartitionBytes
+        scaled.repartition(max(4, 4 * m)).write.mode("overwrite").parquet(tgt)
+        counts[t] = spark.read.parquet(tgt).count()
+    return counts
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scales = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_SCALES", "1,4,8").split(",")
+    ]
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    work = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/informixcdc_scale")
+
+    spark = get_spark(app_name="informixcdc-spark-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup (JVM, codegen, Arrow worker pool)
+    queries["q01_revenue_by_nation"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    rows: dict[str, dict[str, int]] = {}
+    for m in scales:
+        mdir = sf_dir if m == 1 else os.path.join(work, f"m{m}")
+        if m != 1:
+            rows[str(m)] = materialize(spark, sf_dir, mdir, m)
+        for q in QUERIES:
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                queries[q](spark, mdir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[q][str(m)] = round(best, 3)
+            print(f"m={m} {q}: {results[q][str(m)]}s", flush=True)
+
+    base, top = str(scales[0]), str(scales[-1])
+    ratio = scales[-1] / scales[0]
+    art = {
+        "sf_base": sf_dir,
+        "scales": scales,
+        "reps": reps,
+        "rows": rows,
+        "queries": {
+            q: {
+                **results[q],
+                # sec(top) / (ratio * sec(base)): ~1 = linear, <1 = fixed
+                # overhead amortizing out, >>1 = super-linear plan
+                "efficiency": round(
+                    results[q][top] / (ratio * results[q][base]), 3
+                ),
+            }
+            for q in QUERIES
+        },
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "SCALEBENCH.json"), "w"
+    ) as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({q: art["queries"][q]["efficiency"] for q in QUERIES}))
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Incremental view maintenance over the CDC changelog.
+
+The reference hands its consumer a raw change stream and leaves every
+downstream artifact — including aggregate views — to be rebuilt by hand
+(SURVEY §3.3: the consumer loop sees IUD records and maintains its own
+state). This module is the consumer-side operator a CDC engine exists to
+feed: keep ``SELECT group_cols, agg(...) FROM table GROUP BY group_cols``
+in sync with the table by applying CHANGES, never recomputing from the
+full table.
+
+Classic IVM for distributive aggregates (self-maintainable views): each
+committed net-effect change contributes a +1 (new row image) and/or a
+-1 (old row image) weighted row; the view update is the weighted
+aggregate of those contributions merged into the previous view. SUM and
+COUNT are closed under retraction; AVG finalizes from maintained
+(sum, count). MIN/MAX are NOT self-maintainable under deletion (a
+retraction can expose an unknown second-best) and are deliberately
+excluded — use a full :func:`aggregate_view` recompute or a sketch.
+
+Scale shape: the incremental path shuffles O(touched keys) + O(affected
+groups) rows per refresh — independent of table size — vs O(table) for
+a recompute. Both the retraction lookup (base ⋉ touched keys) and the
+view merge are key-hash joins with no sort; the contribution aggregate
+partial-combines map-side like every other agg in this engine.
+
+A committed TRUNCATE in the delta invalidates every base-derived group
+(the view is no longer expressible as prev + delta), so
+:func:`incremental_aggregate_view` detects that case — one scalar probe
+job over the (tiny) terminator records — and falls back to recomputing
+from ``apply_changes(delta, base=base, truncate_wipes_base=True)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from informixcdc_spark.cdc.apply import apply_changes, committed_events
+from informixcdc_spark.cdc.model import RecordType
+
+#: measure spec: (output_name, kind, source_column); kind in KINDS.
+#: count ignores its source column (count(*) semantics).
+KINDS = ("sum", "count", "avg")
+
+
+def _internal_cols(measures: Sequence[tuple[str, str, str]]) -> list[str]:
+    """The maintained (pre-finalize) column names: one running sum per
+    sum/avg measure plus the shared row count."""
+    cols = [f"_s_{name}" for name, kind, _ in measures if kind in ("sum", "avg")]
+    return cols + ["_n_rows"]
+
+
+def _contrib_aggs(measures, weight_col):
+    aggs = []
+    for name, kind, col in measures:
+        if kind in ("sum", "avg"):
+            # F.expr: the source may be a plain row-field name or a SQL
+            # expression over row fields (e.g. an integer-cents cast)
+            aggs.append(
+                F.sum(F.col(weight_col) * F.expr(col)).alias(f"_s_{name}")
+            )
+    aggs.append(F.sum(F.col(weight_col)).cast("long").alias("_n_rows"))
+    return aggs
+
+
+def finalize_view(state: DataFrame, measures) -> DataFrame:
+    """Maintained state -> user-facing view columns."""
+    cols = list(state.columns)
+    group_cols = [c for c in cols if not c.startswith("_s_") and c != "_n_rows"]
+    out = [F.col(c) for c in group_cols]
+    for name, kind, _ in measures:
+        if kind == "sum":
+            out.append(F.col(f"_s_{name}").alias(name))
+        elif kind == "count":
+            out.append(F.col("_n_rows").alias(name))
+        else:  # avg
+            out.append((F.col(f"_s_{name}") / F.col("_n_rows")).alias(name))
+    return state.select(*out)
+
+
+def aggregate_view(
+    table: DataFrame, group_cols: Sequence[str], measures
+) -> DataFrame:
+    """Full recompute of the MAINTAINED state (not finalized) from a
+    materialized table — the bootstrap and the fallback path."""
+    weighted = table.withColumn("_w", F.lit(1).cast("long"))
+    return weighted.groupBy(*group_cols).agg(*_contrib_aggs(measures, "_w"))
+
+
+def _net_changes(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    last_committed_seq: int = 0,
+) -> DataFrame:
+    """Per touched key, the winning committed change — row fields plus
+    ``record_type`` (DELETE = key removed). Same (commit_seq, seq_number)
+    winner convention as :func:`apply_changes`."""
+    events = committed_events(
+        changelog, last_committed_seq, dedup_records=False
+    )
+    flat = events.select(
+        "_commit_seq", "seq_number", "record_type", "row.*"
+    )
+    payload = [
+        c
+        for c in flat.columns
+        if c not in ("_commit_seq", "seq_number", "record_type")
+        and c not in key_cols
+    ]
+    winner = flat.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(F.col("record_type"), *[F.col(c) for c in payload]),
+            F.struct(F.col("_commit_seq"), F.col("seq_number")),
+        ).alias("_w")
+    )
+    return winner.select(
+        *key_cols,
+        F.col("_w.record_type").alias("record_type"),
+        *[F.col(f"_w.{c}").alias(c) for c in payload],
+    )
+
+
+def _has_committed_truncate(
+    changelog: DataFrame, last_committed_seq: int
+) -> bool:
+    """One scalar job over terminator/TRUNCATE records only (a sliver of
+    the log; the scan prunes on record_type)."""
+    commits = (
+        changelog.where(F.col("record_type") == RecordType.COMMTX.name)
+        .where(F.col("seq_number") > F.lit(last_committed_seq))
+        .select(F.col("transaction_id").alias("_tx"))
+    )
+    truncs = changelog.where(
+        F.col("record_type") == RecordType.TRUNCATE.name
+    ).select("transaction_id")
+    return (
+        truncs.join(
+            commits, truncs["transaction_id"] == commits["_tx"], "left_semi"
+        ).limit(1).count()
+        > 0
+    )
+
+
+def incremental_aggregate_view(
+    prev_view: DataFrame,
+    changelog: DataFrame,
+    base: DataFrame,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+    measures,
+    last_committed_seq: int = 0,
+) -> DataFrame:
+    """Merge a delta changelog into a maintained view state.
+
+    ``prev_view`` must be the maintained state of ``base`` (from
+    :func:`aggregate_view` or a previous call); ``changelog`` is the new
+    portion of the stream (at-least-once delivery tolerated — replayed
+    commits at or below ``last_committed_seq`` are discarded exactly like
+    :func:`apply_changes`). Returns the updated maintained state; apply
+    :func:`finalize_view` for user-facing columns.
+    """
+    for _, kind, _ in measures:
+        if kind not in KINDS:
+            raise ValueError(
+                f"measure kind {kind!r} not in {KINDS}: min/max are not "
+                "self-maintainable under deletion — recompute instead"
+            )
+    if _has_committed_truncate(changelog, last_committed_seq):
+        table = apply_changes(
+            changelog,
+            key_cols,
+            last_committed_seq=last_committed_seq,
+            base=base,
+            truncate_wipes_base=True,
+        )
+        return aggregate_view(table, group_cols, measures)
+
+    changes = _net_changes(changelog, key_cols, last_committed_seq)
+    # additions: post-change row images (insert or update-after)
+    adds = changes.where(
+        F.col("record_type") != RecordType.DELETE.name
+    ).drop("record_type").withColumn("_w", F.lit(1).cast("long"))
+    # retractions: the PRE-change row images — base rows whose key was
+    # touched (update: retract old, add new; delete: retract only).
+    # Semi-join on the (small) touched-key set; at scale this is the
+    # pruned point-lookup side, never a full base scan shuffle.
+    touched = changes.select(*key_cols)
+    olds = base.join(touched, list(key_cols), "left_semi").withColumn(
+        "_w", F.lit(-1).cast("long")
+    )
+    cols = [*key_cols, *[c for c in adds.columns if c not in key_cols]]
+    contrib = adds.select(*cols).unionByName(olds.select(*cols))
+    delta = contrib.groupBy(*group_cols).agg(*_contrib_aggs(measures, "_w"))
+
+    # merge: union + re-aggregate (≤2 rows per group) rather than a
+    # full-outer join — groups NULL group-key values correctly (an outer
+    # join's equality would split them) and partial-combines map-side
+    internal = _internal_cols(measures)
+    merged = (
+        prev_view.select(*group_cols, *internal)
+        .unionByName(delta.select(*group_cols, *internal))
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in internal])
+        .withColumn("_n_rows", F.col("_n_rows").cast("long"))
+    )
+    return merged.where(F.col("_n_rows") > 0)

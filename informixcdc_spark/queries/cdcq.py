@@ -184,22 +184,39 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# c07 — transaction lifecycle summary: per-txn event count, bounds and
-# outcome (the changelog-side aggregation view of P6–P9).
+# c07 — transaction lifecycle summary (the changelog-side aggregation
+# view of P6–P9) + the INCREMENTAL aggregate view (cdc/ivm.py), merged
+# as tagged arms sharing one (kind, n, s) schema:
+#
+# - outcome arms: per-txn event count grouped by lifecycle outcome;
+# - 'view:<status>' arms: a revenue-style view (count + sum(o_custkey),
+#   integer measures so the hash compare is float-drift-free) maintained
+#   INCREMENTALLY across the same mid-log restart split c02 uses — the
+#   driver's closed-form oracle states the view over the final table, so
+#   a wrong retraction/addition/merge anywhere in the IVM path
+#   hash-mismatches here.
 # ---------------------------------------------------------------------------
 @register(
     "c07_cdc_txn_summary",
     oracle="""
     SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'rolled_back'
                 WHEN o_orderkey % 13 = 11 THEN 'open'
-                ELSE 'committed' END AS outcome,
-           COUNT(*) AS n_txns,
+                ELSE 'committed' END AS kind,
+           COUNT(*) AS n,
            CAST(SUM(2 + 1
                     + CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 0 END
                     + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
                     - CASE WHEN o_orderkey % 10 <> 3 AND o_orderkey % 13 = 11
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+                           THEN 1 ELSE 0 END) AS BIGINT) AS s
     FROM orders
+    GROUP BY 1
+    UNION ALL
+    SELECT 'view:' || o_orderstatus AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS s
+    FROM orders
+    WHERE o_orderkey % 10 <> 3 AND o_orderkey % 13 <> 11
+      AND o_orderkey % 7 <> 0
     GROUP BY 1
     """,
 )
@@ -215,11 +232,42 @@ def c07_cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("_c") == 0, "open")
         .otherwise("committed")
     )
-    return (
-        per_txn.withColumn("outcome", outcome)
-        .groupBy("outcome")
-        .agg(F.count(F.lit(1)).alias("n_txns"), F.sum("n_ev").cast("bigint").alias("n_events"))
+    summary = (
+        per_txn.withColumn("kind", outcome)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_ev").cast("bigint").alias("s"))
     )
+
+    from informixcdc_spark.cdc.ivm import (
+        aggregate_view,
+        finalize_view,
+        incremental_aggregate_view,
+    )
+
+    measures = [("n", "count", "o_custkey"), ("s", "sum", "o_custkey")]
+    orders = log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
+    mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
+    watermark = mid * 10 + 9
+    first_half = log.where(F.col("transaction_id") <= mid)
+    base = apply_changes(first_half, key_cols=["o_orderkey"])
+    prev = aggregate_view(base, ["o_orderstatus"], measures)
+    view = finalize_view(
+        incremental_aggregate_view(
+            prev,
+            log,
+            base,
+            key_cols=["o_orderkey"],
+            group_cols=["o_orderstatus"],
+            measures=measures,
+            last_committed_seq=watermark,
+        ),
+        measures,
+    ).select(
+        F.concat(F.lit("view:"), F.col("o_orderstatus")).alias("kind"),
+        F.col("n"),
+        F.col("s").cast("bigint").alias("s"),
+    )
+    return summary.unionByName(view)
 
 
 # ---------------------------------------------------------------------------

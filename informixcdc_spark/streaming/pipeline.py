@@ -292,6 +292,129 @@ class Materializer:
                     shutil.rmtree(os.path.join(pending_root, d), ignore_errors=True)
 
 
+class ViewMaterializer:
+    """foreachBatch sink maintaining an AGGREGATE VIEW of the CDC stream
+    incrementally (``cdc/ivm.py``) alongside the exactly-once table.
+
+    Per micro-batch: the view delta is computed from the PRE-batch table
+    (retraction images come from the still-current snapshot), written and
+    pointed, and only then does the wrapped :class:`Materializer` advance
+    the table. Both updates are idempotency-guarded by their own
+    ``batch_id``, so checkpoint-recovery replay lands in whichever of the
+    two windows the crash left unfinished and completes it exactly once:
+
+    - crash before the view pointer swap → replay recomputes the view
+      (table state untouched, so the retraction base is still pre-batch);
+    - crash after the view swap, before/inside the table update → replay
+      skips the view (its batch_id matches) and re-runs the table update,
+      which skips or completes idempotently.
+
+    Per-batch cost is the view delta (O(touched keys) + O(affected
+    groups), see ``cdc/ivm.py``) plus the table update; the base read
+    prunes to touched keys through the semi join. A committed TRUNCATE
+    falls back to recompute-from-delta inside the IVM layer.
+    """
+
+    GC_KEEP_VIEWS = 2
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_cols: Sequence[str],
+        group_cols: Sequence[str],
+        measures: Sequence[tuple[str, str, str]],
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.group_cols = list(group_cols)
+        self.measures = list(measures)
+        self.table = Materializer(
+            spark, os.path.join(state_dir, "table"), key_cols, n_buckets
+        )
+        os.makedirs(os.path.join(state_dir, "view"), exist_ok=True)
+
+    def _view_state_path(self) -> str:
+        return os.path.join(self.state_dir, "view", "view.json")
+
+    def _view_snap(self, batch_id: int) -> str:
+        return os.path.join(self.state_dir, "view", f"v{batch_id}")
+
+    def read_view_state(self) -> dict:
+        try:
+            with open(self._view_state_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"batch_id": -1}
+
+    def read_view(self, finalized: bool = True) -> DataFrame | None:
+        """The current maintained view; ``finalized=True`` renders
+        user-facing measure columns."""
+        from informixcdc_spark.cdc.ivm import finalize_view
+
+        vst = self.read_view_state()
+        if vst["batch_id"] < 0:
+            return None
+        state = self.spark.read.parquet(self._view_snap(vst["batch_id"]))
+        return finalize_view(state, self.measures) if finalized else state
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from informixcdc_spark.cdc.ivm import (
+            aggregate_view,
+            incremental_aggregate_view,
+        )
+
+        vst = self.read_view_state()
+        if batch_id > vst["batch_id"]:
+            st = self.table.read_state()
+            pending = self.table.read_pending()
+            log = (
+                batch_df.unionByName(pending)
+                if pending is not None
+                else batch_df
+            )
+            log = log.localCheckpoint(eager=True)
+            base = self.table.read_target()
+            if base is None:
+                base = log.select("row.*").limit(0)
+            prev = self.read_view(finalized=False)
+            if prev is None:
+                prev = aggregate_view(base, self.group_cols, self.measures)
+            new_view = incremental_aggregate_view(
+                prev,
+                log,
+                base,
+                key_cols=self.table.key_cols,
+                group_cols=self.group_cols,
+                measures=self.measures,
+                last_committed_seq=st["last_committed_seq"],
+            )
+            # write from pre-state paths BEFORE the table advances (the
+            # table's GC may delete the buckets this plan reads)
+            new_view.write.mode("overwrite").parquet(self._view_snap(batch_id))
+            tmp = self._view_state_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"batch_id": batch_id}, f)
+            os.replace(tmp, self._view_state_path())
+
+        self.table.process_batch(batch_df, batch_id)
+
+        import shutil
+
+        view_root = os.path.join(self.state_dir, "view")
+        floor = batch_id - (self.GC_KEEP_VIEWS - 1)
+        for d in os.listdir(view_root):
+            if not d.startswith("v") or d.endswith(".json"):
+                continue
+            try:
+                version = int(d[1:])
+            except ValueError:
+                continue
+            if version < floor:
+                shutil.rmtree(os.path.join(view_root, d), ignore_errors=True)
+
+
 class CdcEngine:
     """Public API mirroring the reference's ``InformixCdc`` surface
     (SURVEY.md §2.7): ``connect`` → ``enable`` → ``activate`` → stream.
@@ -458,3 +581,27 @@ class CdcEngine:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start(), mat
+
+    def materialize_view(
+        self,
+        row_struct,
+        key_cols: Sequence[str],
+        group_cols: Sequence[str],
+        measures: Sequence[tuple[str, str, str]],
+        state_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """Start the exactly-once aggregate-view query: the table AND the
+        incrementally-maintained view (``cdc/ivm.py``) advance together
+        per micro-batch."""
+        vm = ViewMaterializer(self.spark, state_dir, key_cols, group_cols, measures)
+        stream = self.activate(row_struct, materializer=None)
+        writer = (
+            stream.writeStream.foreachBatch(vm.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start(), vm

@@ -1,0 +1,211 @@
+"""Incremental view maintenance: delta-merge must equal full recompute.
+
+The IVM algebra (retraction/addition weighted contributions, view merge,
+TRUNCATE fallback) is verified against ``aggregate_view(apply_changes(
+full_log))`` — apply_changes itself is property-verified against the
+serial model in test_property_cdc, so these tests pin the view algebra
+on top of already-trusted apply semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from informixcdc_spark.cdc.apply import apply_changes
+from informixcdc_spark.cdc.ivm import (
+    aggregate_view,
+    finalize_view,
+    incremental_aggregate_view,
+)
+from tests.test_cdc_apply import _log
+from tests.test_property_cdc import interleaved_log
+
+MEASURES = [("n", "count", "id"), ("s", "sum", "id"), ("m", "avg", "id")]
+
+
+def _view_dict(df):
+    return {
+        r["val"]: (r["n"], r["s"], r["m"]) for r in df.collect()
+    }
+
+
+def _expected(spark, events):
+    table = apply_changes(_log(spark, events), key_cols=["id"])
+    return _view_dict(finalize_view(aggregate_view(table, ["val"], MEASURES), MEASURES))
+
+
+@settings(
+    max_examples=30,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log(), st.data())
+def test_incremental_view_equals_recompute(spark, events, data):
+    """For ANY interleaving, any restart point, and at-least-once
+    delivery of the delta, merging deltas into the prefix's view equals
+    recomputing the view from the full log — including the TRUNCATE
+    fallback branch when a post-watermark txn truncates."""
+    commit_seqs = sorted(s for s, rt, _, _ in events if rt == "COMMTX")
+    if not commit_seqs:
+        return
+    watermark = data.draw(st.sampled_from(commit_seqs))
+    committed_at = {
+        tx for s, rt, tx, _ in events if rt == "COMMTX" and s <= watermark
+    }
+    first_run = [e for e in events if e[2] in committed_at]
+    base = apply_changes(_log(spark, first_run), key_cols=["id"])
+    prev = aggregate_view(base, ["val"], MEASURES)
+    replayed = _log(spark, events + events)
+    got = incremental_aggregate_view(
+        prev,
+        replayed,
+        base,
+        key_cols=["id"],
+        group_cols=["val"],
+        measures=MEASURES,
+        last_committed_seq=watermark,
+    )
+    assert _view_dict(finalize_view(got, MEASURES)) == _expected(spark, events)
+
+
+def test_minmax_measures_rejected(spark):
+    log = _log(spark, [(1, "BEGINTX", 1, None)])
+    base = apply_changes(log, key_cols=["id"])
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        incremental_aggregate_view(
+            base.limit(0),
+            log,
+            base,
+            key_cols=["id"],
+            group_cols=["val"],
+            measures=[("w", "max", "id")],
+        )
+
+
+def test_incremental_path_semi_joins_base(spark):
+    """Plan pin for the scale property: the non-truncate path must read
+    base ONLY through a semi join on touched keys (point lookups at
+    scale), never aggregate the full base table."""
+    events = [
+        (1, "BEGINTX", 1, None),
+        (2, "INSERT", 1, (1, "a")),
+        (3, "COMMTX", 1, None),
+        (4, "BEGINTX", 2, None),
+        (5, "UPDBEF", 2, (1, "a")),
+        (6, "UPDAFT", 2, (1, "b")),
+        (7, "INSERT", 2, (2, "c")),
+        (8, "COMMTX", 2, None),
+    ]
+    base = apply_changes(_log(spark, events[:3]), key_cols=["id"])
+    prev = aggregate_view(base, ["val"], MEASURES)
+    out = incremental_aggregate_view(
+        prev,
+        _log(spark, events),
+        base,
+        key_cols=["id"],
+        group_cols=["val"],
+        measures=MEASURES,
+        last_committed_seq=3,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    got = _view_dict(finalize_view(out, MEASURES))
+    assert got == {"b": (1, 1, 1.0), "c": (1, 2, 2.0)}
+
+
+def test_view_on_orders_fixture(spark, sf_dir):
+    """End-to-end on the orders changelog: maintain revenue-by-status
+    incrementally across the same split c02 uses; equals recompute."""
+    from informixcdc_spark.cdc.generator import orders_changelog
+
+    log = orders_changelog(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
+    watermark = mid * 10 + 9
+    measures = [
+        ("n_orders", "count", "o_totalprice"),
+        ("revenue", "sum", "o_totalprice"),
+    ]
+    first = log.where(F.col("transaction_id") <= mid)
+    base = apply_changes(first, key_cols=["o_orderkey"])
+    prev = aggregate_view(base, ["o_orderstatus"], measures)
+    got = finalize_view(
+        incremental_aggregate_view(
+            prev,
+            log,
+            base,
+            key_cols=["o_orderkey"],
+            group_cols=["o_orderstatus"],
+            measures=measures,
+            last_committed_seq=watermark,
+        ),
+        measures,
+    )
+    full = finalize_view(
+        aggregate_view(
+            apply_changes(log, key_cols=["o_orderkey"]),
+            ["o_orderstatus"],
+            measures,
+        ),
+        measures,
+    )
+    g = {r["o_orderstatus"]: r for r in got.collect()}
+    f = {r["o_orderstatus"]: r for r in full.collect()}
+    assert set(g) == set(f)
+    for k in f:
+        assert g[k]["n_orders"] == f[k]["n_orders"]
+        assert g[k]["revenue"] == pytest.approx(f[k]["revenue"], rel=1e-9)
+
+
+def test_view_materializer_across_batches(spark, tmp_path):
+    """Streaming IVM: the maintained view equals a full recompute after
+    every micro-batch — across a txn spanning batches (pending carry), an
+    update+delete batch, a TRUNCATE batch (recompute fallback), and a
+    replayed batch (idempotency guard)."""
+    from informixcdc_spark.streaming.pipeline import ViewMaterializer
+
+    vm = ViewMaterializer(
+        spark, str(tmp_path / "state"), ["id"], ["val"], MEASURES, n_buckets=8
+    )
+    batches = [
+        # txn1 commits two inserts; txn2 opens and stays pending
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (1, "a")),
+            (3, "INSERT", 1, (2, "a")),
+            (4, "COMMTX", 1, None),
+            (5, "BEGINTX", 2, None),
+            (6, "INSERT", 2, (3, "b")),
+        ],
+        # txn2 commits from pending; txn3 updates key 1 and deletes key 2
+        [
+            (7, "COMMTX", 2, None),
+            (8, "BEGINTX", 3, None),
+            (9, "UPDBEF", 3, (1, "a")),
+            (10, "UPDAFT", 3, (1, "b")),
+            (11, "DELETE", 3, (2, "a")),
+            (12, "COMMTX", 3, None),
+        ],
+        # committed TRUNCATE then a reinsert — IVM recompute fallback
+        [
+            (13, "BEGINTX", 4, None),
+            (14, "TRUNCATE", 4, None),
+            (15, "INSERT", 4, (7, "c")),
+            (16, "COMMTX", 4, None),
+        ],
+    ]
+    cumulative = []
+    for bid, events in enumerate(batches):
+        cumulative += events
+        vm.process_batch(_log(spark, events), bid)
+        got = _view_dict(vm.read_view())
+        assert got == _expected(spark, cumulative), f"batch {bid}"
+
+    before = _view_dict(vm.read_view())
+    vm.process_batch(_log(spark, batches[1]), 1)  # checkpoint replay
+    assert _view_dict(vm.read_view()) == before
+    assert vm.read_view_state()["batch_id"] == len(batches) - 1

@@ -12,6 +12,7 @@ closed-form check with no oracle re-derivation.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from informixcdc_spark.cdc.apply import apply_changes
@@ -177,3 +178,90 @@ def test_decontamination_scales_linearly(spark):
     )
     assert full.where(F.col("contamination") != 1.0).count() == 0
     assert full.count() == (_COPIES - 1) * b
+
+
+def test_incremental_view_scales_and_matches_recompute(spark):
+    """IVM at ~8x: maintain revenue-by-status across a mid-log restart
+    split on the 8x key-shifted changelog. The incremental result must
+    (a) equal the full recompute at 8x and (b) show exactly 8x the
+    base per-status row counts (the generator moduli are preserved by
+    the stride, so group membership replicates exactly)."""
+    from informixcdc_spark.cdc.ivm import (
+        aggregate_view,
+        finalize_view,
+        incremental_aggregate_view,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    log = orders_changelog(spark, sf_dir)
+    measures = [
+        ("n_orders", "count", "o_totalprice"),
+        ("revenue", "sum", "o_totalprice"),
+    ]
+    base_counts = {
+        r["o_orderstatus"]: r["n_orders"]
+        for r in finalize_view(
+            aggregate_view(
+                apply_changes(log, key_cols=["o_orderkey"]), ["o_orderstatus"], measures
+            ),
+            measures,
+        ).collect()
+    }
+
+    max_key = log.agg(F.max("transaction_id")).collect()[0][0]
+    stride = ((max_key // _LCM) + 1) * _LCM
+
+    def shifted(i: int):
+        off = i * stride
+        passthrough = [
+            c for c in log.columns
+            if c not in ("seq_number", "transaction_id", "row")
+        ]
+        return log.select(
+            (F.col("seq_number") + F.lit(off * 10)).alias("seq_number"),
+            (F.col("transaction_id") + F.lit(off)).alias("transaction_id"),
+            *passthrough,
+            F.col("row").withField(
+                "o_orderkey", F.col("row.o_orderkey") + F.lit(off)
+            ).alias("row"),
+        )
+
+    big = shifted(0)
+    for i in range(1, _COPIES):
+        big = big.unionByName(shifted(i))
+
+    mid = (_COPIES // 2) * stride  # split between copy 3 and copy 4
+    watermark = mid * 10 + 9
+    first_half = big.where(F.col("transaction_id") <= mid)
+    base = apply_changes(first_half, key_cols=["o_orderkey"])
+    prev = aggregate_view(base, ["o_orderstatus"], measures)
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["revenue"])
+        for r in finalize_view(
+            incremental_aggregate_view(
+                prev,
+                big,
+                base,
+                key_cols=["o_orderkey"],
+                group_cols=["o_orderstatus"],
+                measures=measures,
+                last_committed_seq=watermark,
+            ),
+            measures,
+        ).collect()
+    }
+    full = {
+        r["o_orderstatus"]: (r["n_orders"], r["revenue"])
+        for r in finalize_view(
+            aggregate_view(
+                apply_changes(big, key_cols=["o_orderkey"]),
+                ["o_orderstatus"],
+                measures,
+            ),
+            measures,
+        ).collect()
+    }
+    assert set(got) == set(full) == set(base_counts)
+    for k in full:
+        assert got[k][0] == full[k][0] == _COPIES * base_counts[k]
+        assert got[k][1] == pytest.approx(full[k][1], rel=1e-9)

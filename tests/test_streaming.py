@@ -507,3 +507,61 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # the 00:00 window closed with exactly the 2 on-time events —
     # event 4 (late by >1h behind the watermark) must not be counted
     assert rows.get("2026-01-01 00:00") == 2, rows
+
+
+def test_end_to_end_view_materialization(spark, tmp_path):
+    """CdcEngine.materialize_view: the incrementally-maintained
+    aggregate view equals a recompute of the final table after a real
+    multi-file availableNow stream (txn spanning the file boundary,
+    rollback, update, delete)."""
+    from informixcdc_spark.cdc.ivm import aggregate_view, finalize_view
+    from informixcdc_spark.streaming.pipeline import ViewMaterializer  # noqa: F401
+
+    src = str(tmp_path / "log")
+    _write(
+        _log(
+            spark,
+            [
+                (1, "BEGINTX", 1, None),
+                (2, "INSERT", 1, (10, "a")),
+                (3, "INSERT", 1, (11, "a")),
+                (4, "COMMTX", 1, None),
+                (5, "BEGINTX", 2, None),
+                (6, "INSERT", 2, (20, "b")),
+            ],
+        ),
+        src,
+    )
+    _write(
+        _log(
+            spark,
+            [
+                (7, "COMMTX", 2, None),
+                (8, "BEGINTX", 3, None),
+                (9, "DELETE", 3, (11, "a")),
+                (10, "UPDBEF", 3, (10, "a")),
+                (11, "UPDAFT", 3, (10, "b")),
+                (12, "COMMTX", 3, None),
+                (13, "BEGINTX", 4, None),
+                (14, "INSERT", 4, (30, "c")),
+                (15, "RBTX", 4, None),
+            ],
+        ),
+        src,
+    )
+    measures = [("n", "count", "val"), ("s", "sum", "id")]
+    eng = CdcEngine(spark)
+    eng.connect(src)
+    q, vm = eng.materialize_view(
+        ROW, ["id"], ["val"], measures,
+        str(tmp_path / "state"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r["val"]: (r["n"], r["s"]) for r in vm.read_view().collect()}
+    # final table: {10: b, 20: b}; view by val: b -> (2 rows, sum 30)
+    assert got == {"b": (2, 30)}
+    # and the maintained view equals recomputing from the final table
+    recomputed = finalize_view(
+        aggregate_view(vm.table.read_target(), ["val"], measures), measures
+    )
+    assert {r["val"]: (r["n"], r["s"]) for r in recomputed.collect()} == got

@@ -15,9 +15,31 @@ re-expresses that pipeline Spark-first:
   changelog (transaction assembly, replay discard, truncate, upsert)
 - :mod:`informixcdc_spark.cdc.savepoints` — restart-state bookkeeping
   (opntxns / lsttxn analogs)
+- :mod:`informixcdc_spark.cdc.ivm`      — incremental aggregate-view
+  maintenance from changelog deltas
+- :mod:`informixcdc_spark.cdc.history`  — SCD2 row-version history +
+  point-in-time (`as_of`) reads
+- :mod:`informixcdc_spark.cdc.compact`  — changelog compaction
+  (snapshot + unsettled tail replaces the log prefix)
 """
 
 from informixcdc_spark.cdc.apply import apply_changes
+from informixcdc_spark.cdc.compact import compact_changelog
+from informixcdc_spark.cdc.history import as_of, history_table
+from informixcdc_spark.cdc.ivm import (
+    aggregate_view,
+    finalize_view,
+    incremental_aggregate_view,
+)
 from informixcdc_spark.cdc.model import RecordType
 
-__all__ = ["apply_changes", "RecordType"]
+__all__ = [
+    "apply_changes",
+    "RecordType",
+    "aggregate_view",
+    "as_of",
+    "compact_changelog",
+    "finalize_view",
+    "history_table",
+    "incremental_aggregate_view",
+]

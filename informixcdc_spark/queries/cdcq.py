@@ -160,9 +160,47 @@ def c04_cdc_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey * 10 AS BIGINT)
     FROM orders
     WHERE o_orderkey % 10 <> 3 AND o_orderkey % 13 = 11
+    UNION ALL
+    -- SCD2 history (cdc/history.py) in closed form: committed txns
+    -- contribute one INSERT version plus one UPDAFT version when k%5=0;
+    -- current rows are the committed, undeleted keys
+    SELECT 'history_versions', CAST(NULL AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 3 AND o_orderkey % 13 <> 11
+                         THEN 1 + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+                         ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'history_current', CAST(NULL AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderkey % 10 <> 3 AND o_orderkey % 13 <> 11
+                            AND o_orderkey % 7 <> 0 THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    -- compaction (cdc/compact.py) at the mid-log watermark: the
+    -- snapshot holds surviving keys of settled txns (k <= mid), the
+    -- tail holds exactly the open txns plus commits past the watermark
+    SELECT 'compact_snapshot', CAST(NULL AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderkey <=
+                             (SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) FROM orders)
+                            AND o_orderkey % 10 <> 3 AND o_orderkey % 13 <> 11
+                            AND o_orderkey % 7 <> 0 THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'compact_tail_txns', CAST(NULL AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderkey % 10 <> 3
+                            AND (o_orderkey % 13 = 11 OR o_orderkey >
+                              (SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) FROM orders))
+                           THEN 1 END) AS BIGINT)
+    FROM orders
     """,
 )
 def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savepoint state (R2-R4) + the two other consumer-side artifacts —
+    SCD2 history (``cdc/history.py``) and changelog compaction
+    (``cdc/compact.py``) — as tagged count arms so BOTH run under the
+    driver's closed-form oracle, not only the property suite."""
+    from informixcdc_spark.cdc.compact import compact_changelog
+    from informixcdc_spark.cdc.history import history_table
+
     log = orders_changelog(spark, sf_dir)
     rs = restart_state(log)
     open_tx = open_transactions(log)
@@ -180,7 +218,29 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("transaction_id").cast("long").alias("transaction_id"),
         F.col("begin_seq").alias("seq"),
     )
-    return a.unionByName(b).unionByName(c)
+
+    orders = log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
+    mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
+    hist = history_table(log, ["o_orderkey"])
+    snap, tail = compact_changelog(log, ["o_orderkey"], mid * 10 + 9)
+
+    def count_arm(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("seq")).select(
+            F.lit(kind).alias("kind"), null_tx, F.col("seq")
+        )
+
+    arms = [
+        count_arm(hist, "history_versions"),
+        count_arm(hist.where(F.col("is_current")), "history_current"),
+        count_arm(snap, "compact_snapshot"),
+        count_arm(
+            tail.select("transaction_id").dropDuplicates(), "compact_tail_txns"
+        ),
+    ]
+    out = a.unionByName(b).unionByName(c)
+    for arm in arms:
+        out = out.unionByName(arm)
+    return out
 
 
 # ---------------------------------------------------------------------------

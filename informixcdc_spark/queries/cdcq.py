@@ -94,6 +94,11 @@ def c02_cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = orders_changelog(spark, sf_dir).unionByName(
         orders_conflict_changelog(spark, sf_dir)
     )
+    # the log feeds TWO applies (base + doubled replay); materialize the
+    # derivation once instead of recomputing it per subtree (~15% at
+    # sf0.1). Fixture-only trade: a real deployment's log is already
+    # materialized storage, so the scan itself is the cache.
+    log = log.localCheckpoint(eager=True)
     orders = log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
     mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
     watermark = mid * 10 + 9  # commit seq of txn `mid`
@@ -201,7 +206,8 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.cdc.compact import compact_changelog
     from informixcdc_spark.cdc.history import history_table
 
-    log = orders_changelog(spark, sf_dir)
+    # seven arms read the derived log; materialize it once (see c02)
+    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
     rs = restart_state(log)
     open_tx = open_transactions(log)
     null_tx = F.lit(None).cast("long").alias("transaction_id")
@@ -281,7 +287,9 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c07_cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    log = orders_changelog(spark, sf_dir)
+    # the summary arm + base apply + incremental view all read the
+    # derived log; materialize it once (see c02)
+    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
     per_txn = log.groupBy("transaction_id").agg(
         F.count(F.lit(1)).alias("n_ev"),
         F.max(F.when(F.col("record_type") == "COMMTX", 1).otherwise(0)).alias("_c"),

@@ -13,9 +13,12 @@ committed net-effect change contributes a +1 (new row image) and/or a
 -1 (old row image) weighted row; the view update is the weighted
 aggregate of those contributions merged into the previous view. SUM and
 COUNT are closed under retraction; AVG finalizes from maintained
-(sum, count). MIN/MAX are NOT self-maintainable under deletion (a
-retraction can expose an unknown second-best) and are deliberately
-excluded — use a full :func:`aggregate_view` recompute or a sketch.
+(sum, count). MIN/MAX are NOT retraction-closed (a deletion can expose
+an unknown second-best), so they use the standard bounded-maintenance
+path instead: groups touched by any addition or retraction recompute
+their extremum from the updated rows of JUST those groups — cost
+O(rows in affected groups), never a full-table rescan — while
+unaffected groups carry their previous value forward.
 
 Scale shape: the incremental path shuffles O(touched keys) + O(affected
 groups) rows per refresh — independent of table size — vs O(table) for
@@ -41,15 +44,40 @@ from informixcdc_spark.cdc.apply import apply_changes, committed_events
 from informixcdc_spark.cdc.model import RecordType
 
 #: measure spec: (output_name, kind, source_column); kind in KINDS.
-#: count ignores its source column (count(*) semantics).
-KINDS = ("sum", "count", "avg")
+#: count ignores its source column (count(*) semantics). The source may
+#: be a plain row-field name or a SQL expression over row fields.
+KINDS = ("sum", "count", "avg", "min", "max")
 
 
 def _internal_cols(measures: Sequence[tuple[str, str, str]]) -> list[str]:
     """The maintained (pre-finalize) column names: one running sum per
-    sum/avg measure plus the shared row count."""
+    sum/avg measure, one extremum per min/max measure, plus the shared
+    row count."""
     cols = [f"_s_{name}" for name, kind, _ in measures if kind in ("sum", "avg")]
+    cols += [f"_m_{name}" for name, kind, _ in measures if kind in ("min", "max")]
     return cols + ["_n_rows"]
+
+
+def _extremal_aggs(measures):
+    return [
+        (F.min if kind == "min" else F.max)(F.expr(col)).alias(f"_m_{name}")
+        for name, kind, col in measures
+        if kind in ("min", "max")
+    ]
+
+
+def _ns_join(left: DataFrame, right: DataFrame, group_cols, how: str) -> DataFrame:
+    """Null-safe equi-join on the group columns (NULL group values must
+    match each other, which a plain column-list join would split)."""
+    r = right
+    for c in group_cols:
+        r = r.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in group_cols:
+        e = left[c].eqNullSafe(r[f"_r_{c}"])
+        cond = e if cond is None else (cond & e)
+    out = left.join(r, cond, how)
+    return out if how == "left_semi" else out.drop(*[f"_r_{c}" for c in group_cols])
 
 
 def _contrib_aggs(measures, weight_col):
@@ -68,13 +96,19 @@ def _contrib_aggs(measures, weight_col):
 def finalize_view(state: DataFrame, measures) -> DataFrame:
     """Maintained state -> user-facing view columns."""
     cols = list(state.columns)
-    group_cols = [c for c in cols if not c.startswith("_s_") and c != "_n_rows"]
+    group_cols = [
+        c
+        for c in cols
+        if not c.startswith(("_s_", "_m_")) and c != "_n_rows"
+    ]
     out = [F.col(c) for c in group_cols]
     for name, kind, _ in measures:
         if kind == "sum":
             out.append(F.col(f"_s_{name}").alias(name))
         elif kind == "count":
             out.append(F.col("_n_rows").alias(name))
+        elif kind in ("min", "max"):
+            out.append(F.col(f"_m_{name}").alias(name))
         else:  # avg
             out.append((F.col(f"_s_{name}") / F.col("_n_rows")).alias(name))
     return state.select(*out)
@@ -86,7 +120,9 @@ def aggregate_view(
     """Full recompute of the MAINTAINED state (not finalized) from a
     materialized table — the bootstrap and the fallback path."""
     weighted = table.withColumn("_w", F.lit(1).cast("long"))
-    return weighted.groupBy(*group_cols).agg(*_contrib_aggs(measures, "_w"))
+    return weighted.groupBy(*group_cols).agg(
+        *_contrib_aggs(measures, "_w"), *_extremal_aggs(measures)
+    )
 
 
 def _net_changes(
@@ -163,10 +199,7 @@ def incremental_aggregate_view(
     """
     for _, kind, _ in measures:
         if kind not in KINDS:
-            raise ValueError(
-                f"measure kind {kind!r} not in {KINDS}: min/max are not "
-                "self-maintainable under deletion — recompute instead"
-            )
+            raise ValueError(f"measure kind {kind!r} not in {KINDS}")
     if _has_committed_truncate(changelog, last_committed_seq):
         table = apply_changes(
             changelog,
@@ -197,12 +230,53 @@ def incremental_aggregate_view(
     # merge: union + re-aggregate (≤2 rows per group) rather than a
     # full-outer join — groups NULL group-key values correctly (an outer
     # join's equality would split them) and partial-combines map-side
-    internal = _internal_cols(measures)
+    linear = [
+        c for c in _internal_cols(measures) if not c.startswith("_m_")
+    ]
     merged = (
-        prev_view.select(*group_cols, *internal)
-        .unionByName(delta.select(*group_cols, *internal))
+        prev_view.select(*group_cols, *linear)
+        .unionByName(delta.select(*group_cols, *linear))
         .groupBy(*group_cols)
-        .agg(*[F.sum(c).alias(c) for c in internal])
+        .agg(*[F.sum(c).alias(c) for c in linear])
         .withColumn("_n_rows", F.col("_n_rows").cast("long"))
+    ).where(F.col("_n_rows") > 0)
+
+    extremal = [(n, k, c) for n, k, c in measures if k in ("min", "max")]
+    if not extremal:
+        return merged
+
+    # bounded min/max maintenance: any group that gained or lost a row
+    # recomputes its extremum from the updated rows of JUST that group
+    # (untouched base rows of the group + this delta's additions);
+    # unaffected groups carry the previous value. Null-safe joins so
+    # NULL group values stay one group.
+    affected = contrib.select(*group_cols).dropDuplicates()
+    untouched_base = base.join(touched, list(key_cols), "left_anti")
+    upd_rows = untouched_base.select(*base.columns).unionByName(
+        adds.drop("_w").select(*base.columns)
     )
-    return merged.where(F.col("_n_rows") > 0)
+    ext = _ns_join(upd_rows, affected, group_cols, "left_semi").groupBy(
+        *group_cols
+    ).agg(*_extremal_aggs(extremal))
+
+    out = _ns_join(
+        merged, affected.withColumn("_aff", F.lit(True)), group_cols, "left"
+    )
+    out = _ns_join(out, ext, group_cols, "left")
+    prev_ext = prev_view.select(
+        *group_cols,
+        *[F.col(f"_m_{n}").alias(f"_pm_{n}") for n, _, _ in extremal],
+    )
+    out = _ns_join(out, prev_ext, group_cols, "left")
+    return out.select(
+        *group_cols,
+        *linear,
+        *[
+            F.when(
+                F.coalesce(F.col("_aff"), F.lit(False)), F.col(f"_m_{n}")
+            )
+            .otherwise(F.col(f"_pm_{n}"))
+            .alias(f"_m_{n}")
+            for n, _, _ in extremal
+        ],
+    )

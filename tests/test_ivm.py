@@ -72,18 +72,72 @@ def test_incremental_view_equals_recompute(spark, events, data):
     assert _view_dict(finalize_view(got, MEASURES)) == _expected(spark, events)
 
 
-def test_minmax_measures_rejected(spark):
+def test_unknown_measure_kind_rejected(spark):
     log = _log(spark, [(1, "BEGINTX", 1, None)])
     base = apply_changes(log, key_cols=["id"])
-    with pytest.raises(ValueError, match="not self-maintainable"):
+    with pytest.raises(ValueError, match="not in"):
         incremental_aggregate_view(
             base.limit(0),
             log,
             base,
             key_cols=["id"],
             group_cols=["val"],
-            measures=[("w", "max", "id")],
+            measures=[("w", "median", "id")],
         )
+
+
+MEASURES_MM = MEASURES + [("lo", "min", "id"), ("hi", "max", "id")]
+
+
+def _view_dict_mm(df):
+    return {
+        r["val"]: (r["n"], r["s"], r["m"], r["lo"], r["hi"])
+        for r in df.collect()
+    }
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log(), st.data())
+def test_incremental_minmax_equals_recompute(spark, events, data):
+    """min/max via bounded recompute of affected groups: deletions that
+    expose a second-best, group-membership moves, and replays must all
+    land on the recompute answer — for any interleaving and restart
+    point (groups here are near-per-row, so most groups vanish or churn:
+    the hardest regime for extremum maintenance)."""
+    commit_seqs = sorted(s for s, rt, _, _ in events if rt == "COMMTX")
+    if not commit_seqs:
+        return
+    watermark = data.draw(st.sampled_from(commit_seqs))
+    committed_at = {
+        tx for s, rt, tx, _ in events if rt == "COMMTX" and s <= watermark
+    }
+    base = apply_changes(
+        _log(spark, [e for e in events if e[2] in committed_at]),
+        key_cols=["id"],
+    )
+    prev = aggregate_view(base, ["val"], MEASURES_MM)
+    got = incremental_aggregate_view(
+        prev,
+        _log(spark, events + events),
+        base,
+        key_cols=["id"],
+        group_cols=["val"],
+        measures=MEASURES_MM,
+        last_committed_seq=watermark,
+    )
+    full = aggregate_view(
+        apply_changes(_log(spark, events), key_cols=["id"]),
+        ["val"],
+        MEASURES_MM,
+    )
+    assert _view_dict_mm(finalize_view(got, MEASURES_MM)) == _view_dict_mm(
+        finalize_view(full, MEASURES_MM)
+    )
 
 
 def test_incremental_path_semi_joins_base(spark):

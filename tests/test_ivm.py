@@ -263,3 +263,26 @@ def test_view_materializer_across_batches(spark, tmp_path):
     vm.process_batch(_log(spark, batches[1]), 1)  # checkpoint replay
     assert _view_dict(vm.read_view()) == before
     assert vm.read_view_state()["batch_id"] == len(batches) - 1
+
+    # same batches through a min/max-bearing view: the persisted
+    # extremal state must survive batch boundaries (carried for
+    # unaffected groups, recomputed for affected ones) and the TRUNCATE
+    # fallback, landing on the full recompute after every batch
+    from informixcdc_spark.streaming.pipeline import ViewMaterializer as VM
+
+    vmm = VM(
+        spark, str(tmp_path / "state_mm"), ["id"], ["val"], MEASURES_MM,
+        n_buckets=8,
+    )
+    cumulative = []
+    for bid, events in enumerate(batches):
+        cumulative += events
+        vmm.process_batch(_log(spark, events), bid)
+        full = aggregate_view(
+            apply_changes(_log(spark, cumulative), key_cols=["id"]),
+            ["val"],
+            MEASURES_MM,
+        )
+        assert _view_dict_mm(vmm.read_view()) == _view_dict_mm(
+            finalize_view(full, MEASURES_MM)
+        ), f"mm batch {bid}"

@@ -45,11 +45,14 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from informixcdc_spark.queries import all_queries  # noqa: E402
 from informixcdc_spark.session import get_spark  # noqa: E402
 
-#: one representative per family: CDC apply, dim join+agg, pure agg,
-#: windows, join variants, exact dedup, MinHash near-dup, vector top-k,
-#: benchmark decontamination, sessionization.
+#: one representative per family: CDC apply, consumer-side artifacts
+#: (savepoints + SCD2 history + compaction; incremental view), dim
+#: join+agg, pure agg, windows, join variants, exact dedup, MinHash
+#: near-dup, vector top-k, benchmark decontamination, sessionization.
 QUERIES = [
     "c01_cdc_apply_net_effect",
+    "c05_cdc_savepoint_state",
+    "c07_cdc_txn_summary",
     "q01_revenue_by_nation",
     "q02_pricing_summary",
     "b04_window_functions",

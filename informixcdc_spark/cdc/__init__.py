@@ -23,7 +23,7 @@ re-expresses that pipeline Spark-first:
   (snapshot + unsettled tail replaces the log prefix)
 """
 
-from informixcdc_spark.cdc.apply import apply_changes
+from informixcdc_spark.cdc.apply import apply_changes, apply_changes_by_table
 from informixcdc_spark.cdc.compact import compact_changelog
 from informixcdc_spark.cdc.history import as_of, history_table
 from informixcdc_spark.cdc.ivm import (
@@ -35,6 +35,7 @@ from informixcdc_spark.cdc.model import RecordType
 
 __all__ = [
     "apply_changes",
+    "apply_changes_by_table",
     "RecordType",
     "aggregate_view",
     "as_of",

@@ -235,6 +235,41 @@ def apply_changes(
     )
 
 
+def apply_changes_by_table(
+    changelog: DataFrame,
+    keys_by_table: dict[str, Sequence[str]],
+    last_committed_seq: int = 0,
+    bases: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Per-table net effect of a MULTI-TABLE change log.
+
+    The reference captures up to 64 tables in one session
+    (``ext/_informixcdcmodule.ec:52``) and interleaves their events in
+    one stream. :func:`apply_changes` keys its winner on ``key_cols``
+    alone, so two tables sharing key VALUES would collide if applied
+    together — this splits the stream per table first: each table's
+    sub-log keeps its own rows plus every table-less lifecycle record
+    (BEGINTX/COMMTX/RBTX/DISCARD/TIMEOUT carry no tabname), so
+    transaction assembly and replay discard stay correct per table.
+    Returns ``{tabname: final_rows}``; each apply is independent (a
+    TRUNCATE of one table never touches another — the floor join is
+    per-tabname already, this adds the key-space isolation).
+    """
+    out = {}
+    for tab, keys in keys_by_table.items():
+        sub = changelog.where(
+            (F.col("tabname") == tab) | F.col("tabname").isNull()
+        )
+        out[tab] = apply_changes(
+            sub,
+            keys,
+            last_committed_seq=last_committed_seq,
+            base=None if bases is None else bases.get(tab),
+            truncate_wipes_base=bases is not None,
+        )
+    return out
+
+
 def update_pairs(changelog: DataFrame, last_committed_seq: int = 0) -> DataFrame:
     """Reconstruct (before, after) row pairs from UPDBEF/UPDAFT records.
 

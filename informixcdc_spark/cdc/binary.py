@@ -258,13 +258,21 @@ def encode_record(
 
 def split_stream(buf: bytes) -> Iterator[bytes]:
     """Frame a raw byte stream into records (the fetchone frame check,
-    ``ext/_informixcdcmodule.ec:2245-2254``)."""
+    ``ext/_informixcdcmodule.ec:2245-2254``).
+
+    A trailing PARTIAL record (a chunked transport cutting mid-record —
+    fewer than 16 envelope bytes, or a frame longer than the remaining
+    buffer) is NOT yielded: emitting a truncated frame would decode
+    garbage downstream. Callers that stitch chunks retry the remainder
+    with the next chunk appended."""
     pos = 0
     while pos + ENVELOPE_SZ <= len(buf):
         header_sz, payload_sz, scheme, _tag = struct.unpack_from(">iiii", buf, pos)
         if scheme != PACKET_SCHEME:
             raise ValueError(f"bad packet scheme {scheme} at offset {pos}")
         sz = header_sz + payload_sz
+        if pos + sz > len(buf):
+            break  # incomplete trailing frame
         yield buf[pos : pos + sz]
         pos += sz
 

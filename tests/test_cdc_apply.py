@@ -276,3 +276,28 @@ def test_last_committed_monotonic(spark):
         ],
     )
     assert last_committed_seq(log).collect()[0][0] == 9
+
+
+def test_multi_table_apply_isolates_key_spaces(spark):
+    """64-table capture parity (ec:52): one interleaved stream, two
+    tables sharing key VALUES — per-table applies must not collide, and
+    a TRUNCATE of one table must not touch the other."""
+    from informixcdc_spark.cdc.apply import apply_changes_by_table
+
+    events = [
+        (1, "BEGINTX", 1, None),
+        (2, "INSERT", 1, (1, "a1"), "ta"),
+        (3, "INSERT", 1, (1, "b1"), "tb"),  # same key, different table
+        (4, "COMMTX", 1, None),
+        (5, "BEGINTX", 2, None),
+        (6, "UPDBEF", 2, (1, "a1"), "ta"),
+        (7, "UPDAFT", 2, (1, "a2"), "ta"),
+        (8, "TRUNCATE", 2, None, "tb"),
+        (9, "INSERT", 2, (2, "b2"), "tb"),
+        (10, "COMMTX", 2, None),
+    ]
+    out = apply_changes_by_table(
+        _log(spark, events), {"ta": ["id"], "tb": ["id"]}
+    )
+    assert _state(out["ta"]) == {1: "a2"}
+    assert _state(out["tb"]) == {2: "b2"}

@@ -87,3 +87,59 @@ def test_row_image_roundtrip_fuzz(values):
             assert len(got) == 16
         else:
             assert got == v, (name, v, got)
+
+
+# ---- stream framing fuzz (P1/P2): random record sequences survive
+# concatenation + re-framing; truncated tails are never yielded ----
+
+from informixcdc_spark.cdc.binary import (  # noqa: E402
+    encode_record,
+    split_stream,
+)
+from informixcdc_spark.cdc.model import RecordType  # noqa: E402
+
+_REC = st.sampled_from(
+    [
+        RecordType.BEGINTX,
+        RecordType.COMMTX,
+        RecordType.RBTX,
+        RecordType.DISCARD,
+        RecordType.TRUNCATE,
+        RecordType.TIMEOUT,
+    ]
+)
+
+
+@st.composite
+def record_stream(draw):
+    recs = []
+    for seq, rt in enumerate(draw(st.lists(_REC, max_size=12)), start=1):
+        recs.append(
+            encode_record(
+                rt,
+                seq=seq,
+                txid=draw(st.integers(0, 1 << 30)),
+                tabid=draw(st.integers(0, 1 << 20)),
+            )
+        )
+    return recs
+
+
+@settings(max_examples=200, derandomize=True, deadline=None)
+@given(record_stream())
+def test_split_stream_reframes_concatenation(recs):
+    assert list(split_stream(b"".join(recs))) == recs
+
+
+@settings(max_examples=200, derandomize=True, deadline=None)
+@given(record_stream(), st.data())
+def test_split_stream_never_yields_truncated_tail(recs, data):
+    buf = b"".join(recs)
+    if not buf:
+        return
+    cut = data.draw(st.integers(0, len(buf) - 1))
+    got = list(split_stream(buf[:cut]))
+    # every yielded frame is one of the complete originals, in order
+    assert got == recs[: len(got)]
+    # and the cut frame itself was withheld, not emitted short
+    assert sum(len(r) for r in got) <= cut

@@ -286,3 +286,31 @@ def test_view_materializer_across_batches(spark, tmp_path):
         assert _view_dict_mm(vmm.read_view()) == _view_dict_mm(
             finalize_view(full, MEASURES_MM)
         ), f"mm batch {bid}"
+
+
+def test_view_snapshot_gc_bounds_view_dir(spark, tmp_path):
+    """View storage must stay O(GC_KEEP_VIEWS), independent of how many
+    batches ran (same contract as the table materializer's snapshot GC)."""
+    import os
+
+    from informixcdc_spark.streaming.pipeline import ViewMaterializer
+
+    vm = ViewMaterializer(
+        spark, str(tmp_path / "state"), ["id"], ["val"], MEASURES, n_buckets=4
+    )
+    for bid in range(6):
+        events = [
+            (bid * 10 + 1, "BEGINTX", bid + 1, None),
+            (bid * 10 + 2, "INSERT", bid + 1, (bid, f"v{bid}")),
+            (bid * 10 + 3, "COMMTX", bid + 1, None),
+        ]
+        vm.process_batch(_log(spark, events), bid)
+    view_dirs = [
+        d
+        for d in os.listdir(tmp_path / "state" / "view")
+        if d.startswith("v") and not d.endswith(".json")
+    ]
+    assert len(view_dirs) <= vm.GC_KEEP_VIEWS
+    assert {r["val"] for r in vm.read_view().collect()} == {
+        f"v{b}" for b in range(6)
+    }

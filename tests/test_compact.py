@@ -83,3 +83,51 @@ def test_compaction_composes(spark, events, data):
         )
     )
     assert got == _serial_reference(events)
+
+
+@settings(
+    max_examples=20,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log(), st.data())
+def test_compacted_log_feeds_incremental_views(spark, events, data):
+    """Cross-operator composition (the deployment story): compact the
+    log, bootstrap a view from the snapshot, then refresh it
+    incrementally from the tail — the result must equal the view
+    recomputed from the full uncompacted log, for any watermark."""
+    from informixcdc_spark.cdc.ivm import (
+        aggregate_view,
+        finalize_view,
+        incremental_aggregate_view,
+    )
+
+    commit_seqs = sorted(s for s, rt, _, _ in events if rt == "COMMTX")
+    if not commit_seqs:
+        return
+    w = data.draw(st.sampled_from(commit_seqs))
+    measures = [("n", "count", "id"), ("s", "sum", "id"), ("hi", "max", "id")]
+    snap, tail = compact_changelog(_log(spark, events), ["id"], w)
+    got = finalize_view(
+        incremental_aggregate_view(
+            aggregate_view(snap, ["val"], measures),
+            tail,
+            snap,
+            key_cols=["id"],
+            group_cols=["val"],
+            measures=measures,
+            last_committed_seq=w,
+        ),
+        measures,
+    )
+    full = finalize_view(
+        aggregate_view(
+            apply_changes(_log(spark, events), ["id"]), ["val"], measures
+        ),
+        measures,
+    )
+    as_dict = lambda df: {  # noqa: E731
+        r["val"]: (r["n"], r["s"], r["hi"]) for r in df.collect()
+    }
+    assert as_dict(got) == as_dict(full)

@@ -20,13 +20,21 @@ Maps the reference's execution loop (SURVEY.md §3.3) onto micro-batches:
 
 State layout under ``state_dir``: the target table is hash-bucketed by
 key into ``n_buckets`` buckets; each micro-batch rewrites ONLY the
-buckets its keys touch (``target/b{batch}/k={bucket}``), and
-``state.json`` is the atomic pointer mapping every bucket to the batch
-directory holding its current rows. ``pending/v{n}`` holds events of
-still-open transactions (the opntxns analog — O(open txns), rewritten
-whole). Snapshots are versioned-then-pointed so a crash mid-write never
-tears the readable state; a replayed batch rewrites the same paths
-before the pointer moves, so recovery stays exactly-once.
+buckets its keys touch (``target/b{batch}/k={bucket}``), and an atomic
+state pointer maps every bucket to the batch directory holding its
+current rows. ``pending/v{n}`` holds events of still-open transactions
+(the opntxns analog — O(open txns), rewritten whole). Snapshots are
+versioned-then-pointed so a crash mid-write never tears the readable
+state; a replayed batch rewrites the same paths before the pointer
+moves, so recovery stays exactly-once.
+
+The pointer-commit protocol itself lives behind
+:class:`informixcdc_spark.streaming.statestore.StateStore`:
+``PosixStateStore`` (atomic-rename ``state.json``, for local/NFS) and
+``ManifestStateStore`` (rename-free versioned manifests, for object
+stores with atomic PUT but no rename) are interchangeable here — the
+reference sidesteps the problem by keeping this state in the server
+(``sql/informixcdc.sql:7-38``), which has no cluster analog.
 
 Bucket-scoping is the 100 TB property: per-batch write cost is
 O(touched buckets), not O(table). The previous design rewrote the full
@@ -38,7 +46,6 @@ plain parquet.
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Sequence
 
@@ -48,6 +55,7 @@ from pyspark.sql import functions as F
 from informixcdc_spark.cdc.apply import apply_changes
 from informixcdc_spark.cdc.model import RecordType
 from informixcdc_spark.sources.changelog import read_changelog_stream
+from informixcdc_spark.streaming.statestore import PosixStateStore, StateStore
 
 _TERMINATORS = [RecordType.COMMTX.name, RecordType.RBTX.name, RecordType.DISCARD.name]
 _IUD_TYPES = [
@@ -72,45 +80,40 @@ class Materializer:
         state_dir: str,
         key_cols: Sequence[str],
         n_buckets: int = 64,
+        store: StateStore | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
-        os.makedirs(state_dir, exist_ok=True)
+        #: pointer-commit protocol (statestore.py); default keeps the
+        #: local-filesystem behavior, ManifestStateStore is the
+        #: object-store-safe drop-in
+        self.store = store if store is not None else PosixStateStore(state_dir)
 
     # -- state pointer ------------------------------------------------------
-    def _state_path(self) -> str:
-        return os.path.join(self.state_dir, "state.json")
-
     def read_state(self) -> dict:
-        try:
-            with open(self._state_path()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {
-                "batch_id": -1,
-                "last_committed_seq": 0,
-                # bucket id (str) -> batch id of the dir holding its rows
-                "buckets": {},
-                "pending_version": -1,
-            }
+        st = self.store.read_state()
+        return st if st is not None else {
+            "batch_id": -1,
+            "last_committed_seq": 0,
+            # bucket id (str) -> batch id of the dir holding its rows
+            "buckets": {},
+            "pending_version": -1,
+        }
 
     def _write_state(self, state: dict) -> None:
-        tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self._state_path())  # atomic pointer swap
+        self.store.commit_state(state)
 
     # -- snapshots ----------------------------------------------------------
     def _bucket_dir(self, batch_id: int) -> str:
-        return os.path.join(self.state_dir, "target", f"b{batch_id}")
+        return self.store.path("target", f"b{batch_id}")
 
     def _bucket_path(self, bucket: str, batch_id: int) -> str:
         return os.path.join(self._bucket_dir(batch_id), f"k={bucket}")
 
     def _pending_snap(self, version: int) -> str:
-        return os.path.join(self.state_dir, "pending", f"v{version}")
+        return self.store.path("pending", f"v{version}")
 
     def _read_buckets(self, paths: list[str]) -> DataFrame | None:
         if not paths:
@@ -219,10 +222,10 @@ class Materializer:
         # a touched bucket with zero surviving rows writes no k= dir —
         # it drops out of the pointer map (empty bucket)
         written = set()
-        if touched and os.path.isdir(self._bucket_dir(batch_id)):
+        if touched:
             written = {
                 d[2:]
-                for d in os.listdir(self._bucket_dir(batch_id))
+                for d in self.store.listdir("target", f"b{batch_id}")
                 if d.startswith("k=")
             }
         buckets = {k: v for k, v in st["buckets"].items() if k not in touched}
@@ -259,37 +262,31 @@ class Materializer:
         ``GC_KEEP_PENDING`` versions. Leaves the state dir holding
         O(n_buckets) + O(GC_KEEP_PENDING) entries, independent of stream
         lifetime. Single-writer contract (one streaming query per state
-        dir) — same assumption the pointer swap already makes.
+        dir) — same assumption the pointer swap already makes. All IO
+        goes through the store's list/delete surface (object-store LIST
+        + DELETE, both safe without rename).
         """
-        import shutil
-
-        target_root = os.path.join(self.state_dir, "target")
         # bucket id -> owning batch dir; a dir lives iff some bucket maps to it
         live_by_dir: dict[str, set[str]] = {}
         for bucket, bid in state["buckets"].items():
             live_by_dir.setdefault(f"b{bid}", set()).add(f"k={bucket}")
-        if os.path.isdir(target_root):
-            for d in os.listdir(target_root):
-                live_subdirs = live_by_dir.get(d)
-                if live_subdirs is None:
-                    shutil.rmtree(os.path.join(target_root, d), ignore_errors=True)
-                    continue
-                for sub in os.listdir(os.path.join(target_root, d)):
-                    if sub.startswith("k=") and sub not in live_subdirs:
-                        shutil.rmtree(
-                            os.path.join(target_root, d, sub), ignore_errors=True
-                        )
+        for d in self.store.listdir("target"):
+            live_subdirs = live_by_dir.get(d)
+            if live_subdirs is None:
+                self.store.delete_tree("target", d)
+                continue
+            for sub in self.store.listdir("target", d):
+                if sub.startswith("k=") and sub not in live_subdirs:
+                    self.store.delete_tree("target", d, sub)
 
-        pending_root = os.path.join(self.state_dir, "pending")
         floor = state["pending_version"] - (self.GC_KEEP_PENDING - 1)
-        if os.path.isdir(pending_root):
-            for d in os.listdir(pending_root):
-                try:
-                    version = int(d.lstrip("v"))
-                except ValueError:
-                    continue
-                if version < floor:
-                    shutil.rmtree(os.path.join(pending_root, d), ignore_errors=True)
+        for d in self.store.listdir("pending"):
+            try:
+                version = int(d.lstrip("v"))
+            except ValueError:
+                continue
+            if version < floor:
+                self.store.delete_tree("pending", d)
 
 
 class ViewMaterializer:
@@ -325,28 +322,28 @@ class ViewMaterializer:
         group_cols: Sequence[str],
         measures: Sequence[tuple[str, str, str]],
         n_buckets: int = 64,
+        store_cls: type[StateStore] = PosixStateStore,
     ):
         self.spark = spark
         self.state_dir = state_dir
         self.group_cols = list(group_cols)
         self.measures = list(measures)
         self.table = Materializer(
-            spark, os.path.join(state_dir, "table"), key_cols, n_buckets
+            spark,
+            os.path.join(state_dir, "table"),
+            key_cols,
+            n_buckets,
+            store=store_cls(os.path.join(state_dir, "table")),
         )
-        os.makedirs(os.path.join(state_dir, "view"), exist_ok=True)
-
-    def _view_state_path(self) -> str:
-        return os.path.join(self.state_dir, "view", "view.json")
+        #: the view's own pointer, committed through the same protocol
+        self.view_store = store_cls(os.path.join(state_dir, "view"))
 
     def _view_snap(self, batch_id: int) -> str:
-        return os.path.join(self.state_dir, "view", f"v{batch_id}")
+        return self.view_store.path(f"v{batch_id}")
 
     def read_view_state(self) -> dict:
-        try:
-            with open(self._view_state_path()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {"batch_id": -1}
+        st = self.view_store.read_state()
+        return st if st is not None else {"batch_id": -1}
 
     def read_view(self, finalized: bool = True) -> DataFrame | None:
         """The current maintained view; ``finalized=True`` renders
@@ -393,18 +390,12 @@ class ViewMaterializer:
             # write from pre-state paths BEFORE the table advances (the
             # table's GC may delete the buckets this plan reads)
             new_view.write.mode("overwrite").parquet(self._view_snap(batch_id))
-            tmp = self._view_state_path() + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"batch_id": batch_id}, f)
-            os.replace(tmp, self._view_state_path())
+            self.view_store.commit_state({"batch_id": batch_id})
 
         self.table.process_batch(batch_df, batch_id)
 
-        import shutil
-
-        view_root = os.path.join(self.state_dir, "view")
         floor = batch_id - (self.GC_KEEP_VIEWS - 1)
-        for d in os.listdir(view_root):
+        for d in self.view_store.listdir():
             if not d.startswith("v") or d.endswith(".json"):
                 continue
             try:
@@ -412,7 +403,7 @@ class ViewMaterializer:
             except ValueError:
                 continue
             if version < floor:
-                shutil.rmtree(os.path.join(view_root, d), ignore_errors=True)
+                self.view_store.delete_tree(d)
 
 
 class CdcEngine:
@@ -569,9 +560,15 @@ class CdcEngine:
         state_dir: str,
         checkpoint_dir: str,
         available_now: bool = True,
+        store_cls: type[StateStore] = PosixStateStore,
     ):
-        """Start the exactly-once materialization query."""
-        mat = Materializer(self.spark, state_dir, key_cols)
+        """Start the exactly-once materialization query. ``store_cls``
+        picks the pointer-commit protocol (``PosixStateStore`` for
+        rename-capable filesystems, ``ManifestStateStore`` for object
+        stores)."""
+        mat = Materializer(
+            self.spark, state_dir, key_cols, store=store_cls(state_dir)
+        )
         stream = self.activate(row_struct, materializer=None)
         writer = (
             stream.writeStream.foreachBatch(mat.process_batch)
@@ -591,11 +588,19 @@ class CdcEngine:
         state_dir: str,
         checkpoint_dir: str,
         available_now: bool = True,
+        store_cls: type[StateStore] = PosixStateStore,
     ):
         """Start the exactly-once aggregate-view query: the table AND the
         incrementally-maintained view (``cdc/ivm.py``) advance together
         per micro-batch."""
-        vm = ViewMaterializer(self.spark, state_dir, key_cols, group_cols, measures)
+        vm = ViewMaterializer(
+            self.spark,
+            state_dir,
+            key_cols,
+            group_cols,
+            measures,
+            store_cls=store_cls,
+        )
         stream = self.activate(row_struct, materializer=None)
         writer = (
             stream.writeStream.foreachBatch(vm.process_batch)

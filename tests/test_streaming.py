@@ -12,9 +12,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from informixcdc_spark.streaming.pipeline import CdcEngine, Materializer
+from informixcdc_spark.streaming.statestore import (
+    ManifestStateStore,
+    PosixStateStore,
+)
 from tests.test_cdc_apply import SCHEMA, _log
 
 ROW = StructType([StructField("id", LongType()), StructField("val", StringType())])
+
+#: both pointer-commit protocols must satisfy every materializer
+#: contract — the Posix (rename) and Manifest (rename-free,
+#: object-store-safe) stores are interchangeable by design
+STORES = [PosixStateStore, ManifestStateStore]
+
+
+@pytest.fixture(params=STORES, ids=["posix", "manifest"])
+def store_cls(request):
+    return request.param
+
+
+def _mat(spark, state_dir, store_cls, **kw):
+    return Materializer(
+        spark, state_dir, ["id"], store=store_cls(state_dir), **kw
+    )
 
 
 def _write(df, path):
@@ -110,10 +130,10 @@ def test_restart_resumes_exactly_once(spark, tmp_path):
     assert mat.read_state()["last_committed_seq"] == 7
 
 
-def test_replayed_batch_is_idempotent(spark, tmp_path):
+def test_replayed_batch_is_idempotent(spark, tmp_path, store_cls):
     # direct probe of the batchId guard: calling process_batch twice with
     # the same id must be a no-op the second time
-    mat = Materializer(spark, str(tmp_path / "state"), ["id"])
+    mat = _mat(spark, str(tmp_path / "state"), store_cls)
     batch = _log(
         spark,
         [
@@ -129,8 +149,8 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert _target_state(mat) == {10: "a"}
 
 
-def test_watermark_never_regresses(spark, tmp_path):
-    mat = Materializer(spark, str(tmp_path / "state"), ["id"])
+def test_watermark_never_regresses(spark, tmp_path, store_cls):
+    mat = _mat(spark, str(tmp_path / "state"), store_cls)
     mat.process_batch(
         _log(spark, [(9, "BEGINTX", 1, None), (10, "INSERT", 1, (1, "x")), (11, "COMMTX", 1, None)]),
         0,
@@ -145,10 +165,10 @@ def test_watermark_never_regresses(spark, tmp_path):
     assert mat.read_state()["last_committed_seq"] == 11
 
 
-def test_small_batch_rewrites_only_touched_buckets(spark, tmp_path):
+def test_small_batch_rewrites_only_touched_buckets(spark, tmp_path, store_cls):
     """Write amplification must be O(batch), not O(table): after a wide
     initial batch, a single-key batch may rewrite at most one bucket."""
-    mat = Materializer(spark, str(tmp_path / "state"), ["id"], n_buckets=16)
+    mat = _mat(spark, str(tmp_path / "state"), store_cls, n_buckets=16)
     wide = [(1, "BEGINTX", 1, None)]
     wide += [(2 + i, "INSERT", 1, (i, f"v{i}")) for i in range(100)]
     wide += [(200, "COMMTX", 1, None)]
@@ -178,10 +198,10 @@ def test_small_batch_rewrites_only_touched_buckets(spark, tmp_path):
     assert state[7] == "v7b" and state[3] == "v3" and len(state) == 100
 
 
-def test_delete_empties_bucket_pointer(spark, tmp_path):
+def test_delete_empties_bucket_pointer(spark, tmp_path, store_cls):
     """A bucket whose last row is deleted must drop from the pointer map
     (no dangling path), and the target view must stay readable."""
-    mat = Materializer(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    mat = _mat(spark, str(tmp_path / "state"), store_cls, n_buckets=4)
     mat.process_batch(
         _log(
             spark,
@@ -209,12 +229,12 @@ def test_delete_empties_bucket_pointer(spark, tmp_path):
     assert mat.read_state()["buckets"] == {}
 
 
-def test_snapshot_gc_bounds_state_dir(spark, tmp_path):
+def test_snapshot_gc_bounds_state_dir(spark, tmp_path, store_cls):
     """Storage must be O(buckets) + O(GC_KEEP_PENDING), independent of
     how many batches ever ran — without GC a long-running stream leaks
     its entire snapshot history."""
     state_dir = str(tmp_path / "state")
-    mat = Materializer(spark, state_dir, ["id"], n_buckets=4)
+    mat = _mat(spark, state_dir, store_cls, n_buckets=4)
     n_batches = 6
     for b in range(n_batches):
         seq = b * 10
@@ -565,3 +585,60 @@ def test_end_to_end_view_materialization(spark, tmp_path):
         aggregate_view(vm.table.read_target(), ["val"], measures), measures
     )
     assert {r["val"]: (r["n"], r["s"]) for r in recomputed.collect()} == got
+
+
+def test_restart_exactly_once_on_manifest_store(spark, tmp_path):
+    """The full checkpoint-restart exactly-once path (the reference's
+    savepoint resume, §2.8) must hold when EVERY pointer commit goes
+    through the rename-free ManifestStateStore — the protocol a real
+    cluster would run against object storage."""
+    src = str(tmp_path / "log")
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _write(
+        _log(
+            spark,
+            [
+                (1, "BEGINTX", 1, None),
+                (2, "INSERT", 1, (10, "a")),
+                (3, "COMMTX", 1, None),
+            ],
+        ),
+        src,
+    )
+    eng = CdcEngine(spark)
+    eng.connect(src)
+    q, mat = eng.materialize(
+        ROW, ["id"], state_dir, ckpt, store_cls=ManifestStateStore
+    )
+    q.awaitTermination(120)
+    assert isinstance(mat.store, ManifestStateStore)
+    assert _target_state(mat) == {10: "a"}
+
+    # doubled delivery across the restart: the update txn plus a replay
+    # of the already-applied first txn — the watermark must discard it
+    _write(
+        _log(
+            spark,
+            [
+                (1, "BEGINTX", 1, None),
+                (2, "INSERT", 1, (10, "a")),
+                (3, "COMMTX", 1, None),
+                (4, "BEGINTX", 2, None),
+                (5, "UPDBEF", 2, (10, "a")),
+                (6, "UPDAFT", 2, (10, "a2")),
+                (7, "COMMTX", 2, None),
+            ],
+        ),
+        src,
+    )
+    eng2 = CdcEngine(spark)
+    eng2.connect(src)
+    q2, mat2 = eng2.materialize(
+        ROW, ["id"], state_dir, ckpt, store_cls=ManifestStateStore
+    )
+    q2.awaitTermination(120)
+    assert _target_state(mat2) == {10: "a2"}
+    assert mat2.read_state()["last_committed_seq"] == 7
+    # the manifest prefix stayed bounded across all micro-batches
+    n = len(os.listdir(os.path.join(state_dir, "manifest")))
+    assert n <= ManifestStateStore.KEEP_MANIFESTS

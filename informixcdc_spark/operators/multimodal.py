@@ -298,13 +298,216 @@ def _png_dimensions(raw: bytes):
     return width, height, _PNG_CHANNELS.get(raw[25])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(raw: bytes):
+    """Walk the PNG chunk stream, yielding (type, data) with CRC checks
+    (layout + CRC scope per the PNG spec, ISO/IEC 15948 §5.3)."""
+    import zlib
+
+    pos = 8
+    while pos + 8 <= len(raw):
+        n = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + n]
+        if len(data) != n:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(raw[pos + 8 + n : pos + 12 + n], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + n
+
+
+def _unfilter_scanline(ft: int, cur, prev, bpp: int):
+    """Reconstruct one scanline from its filtered bytes (PNG filter
+    types 0-4, spec §9.2). ``cur``/``prev`` are uint8 arrays (prev =
+    zeros for the first scanline); uint8 arithmetic wraps mod 256,
+    exactly the spec's unsigned-byte addition."""
+    import numpy as np
+
+    if ft == 0:  # None
+        return cur
+    if ft == 2:  # Up
+        return cur + prev
+    if ft == 1:  # Sub: per byte-lane running sum mod 256
+        lanes = len(cur) // bpp  # scanline length is a bpp multiple
+        recon = (
+            np.cumsum(cur[: lanes * bpp].reshape(lanes, bpp), axis=0, dtype=np.uint64)
+            & 0xFF
+        ).astype(np.uint8).reshape(-1)
+        return recon
+    recon = cur.copy()
+    if ft == 3:  # Average (floor of left+up mean; sequential in-row)
+        for i in range(len(recon)):
+            left = int(recon[i - bpp]) if i >= bpp else 0
+            recon[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+        return recon
+    if ft == 4:  # Paeth predictor (spec §9.4)
+        for i in range(len(recon)):
+            a = int(recon[i - bpp]) if i >= bpp else 0  # left
+            b = int(prev[i])  # up
+            c = int(prev[i - bpp]) if i >= bpp else 0  # upper-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            recon[i] = (int(cur[i]) + pred) & 0xFF
+        return recon
+    raise ValueError(f"unknown PNG filter type {ft}")
+
+
+def decode_png(raw: bytes):
+    """REAL PNG raster decode with stdlib ``zlib`` + numpy — no codec
+    library: IDAT inflate, per-scanline unfilter (None/Sub/Up/Average/
+    Paeth), palette expansion. Returns (width, height, channels,
+    ndarray[h, w, c]). Supports the 8-bit non-interlaced profile (color
+    types 0/2/3/4/6); 16-bit and Adam7 raise the documented boundary."""
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(raw):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "PNG decode covers the 8-bit non-interlaced profile; "
+            f"got bit_depth={bit_depth} interlace={interlace}"
+        )
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    stride = width * channels  # bytes per scanline (bpp = channels at depth 8)
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if flat.size != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    lines = flat.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        prev = _unfilter_scanline(int(lines[y, 0]), lines[y, 1:], prev, channels)
+        out[y] = prev
+    arr = out.reshape(height, width, channels)
+    if color_type == 3:  # palette indices -> RGB
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        arr = palette[arr[:, :, 0]]
+        channels = 3
+    return width, height, channels, arr
+
+
+def _filter_scanline(ft: int, cur, prev, bpp: int):
+    """Forward PNG filter (the encoder side of :func:`_unfilter_scanline`)
+    — fixture builder so tests can exercise every reconstruction path."""
+    import numpy as np
+
+    cur = cur.astype(np.int16)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    up = prev.astype(np.int16)
+    upleft = np.zeros_like(up)
+    upleft[bpp:] = up[:-bpp]
+    if ft == 0:
+        out = cur
+    elif ft == 1:
+        out = cur - left
+    elif ft == 2:
+        out = cur - up
+    elif ft == 3:
+        out = cur - (left + up) // 2
+    elif ft == 4:
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        out = cur - pred
+    else:
+        raise ValueError(f"unknown PNG filter type {ft}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    filters=None,
+    palette: bytes | None = None,
+) -> bytes:
+    """Minimal valid PNG encoder (8-bit, non-interlaced) — fixture
+    builder for :func:`decode_png`. ``filters`` picks the per-scanline
+    filter type (default: cycle 0..4 so every unfilter path is hit).
+    For color type 3, ``pixels`` are palette indices and ``palette`` is
+    the RGB-triple PLTE payload."""
+    import zlib
+
+    import numpy as np
+
+    channels = _PNG_CHANNELS[color_type]
+    if (color_type == 3) != (palette is not None):
+        raise ValueError("palette iff color type 3")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer size != h*w*c")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    body = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = filters[y] if filters is not None else y % 5
+        body.append(ft)
+        body += _filter_scanline(ft, arr[y], prev, channels).tobytes()
+        prev = arr[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    plte = chunk(b"PLTE", palette) if palette is not None else b""
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + plte
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def image_dimensions(raw: bytes):
     """Best-effort (format, width, height, channels) from header bytes
     alone — JPEG (SOF marker walk), PNG (IHDR), binary PNM. No codec
     library involved, so real-world image columns get real metadata even
     in minimal containers; full pixel decode of compressed formats still
-    needs PIL (:func:`decode_image`). Returns (None, None, None, None)
-    for unrecognized payloads."""
+    needs PIL (:func:`decode_image`) except PNG, which decodes for real
+    via :func:`decode_png`. Returns (None, None, None, None) for
+    unrecognized payloads."""
     dims = _jpeg_dimensions(raw)
     if dims is not None:
         return ("jpeg", *dims)
@@ -399,11 +602,13 @@ IMAGE_FEATURE_SCHEMA = (
 
 def decode_image(binary_df: DataFrame) -> DataFrame:
     """REAL image decode + feature extraction over an opaque binary
-    column: PPM/PGM rasters decode with numpy (always available);
-    anything else uses PIL when present, else raises the documented
-    codec boundary. Output: dimensions + per-channel mean/std — the
-    Arrow-batched ``mapInPandas`` shape a CLIP-style embedding stage
-    would use, with real pixels."""
+    column: PPM/PGM rasters decode with numpy and PNG decodes with
+    stdlib zlib + numpy unfiltering (:func:`decode_png`) — both always
+    available; anything else uses PIL when present, else raises the
+    documented codec boundary (JPEG entropy decode without a library is
+    not worth reimplementing). Output: dimensions + per-channel
+    mean/std — the Arrow-batched ``mapInPandas`` shape a CLIP-style
+    embedding stage would use, with real pixels."""
     use_pil = pil_available()
 
     def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -415,6 +620,8 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
                 raw = bytes(b)
                 if raw[:2] in (b"P5", b"P6"):
                     w, h, c, arr = _parse_pnm(raw)
+                elif raw[:8] == _PNG_SIG:
+                    w, h, c, arr = decode_png(raw)
                 elif use_pil:  # pragma: no cover - PIL absent here
                     import io
 
@@ -428,7 +635,7 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "compressed-image codecs (PIL) unavailable; payload "
-                        "is not PPM/PGM — install pillow or supply rasters"
+                        "is not PPM/PGM/PNG — install pillow or supply rasters"
                     )
                 flat = arr.reshape(-1, c).astype(np.float64)
                 ids.append(int(doc_id))
@@ -452,11 +659,12 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
 
 
 def resize_image(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize (area/box resampling) for PPM payloads: decode
-    with numpy, mean-pool each destination cell over its source box,
-    re-encode as PPM. Binary-in/binary-out — the exact stage shape a
-    thumbnailing / training-resolution-normalization pipeline needs.
-    Output schema matches :func:`resize_stub` (RESIZE_SCHEMA)."""
+    """REAL image resize (area/box resampling) for PPM/PGM/PNG payloads:
+    decode with numpy (PNG via :func:`decode_png`), mean-pool each
+    destination cell over its source box, re-encode as PPM.
+    Binary-in/binary-out — the exact stage shape a thumbnailing /
+    training-resolution-normalization pipeline needs. Output schema
+    matches :func:`resize_stub` (RESIZE_SCHEMA)."""
 
     def _resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -464,9 +672,18 @@ def resize_image(binary_df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
-                w0, h0, c, arr = _parse_pnm(bytes(b))
+                raw = bytes(b)
+                if raw[:8] == _PNG_SIG:
+                    w0, h0, c, arr = decode_png(raw)
+                    arr = arr[:, :, :3]  # drop alpha for the P6 re-encode
+                    c = arr.shape[2]
+                else:
+                    w0, h0, c, arr = _parse_pnm(raw)
                 if c == 1:  # promote grayscale so output is always P6
                     arr = np.repeat(arr, 3, axis=2)
+                    c = 3
+                elif c == 2:  # gray+alpha: gray channel only, promoted
+                    arr = np.repeat(arr[:, :, :1], 3, axis=2)
                     c = 3
                 # box resample: split source rows/cols into dest-many
                 # groups (sizes differ by at most 1) and mean-pool

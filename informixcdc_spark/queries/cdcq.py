@@ -405,13 +405,34 @@ def c08_cdc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# c09 — the full Structured Streaming pipeline (S1–S6): changelog written
-# to a directory, streamed with maxFilesPerTrigger-batched micro-batches
-# through the exactly-once foreachBatch materializer, final target table
-# must equal the closed-form oracle. Not benched (spins up a streaming
-# query with checkpointing).
+# c09 — the full Structured Streaming pipeline (S1–S6) as a two-arm
+# tagged union, both arms reaching the identical closed-form final state:
+#   'parquet' — changelog directory streamed with maxFilesPerTrigger
+#     micro-batches through the exactly-once foreachBatch materializer;
+#   'binlog'  — the same state reached THROUGH the custom Python Data
+#     Source's streamReader (sources/binlog.py) with a kill/restart in
+#     the middle of the capture AND in the middle of a transaction: run 1
+#     consumes the head capture files and terminates with the split
+#     transaction still open; more files then arrive; run 2 resumes from
+#     the same checkpoint, where the source's offset log must skip every
+#     consumed file while the materializer's pending state completes the
+#     open transaction. This grades the seam between the custom source's
+#     offset commit and the materializer's idempotency (the reference's
+#     savepoint resume, R2–R4, driven end-to-end through S1).
+# Not benched (spins up streaming queries with checkpointing).
 # ---------------------------------------------------------------------------
-@register("c09_cdc_stream_materialize", oracle=_FINAL_STATE_ORACLE, bench=False)
+_FINAL_STATE_BOTH_PATHS_ORACLE = f"""
+    SELECT 'parquet' AS mode, * FROM ({_FINAL_STATE_ORACLE})
+    UNION ALL
+    SELECT 'binlog' AS mode, * FROM ({_FINAL_STATE_ORACLE})
+"""
+
+
+@register(
+    "c09_cdc_stream_materialize",
+    oracle=_FINAL_STATE_BOTH_PATHS_ORACLE,
+    bench=False,
+)
 def c09_cdc_stream_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -451,6 +472,63 @@ def c09_cdc_stream_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_struct, ["o_orderkey"], f"{workdir}/state", f"{workdir}/ckpt"
     )
     q.awaitTermination(300)
+    parquet_arm = mat.read_target().select(F.lit("parquet").alias("mode"), "*")
+
+    binlog_arm = _binlog_stream_restart_state(spark, log, workdir).select(
+        F.lit("binlog").alias("mode"), "*"
+    )
+    return parquet_arm.unionByName(binlog_arm)
+
+
+def _binlog_stream_restart_state(
+    spark: SparkSession, log: DataFrame, workdir: str
+) -> DataFrame:
+    """Materialize ``log`` through the ``cdc-binlog`` streamReader with a
+    mid-capture, mid-transaction kill/resume (c09's 'binlog' arm; pytest
+    twin in tests/test_binlog_source.py). Returns the final table."""
+    from informixcdc_spark.cdc.binary import decode_envelope_df
+    from informixcdc_spark.cdc.typemap import parse_ddl
+    from informixcdc_spark.sources.binlog import (
+        register_binlog_source,
+        write_capture_from_changelog,
+    )
+    from informixcdc_spark.streaming.pipeline import Materializer
+
+    register_binlog_source(spark)
+    wire = parse_ddl(_ORDERS_DDL)
+    cap = f"{workdir}/capture"
+    # the split lands INSIDE transaction `mid` (its events are seqs
+    # mid*10..mid*10+9): run 1 ends with that txn open in pending state
+    mid = log.agg((F.max("transaction_id") / 2).cast("long")).collect()[0][0]
+    split = mid * 10 + 4
+    write_capture_from_changelog(
+        log.where(F.col("seq_number") <= split), wire, _ORDERS_TABID, cap, prefix="a"
+    )
+    mat = Materializer(spark, f"{workdir}/binlog_state", ["o_orderkey"])
+
+    def _apply(df: DataFrame, batch_id: int) -> None:
+        typed = decode_envelope_df(df, {_ORDERS_TABID: wire}, _ORDERS_TABID, "orders")
+        mat.process_batch(typed, batch_id)
+
+    def _run() -> None:
+        q = (
+            spark.readStream.format("cdc-binlog")
+            .option("path", cap)
+            .load()
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", f"{workdir}/binlog_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()  # run 1: head files only, then the query terminates (the kill)
+    # the tail arrives (names sort after the consumed 'a-*' files — the
+    # source's offsets are consumed-file counts over the sorted listing)
+    write_capture_from_changelog(
+        log.where(F.col("seq_number") > split), wire, _ORDERS_TABID, cap, prefix="b"
+    )
+    _run()  # run 2: resumes from the same checkpoint past consumed files
     return mat.read_target()
 
 

@@ -111,3 +111,71 @@ def test_stream_pos_totally_orders_capture(spark, tmp_path):
     register_binlog_source(spark)
     raw = spark.read.format("cdc-binlog").option("path", path).load()
     assert raw.select("stream_pos").distinct().count() == n
+
+
+def test_materialize_through_stream_restart_mid_transaction(spark, tmp_path):
+    """The c09 'binlog' arm's pytest twin: kill the availableNow run with
+    a transaction still open mid-capture, resume from the same
+    checkpoint, and require (a) the final table equals the batch apply of
+    the full log, (b) the resumed run read ONLY the files that arrived
+    after the kill — the seam between the source's offset commit and the
+    materializer's pending-state carry."""
+    from informixcdc_spark.cdc.apply import apply_changes
+    from informixcdc_spark.cdc.binary import decode_envelope_df
+    from informixcdc_spark.streaming.pipeline import Materializer
+
+    log = orders_changelog(spark, "/root/testdata/sf0.001")
+    wire = parse_ddl(_ORDERS_DDL)
+    register_binlog_source(spark)
+    cap = str(tmp_path / "cap")
+    mid = log.agg((F.max("transaction_id") / 2).cast("long")).collect()[0][0]
+    split = mid * 10 + 4  # inside txn `mid`: open across the restart
+    head = log.where(F.col("seq_number") <= split)
+    tail = log.where(F.col("seq_number") > split)
+    write_capture_from_changelog(head, wire, _ORDERS_TABID, cap, prefix="a")
+
+    mat = Materializer(spark, str(tmp_path / "state"), ["o_orderkey"])
+    seen = []  # envelope rows per processed micro-batch
+
+    def _apply(df, batch_id):
+        df = df.localCheckpoint(eager=True)  # count + decode, one read
+        seen.append(df.count())
+        typed = decode_envelope_df(df, {_ORDERS_TABID: wire}, _ORDERS_TABID, "orders")
+        mat.process_batch(typed, batch_id)
+
+    def _run():
+        q = (
+            spark.readStream.format("cdc-binlog")
+            .option("path", cap)
+            .load()
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    n_head = sum(seen)
+    assert n_head == head.count()
+    # the split transaction is open: it sits in pending, not the target
+    pending_tx = {
+        r["transaction_id"]
+        for r in mat.read_pending().select("transaction_id").distinct().collect()
+    }
+    assert mid in pending_tx
+
+    write_capture_from_changelog(tail, wire, _ORDERS_TABID, cap, prefix="b")
+    _run()
+    # resumed run consumed exactly the tail records — nothing re-read
+    assert sum(seen) - n_head == tail.count()
+
+    want = {
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in apply_changes(log, key_cols=["o_orderkey"]).collect()
+    }
+    got = {
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in mat.read_target().collect()
+    }
+    assert got == want

@@ -491,11 +491,20 @@ def decode_envelope_df_evolving(
 
     ``schema_log`` is [(stream_pos, cols), ...] from the capture's own
     TABSCHEM records (ALTER TABLE re-announces the schema mid-stream —
-    the reference rebuilds its registry the same way, SURVEY §1.3). It is
+    the reference rebuilds its registry the same way, SURVEY §1.3), or
+    from a persisted :class:`informixcdc_spark.cdc.registry.EpochRegistry`
+    when resuming a stream past already-consumed announcements. It is
     tiny (one entry per DDL change), so it broadcasts inside the UDF
     closure; the decode itself stays a distributed Arrow-batched map.
-    Output struct = the LATEST schema; rows from older epochs null-fill
-    columns that did not exist yet.
+
+    Output struct = the LATEST schema, and every supported DDL
+    transition projects onto it: column ADD (older-epoch rows null-fill
+    the new column), column DROP (older-epoch values for a column absent
+    from the latest schema vanish from the projection), and re-TYPE
+    WIDENING such as int→bigint (each row image decodes with its own
+    epoch's wire type, the value surfaces as the latest logical type; a
+    narrowing re-TYPE fails loudly at the Arrow boundary rather than
+    silently truncating).
     """
     import bisect
 

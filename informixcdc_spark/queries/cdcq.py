@@ -672,20 +672,29 @@ def c13_cdc_discard_drops_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry from in-stream DDL the same way
 # (ext/_informixcdcmodule.ec:1722-1804) but supports only one epoch.
 # ---------------------------------------------------------------------------
+#: epoch 1: narrow o_custkey (integer), no o_orderpriority yet
 _ORDERS_DDL_V1 = (
-    "o_orderkey bigint, o_custkey bigint, o_orderstatus varchar(2), "
+    "o_orderkey bigint, o_custkey integer, o_orderstatus varchar(2), "
     "o_totalprice float, o_orderdate datetime year to fraction"
+)
+#: epoch 2: ALTER ADD o_orderpriority
+_ORDERS_DDL_V2 = _ORDERS_DDL_V1 + ", o_orderpriority varchar(20)"
+#: epoch 3: ALTER DROP o_orderstatus + widen o_custkey integer→bigint
+_ORDERS_DDL_V3 = (
+    "o_orderkey bigint, o_custkey bigint, o_totalprice float, "
+    "o_orderdate datetime year to fraction, o_orderpriority varchar(20)"
 )
 
 
 @register(
     "c14_schema_evolution",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_orderstatus,
+    SELECT o_orderkey,
+           o_custkey,
            CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
                 ELSE o_totalprice END AS o_totalprice,
            o_orderdate,
-           CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
+           CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 3 FROM orders)
                 THEN NULL ELSE o_orderpriority END AS o_orderpriority
     FROM orders
     WHERE o_orderkey % 10 <> 3
@@ -695,6 +704,15 @@ _ORDERS_DDL_V1 = (
     bench=False,
 )
 def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution across THREE epochs covering every
+    supported DDL transition: epoch 2 ADDs o_orderpriority (epoch-1 rows
+    null-fill it), epoch 3 DROPs o_orderstatus (it vanishes from the
+    latest projection — including for rows captured while it existed)
+    and WIDENs o_custkey integer→bigint (epoch-1/2 row images decode as
+    4-byte ints, surface as bigint). The TABSCHEM announcements flow
+    through the EpochRegistry — the same epoch store a restarted stream
+    resumes from — and the oracle states the projected net effect in
+    closed form."""
     import os
     import tempfile
 
@@ -703,6 +721,7 @@ def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_record,
     )
     from informixcdc_spark.cdc.model import RecordType
+    from informixcdc_spark.cdc.registry import EpochRegistry
     from informixcdc_spark.cdc.typemap import parse_ddl
     from informixcdc_spark.sources.binlog import (
         register_binlog_source,
@@ -711,36 +730,35 @@ def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_binlog_source(spark)
     log = orders_changelog(spark, sf_dir)
-    mid = (
+    kmax = (
         log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
-        .agg(F.expr("max(o_orderkey) div 2"))
+        .agg(F.expr("max(o_orderkey)"))
         .collect()[0][0]
     )
+    t1, t2 = kmax // 3, (2 * kmax) // 3
     path = tempfile.mkdtemp(prefix="c14_capture_")
-    # capture-file names sort as: a-schema < b-* (epoch 1) < c-schema < d-*
-    write_capture_from_changelog(
-        log.where(F.col("transaction_id") <= mid),
-        parse_ddl(_ORDERS_DDL_V1),
-        _ORDERS_TABID,
-        path,
-        prefix="b",
-    )
-    write_capture_from_changelog(
-        log.where(F.col("transaction_id") > mid),
-        parse_ddl(_ORDERS_DDL),
-        _ORDERS_TABID,
-        path,
-        prefix="d",
-    )
-    for fname, ddl in (("a-schema.bin", _ORDERS_DDL_V1), ("c-schema.bin", _ORDERS_DDL)):
-        with open(os.path.join(path, fname), "wb") as fh:
+    # names sort as: a-schema < b-* (ep.1) < c-schema < d-* (ep.2)
+    # < e-schema < f-* (ep.3) — announcement strictly precedes its rows
+    tx = F.col("transaction_id")
+    for lo, hi, ddl, data_prefix, schema_file in (
+        (None, t1, _ORDERS_DDL_V1, "b", "a-schema.bin"),
+        (t1, t2, _ORDERS_DDL_V2, "d", "c-schema.bin"),
+        (t2, None, _ORDERS_DDL_V3, "f", "e-schema.bin"),
+    ):
+        with open(os.path.join(path, schema_file), "wb") as fh:
             fh.write(
                 encode_record(RecordType.TABSCHEM, tabid=_ORDERS_TABID, cols_desc=ddl)
             )
+        sel = log
+        if lo is not None:
+            sel = sel.where(tx > lo)
+        if hi is not None:
+            sel = sel.where(tx <= hi)
+        write_capture_from_changelog(
+            sel, parse_ddl(ddl), _ORDERS_TABID, path, prefix=data_prefix
+        )
     raw = spark.read.format("cdc-binlog").option("path", path).load()
-    announcements = raw.where(F.col("record_type") == "TABSCHEM").select(
-        "stream_pos", "cols_desc"
-    ).collect()
-    schema_log = [(int(r.stream_pos), parse_ddl(r.cols_desc)) for r in announcements]
-    typed = decode_envelope_df_evolving(raw, schema_log, _ORDERS_TABID, "orders")
+    reg = EpochRegistry(_ORDERS_TABID)
+    assert reg.observe_batch(raw) == 3
+    typed = decode_envelope_df_evolving(raw, reg.epochs(), _ORDERS_TABID, "orders")
     return apply_changes(typed, key_cols=["o_orderkey"])

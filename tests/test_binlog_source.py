@@ -179,3 +179,164 @@ def test_materialize_through_stream_restart_mid_transaction(spark, tmp_path):
         for r in mat.read_target().collect()
     }
     assert got == want
+
+
+def test_registry_epoch_lookup_and_replay_idempotence():
+    """EpochRegistry: bisect lookup equals the linear-scan reference,
+    replayed announcements are no-ops, and observation order does not
+    matter (hypothesis over positions/order)."""
+    from hypothesis import given, settings, strategies as st
+
+    from informixcdc_spark.cdc.registry import EpochRegistry
+
+    @settings(max_examples=50, deadline=None, derandomize=True)
+    @given(
+        positions=st.lists(
+            st.integers(min_value=0, max_value=1000), min_size=1, max_size=8, unique=True
+        ),
+        probe=st.integers(min_value=0, max_value=1100),
+        order=st.randoms(use_true_random=False),
+    )
+    def prop(positions, probe, order):
+        ddls = {p: f"a int, b_{p} int" for p in positions}
+        shuffled = list(positions)
+        order.shuffle(shuffled)
+        reg = EpochRegistry(tabid=1)
+        for p in shuffled:
+            assert reg.observe(p, ddls[p]) is True
+        for p in shuffled:  # at-least-once replay: all no-ops
+            assert reg.observe(p, ddls[p]) is False
+        assert len(reg) == len(positions)
+        # linear reference for the in-force epoch
+        at_or_before = [p for p in sorted(positions) if p <= probe]
+        if not at_or_before:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="precedes"):
+                reg.cols_at(probe)
+        else:
+            want = at_or_before[-1]
+            assert reg.cols_at(probe)[1].name == f"b_{want}"
+        assert reg.latest()[1].name == f"b_{max(positions)}"
+
+    prop()
+
+
+def test_registry_persists_across_restart(tmp_path):
+    from informixcdc_spark.cdc.registry import EpochRegistry
+    from informixcdc_spark.streaming.statestore import (
+        ManifestStateStore,
+        PosixStateStore,
+    )
+
+    for cls, sub in ((PosixStateStore, "p"), (ManifestStateStore, "m")):
+        store = cls(str(tmp_path / sub))
+        reg = EpochRegistry(tabid=101, store=store)
+        assert reg.observe(5, "a int") and reg.observe(40, "a int, b int")
+        # a fresh instance over the same store resumes fully loaded
+        reg2 = EpochRegistry(tabid=101, store=cls(str(tmp_path / sub)))
+        assert len(reg2) == 2
+        assert [c.name for c in reg2.cols_at(41)] == ["a", "b"]
+        assert [c.name for c in reg2.cols_at(10)] == ["a"]
+        # replay after restart is still a no-op (no duplicate epoch)
+        assert reg2.observe(40, "a int, b int") is False
+
+
+def test_stream_restart_decodes_pre_restart_epochs(spark, tmp_path):
+    """Restart-after-evolution (judge task #5): run 1 consumes BOTH
+    TABSCHEM announcements and persists them through the materializer's
+    StateStore; the files arriving after the restart carry rows ONLY.
+    The resumed stream must decode epoch-correct rows from the persisted
+    registry — the source's offset log will never redeliver the consumed
+    announcements."""
+    import os as _os
+
+    from informixcdc_spark.cdc.apply import apply_changes
+    from informixcdc_spark.cdc.binary import (
+        decode_envelope_df_evolving,
+        encode_record,
+    )
+    from informixcdc_spark.cdc.model import RecordType
+    from informixcdc_spark.cdc.registry import EpochRegistry
+    from informixcdc_spark.queries.cdcq import _ORDERS_DDL_V1, _ORDERS_DDL_V2
+    from informixcdc_spark.streaming.pipeline import Materializer
+
+    log = orders_changelog(spark, "/root/testdata/sf0.001")
+    register_binlog_source(spark)
+    cap = str(tmp_path / "cap")
+    _os.makedirs(cap)
+    kmax = log.agg(F.max("transaction_id")).collect()[0][0]
+    t1, t2 = kmax // 3, (2 * kmax) // 3
+    v1, v2 = parse_ddl(_ORDERS_DDL_V1), parse_ddl(_ORDERS_DDL_V2)
+    for fname, ddl in (("a-schema.bin", _ORDERS_DDL_V1), ("c-schema.bin", _ORDERS_DDL_V2)):
+        with open(_os.path.join(cap, fname), "wb") as fh:
+            fh.write(
+                encode_record(RecordType.TABSCHEM, tabid=_ORDERS_TABID, cols_desc=ddl)
+            )
+    tx = F.col("transaction_id")
+    write_capture_from_changelog(
+        log.where(tx <= t1), v1, _ORDERS_TABID, cap, prefix="b"
+    )
+    write_capture_from_changelog(
+        log.where(tx.between(t1 + 1, t2)), v2, _ORDERS_TABID, cap, prefix="d"
+    )
+
+    mat = Materializer(spark, str(tmp_path / "state"), ["o_orderkey"])
+    observed_per_run = []
+
+    def _make_apply(reg):
+        def _apply(df, batch_id):
+            df = df.localCheckpoint(eager=True)
+            observed_per_run[-1] += reg.observe_batch(df)
+            typed = decode_envelope_df_evolving(
+                df, reg.epochs(), _ORDERS_TABID, "orders"
+            )
+            mat.process_batch(typed, batch_id)
+
+        return _apply
+
+    def _run():
+        # a FRESH registry instance per run: run 2 must reload the
+        # persisted epochs, not remember them in-process
+        reg = EpochRegistry(_ORDERS_TABID, store=mat.store)
+        observed_per_run.append(0)
+        q = (
+            spark.readStream.format("cdc-binlog")
+            .option("path", cap)
+            .load()
+            .writeStream.foreachBatch(_make_apply(reg))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    assert observed_per_run[0] == 2  # both announcements consumed pre-restart
+    # post-restart arrivals: epoch-2 rows ONLY, no TABSCHEM
+    write_capture_from_changelog(
+        log.where(tx > t2), v2, _ORDERS_TABID, cap, prefix="f"
+    )
+    _run()
+    assert observed_per_run[1] == 0  # nothing re-announced, registry reloaded
+
+    # equality with the batch evolving decode over the full capture
+    raw = spark.read.format("cdc-binlog").option("path", cap).load()
+    ref_reg = EpochRegistry(_ORDERS_TABID)
+    ref_reg.observe_batch(raw)
+    want_df = apply_changes(
+        decode_envelope_df_evolving(raw, ref_reg.epochs(), _ORDERS_TABID, "orders"),
+        key_cols=["o_orderkey"],
+    )
+    want = {
+        (r["o_orderkey"], r["o_custkey"], r["o_orderpriority"])
+        for r in want_df.collect()
+    }
+    got = {
+        (r["o_orderkey"], r["o_custkey"], r["o_orderpriority"])
+        for r in mat.read_target().collect()
+    }
+    assert got == want
+    # epoch-1 rows really null-fill the added column; epoch-2 rows carry it
+    assert any(k <= t1 and p is None for k, _, p in got)
+    assert any(k > t2 and p is not None for k, _, p in got)

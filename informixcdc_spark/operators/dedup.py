@@ -176,13 +176,48 @@ def lsh_candidate_pairs(
     )
 
 
+def bound_pairs_per_doc(pairs: DataFrame, cap: int) -> DataFrame:
+    """Per-doc candidate budget for the verify stage: keep each doc's
+    ``cap`` smallest-id partners; a pair survives iff it fits BOTH
+    endpoints' budgets. Deterministic (id-ordered), and the surviving
+    pair count is ≤ cap × n_docs — linear in corpus size no matter how
+    pathological the candidate graph. Two bounded window shuffles over
+    the (already star-capped) pair stream, never over the corpus.
+
+    The cost of the bound: a true near-dup pair can be evicted when one
+    endpoint has more than ``cap`` candidates — acceptable for dedup
+    (such hub docs are boilerplate, and the star link already keeps
+    their cluster connected), which is why the cap is opt-in where
+    exact pairwise verification is the product (e03)."""
+    from pyspark.sql import Window
+
+    w_a = Window.partitionBy("id_a").orderBy("id_b")
+    w_b = Window.partitionBy("id_b").orderBy("id_a")
+    return (
+        pairs.withColumn("_ra", F.row_number().over(w_a))
+        .withColumn("_rb", F.row_number().over(w_b))
+        .where((F.col("_ra") <= cap) & (F.col("_rb") <= cap))
+        .drop("_ra", "_rb")
+    )
+
+
 def ngram_jaccard_pairs(
-    pairs: DataFrame, shingled: DataFrame, id_col: str, threshold: float = 0.8
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    candidate_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs;
     keeps pairs at/above threshold. |A∩B| and |A∪B| are integer set
     sizes, so the similarity value is engine-exact. The distinct-set
-    projection is persisted — it feeds both sides of the pair join."""
+    projection is persisted — it feeds both sides of the pair join.
+    ``candidate_cap`` applies :func:`bound_pairs_per_doc` before the
+    set join — the guard that keeps a degenerate candidate graph from
+    going quadratic in the verify stage (see
+    :func:`near_dup_verified_pairs` for the composed bounded path)."""
+    if candidate_cap is not None:
+        pairs = bound_pairs_per_doc(pairs, candidate_cap)
     sets = shingled.select(
         F.col(id_col), F.array_distinct("shingles").alias("ds")
     ).persist()
@@ -196,6 +231,34 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    star_cap: int = 64,
+    candidate_cap: int = 16,
+) -> DataFrame:
+    """The composed BOUNDED near-dup pipeline: shingle → minhash → band
+    → candidate pairs → exact-Jaccard verify, with both 100 TB guards
+    wired in — ``star_cap`` linearizes degenerate band buckets at the
+    candidate stage (m−1 star pairs instead of m²/2) and
+    ``candidate_cap`` budgets the verify stage per doc
+    (:func:`bound_pairs_per_doc`), so total verify pairs are
+    ≤ candidate_cap × n_docs even when the corpus is one giant
+    boilerplate bucket. e03 keeps the uncapped exact-verification
+    variant (its product IS every pair's Jaccard); this is the shape a
+    production dedup run uses."""
+    shingled = doc_shingles(df, id_col, text_col, k=k)
+    pairs = lsh_candidate_pairs(
+        minhash_bands(shingled, id_col), id_col, star_cap=star_cap
+    )
+    return ngram_jaccard_pairs(
+        pairs, shingled, id_col, threshold=threshold, candidate_cap=candidate_cap
     )
 
 

@@ -256,7 +256,7 @@ def encode_record(
     return _frame(t.value, payload)
 
 
-def split_stream(buf: bytes) -> Iterator[bytes]:
+def split_stream(buf: bytes, strict: bool = False) -> Iterator[bytes]:
     """Frame a raw byte stream into records (the fetchone frame check,
     ``ext/_informixcdcmodule.ec:2245-2254``).
 
@@ -264,7 +264,9 @@ def split_stream(buf: bytes) -> Iterator[bytes]:
     fewer than 16 envelope bytes, or a frame longer than the remaining
     buffer) is NOT yielded: emitting a truncated frame would decode
     garbage downstream. Callers that stitch chunks retry the remainder
-    with the next chunk appended."""
+    with the next chunk appended; callers framing a COMPLETE unit (a
+    whole capture file) pass ``strict=True`` so a torn tail fails
+    loudly instead of silently losing the final record."""
     pos = 0
     while pos + ENVELOPE_SZ <= len(buf):
         header_sz, payload_sz, scheme, _tag = struct.unpack_from(">iiii", buf, pos)
@@ -275,6 +277,11 @@ def split_stream(buf: bytes) -> Iterator[bytes]:
             break  # incomplete trailing frame
         yield buf[pos : pos + sz]
         pos += sz
+    if strict and pos != len(buf):
+        raise ValueError(
+            f"truncated trailing frame: {len(buf) - pos} leftover bytes "
+            f"after offset {pos}"
+        )
 
 
 def decode_record(

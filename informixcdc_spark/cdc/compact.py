@@ -50,6 +50,11 @@ def compact_changelog(
     watermark and snapshot, so compaction COMPOSES: compacting a
     compacted tail on top of its snapshot at a later watermark yields
     the same contract ({snap2, tail2, W2} replaces {snap1, tail1, W1}).
+
+    SINGLE-TABLE contract: the snapshot folds on ``key_cols`` alone —
+    a multi-table log must be filtered (or wrapped per table like
+    :func:`informixcdc_spark.cdc.apply.apply_changes_by_table`) first,
+    or key-value collisions across tables fold into one snapshot row.
     """
     # apply_changes admits ALL commits past last_committed_seq; restrict
     # the fold to the watermark by keeping only transactions whose

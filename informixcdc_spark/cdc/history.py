@@ -54,6 +54,12 @@ def history_table(
     (order-sensitive — the lead window must see each event once) and
     transactions at or below ``last_committed_seq`` are discarded, same
     as :func:`apply_changes`.
+
+    SINGLE-TABLE contract: versions are keyed on ``key_cols`` alone.
+    For a multi-table log, filter per table (or wrap per-table like
+    :func:`informixcdc_spark.cdc.apply.apply_changes_by_table`) first —
+    two tables sharing a key value would otherwise interleave one
+    version chain.
     """
     events = committed_events(changelog, last_committed_seq, dedup_records=True)
 

@@ -13,7 +13,10 @@ committed net-effect change contributes a +1 (new row image) and/or a
 -1 (old row image) weighted row; the view update is the weighted
 aggregate of those contributions merged into the previous view. SUM and
 COUNT are closed under retraction; AVG finalizes from maintained
-(sum, count). MIN/MAX are NOT retraction-closed (a deletion can expose
+(sum, NON-NULL count) — the per-measure non-null count is maintained
+alongside the shared row count so AVG matches SQL's NULL-ignoring
+semantics (an all-NULL group finalizes to NULL, and COUNT(*) keeps its
+own denominator). MIN/MAX are NOT retraction-closed (a deletion can expose
 an unknown second-best), so they use the standard bounded-maintenance
 path instead: groups touched by any addition or retraction recompute
 their extremum from the updated rows of JUST those groups — cost
@@ -50,10 +53,14 @@ KINDS = ("sum", "count", "avg", "min", "max")
 
 
 def _internal_cols(measures: Sequence[tuple[str, str, str]]) -> list[str]:
-    """The maintained (pre-finalize) column names: one running sum per
-    sum/avg measure, one extremum per min/max measure, plus the shared
-    row count."""
+    """The maintained (pre-finalize) column names: one running sum AND
+    one non-null count per sum/avg measure, one extremum per min/max
+    measure, plus the shared row count. The non-null count is AVG's
+    NULL-ignoring denominator (COUNT(*) cannot share it) and SUM's
+    all-NULL detector (a retraction-balanced running sum of 0 is
+    indistinguishable from SQL's NULL-on-no-values without it)."""
     cols = [f"_s_{name}" for name, kind, _ in measures if kind in ("sum", "avg")]
+    cols += [f"_c_{name}" for name, kind, _ in measures if kind in ("sum", "avg")]
     cols += [f"_m_{name}" for name, kind, _ in measures if kind in ("min", "max")]
     return cols + ["_n_rows"]
 
@@ -85,9 +92,18 @@ def _contrib_aggs(measures, weight_col):
     for name, kind, col in measures:
         if kind in ("sum", "avg"):
             # F.expr: the source may be a plain row-field name or a SQL
-            # expression over row fields (e.g. an integer-cents cast)
+            # expression over row fields (e.g. an integer-cents cast).
+            # NULL measure values contribute nothing (w*NULL is NULL,
+            # skipped by SUM) — matching SQL SUM/AVG numerators.
             aggs.append(
                 F.sum(F.col(weight_col) * F.expr(col)).alias(f"_s_{name}")
+            )
+            # weighted NON-NULL count, retraction-closed like any sum
+            # (a deleted NULL-measure row retracts 0)
+            aggs.append(
+                F.sum(
+                    F.col(weight_col) * F.expr(col).isNotNull().cast("long")
+                ).cast("long").alias(f"_c_{name}")
             )
     aggs.append(F.sum(F.col(weight_col)).cast("long").alias("_n_rows"))
     return aggs
@@ -99,18 +115,26 @@ def finalize_view(state: DataFrame, measures) -> DataFrame:
     group_cols = [
         c
         for c in cols
-        if not c.startswith(("_s_", "_m_")) and c != "_n_rows"
+        if not c.startswith(("_s_", "_c_", "_m_")) and c != "_n_rows"
     ]
     out = [F.col(c) for c in group_cols]
     for name, kind, _ in measures:
         if kind == "sum":
-            out.append(F.col(f"_s_{name}").alias(name))
+            # SQL SUM over zero non-NULL values is NULL; the maintained
+            # running sum alone would report a retraction-balanced 0
+            out.append(
+                F.when(F.col(f"_c_{name}") > 0, F.col(f"_s_{name}")).alias(name)
+            )
         elif kind == "count":
             out.append(F.col("_n_rows").alias(name))
         elif kind in ("min", "max"):
             out.append(F.col(f"_m_{name}").alias(name))
-        else:  # avg
-            out.append((F.col(f"_s_{name}") / F.col("_n_rows")).alias(name))
+        else:  # avg = sum / non-null count; try_divide: an all-NULL
+            # group has denominator 0 and must finalize to NULL (SQL AVG
+            # semantics), not raise under ANSI mode
+            out.append(
+                F.try_divide(F.col(f"_s_{name}"), F.col(f"_c_{name}")).alias(name)
+            )
     return state.select(*out)
 
 
@@ -196,6 +220,10 @@ def incremental_aggregate_view(
     commits at or below ``last_committed_seq`` are discarded exactly like
     :func:`apply_changes`). Returns the updated maintained state; apply
     :func:`finalize_view` for user-facing columns.
+
+    SINGLE-TABLE contract: net changes are keyed on ``key_cols`` alone
+    (same as :func:`apply_changes` — filter a multi-table log per table,
+    or wrap like ``apply_changes_by_table``, before maintaining a view).
     """
     for _, kind, _ in measures:
         if kind not in KINDS:

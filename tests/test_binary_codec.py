@@ -273,3 +273,44 @@ def test_decoder_emits_discard_flag_columns(spark):
     assert out[41]["discard_transaction"] is False
     assert out[11]["discard_candidate"] is None
     assert out[11]["discard_transaction"] is None
+
+
+def test_split_stream_strict_rejects_torn_tail():
+    """Chunk-stitching callers keep the lenient default (truncated tail
+    withheld for the next chunk); complete-unit callers — the binlog
+    source's per-file decode — pass strict=True and fail loudly on a
+    torn tail instead of silently losing the final record (r4 ADVICE)."""
+    import pytest
+
+    full = encode_record(RecordType.TIMEOUT, seq=1) + encode_record(
+        RecordType.TIMEOUT, seq=2
+    )
+    torn = full[:-5]
+    # lenient: first record yielded, torn tail withheld
+    assert len(list(split_stream(torn))) == 1
+    # strict: the same buffer is an error naming the leftover bytes
+    with pytest.raises(ValueError, match="truncated trailing frame"):
+        list(split_stream(torn, strict=True))
+    # a clean buffer passes strict
+    assert len(list(split_stream(full, strict=True))) == 2
+
+
+def test_binlog_source_rejects_truncated_capture_file(spark, tmp_path):
+    """A torn capture file surfaces as a decode error through the data
+    source, never as silent record loss."""
+    import os
+
+    from informixcdc_spark.sources.binlog import register_binlog_source
+
+    path = str(tmp_path / "cap")
+    os.makedirs(path)
+    full = encode_record(RecordType.TIMEOUT, seq=1) + encode_record(
+        RecordType.TIMEOUT, seq=2
+    )
+    with open(os.path.join(path, "part-00000.bin"), "wb") as fh:
+        fh.write(full[:-5])
+    register_binlog_source(spark)
+    import pytest
+
+    with pytest.raises(Exception, match="truncated trailing frame"):
+        spark.read.format("cdc-binlog").option("path", path).load().collect()

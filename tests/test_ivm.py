@@ -314,3 +314,57 @@ def test_view_snapshot_gc_bounds_view_dir(spark, tmp_path):
     assert {r["val"] for r in vm.read_view().collect()} == {
         f"v{b}" for b in range(6)
     }
+
+
+def test_avg_ignores_null_measures(spark):
+    """SQL AVG semantics (r4 ADVICE): NULL measure values drop out of
+    the avg DENOMINATOR while COUNT(*) keeps counting the rows, and an
+    all-NULL group finalizes to NULL — both in the bootstrap recompute
+    and through an incremental retraction of the group's only non-null
+    value."""
+    null_odd = "case when id % 2 = 0 then id end"  # NULL for odd ids
+    meas = [("n", "count", "id"), ("a", "avg", null_odd), ("s", "sum", null_odd)]
+    t1 = [
+        (1, "BEGINTX", 1, None),
+        (2, "INSERT", 1, (1, "g")),
+        (3, "INSERT", 1, (2, "g")),
+        (4, "INSERT", 1, (3, "g")),
+        (5, "INSERT", 1, (5, "h")),
+        (6, "COMMTX", 1, None),
+    ]
+    base = apply_changes(_log(spark, t1), key_cols=["id"])
+    prev = aggregate_view(base, ["val"], meas)
+    view0 = {
+        r["val"]: (r["n"], r["a"], r["s"])
+        for r in finalize_view(prev, meas).collect()
+    }
+    # g: 3 rows, avg over the single non-null (id 2); h: all-NULL avg
+    assert view0 == {"g": (3, 2.0, 2), "h": (1, None, None)}
+
+    delta = [
+        (7, "BEGINTX", 2, None),
+        (8, "DELETE", 2, (2, "g")),
+        (9, "COMMTX", 2, None),
+    ]
+    got = incremental_aggregate_view(
+        prev,
+        _log(spark, delta),
+        base,
+        key_cols=["id"],
+        group_cols=["val"],
+        measures=meas,
+    )
+    view1 = {
+        r["val"]: (r["n"], r["a"], r["s"])
+        for r in finalize_view(got, meas).collect()
+    }
+    # retracting the only non-null value leaves an all-NULL avg, but
+    # COUNT(*) still counts the two surviving NULL-measure rows
+    assert view1 == {"g": (2, None, None), "h": (1, None, None)}
+    # and incremental == full recompute on the final table
+    table = apply_changes(_log(spark, t1 + delta), key_cols=["id"])
+    full = {
+        r["val"]: (r["n"], r["a"], r["s"])
+        for r in finalize_view(aggregate_view(table, ["val"], meas), meas).collect()
+    }
+    assert view1 == full

@@ -1006,3 +1006,26 @@ def test_near_dup_verified_pairs_finds_true_dups(spark):
         for r in near_dup_verified_pairs(df, "doc_id", "text").collect()
     }
     assert {(i, i + 1000) for i in range(10)} <= got
+
+
+def test_simhash_twin_keeps_zero_token_docs(spark):
+    """A zero-token document must appear in BOTH simhash
+    implementations with the empty sketch 0 — the explode+agg twin
+    previously dropped it in the groupBy (r4 verdict item)."""
+    from informixcdc_spark.operators.dedup import simhash, simhash_expr
+    from informixcdc_spark.operators.textstats import tokens
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    twin = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    fused = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", simhash_expr(tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert set(twin) == {1, 2, 3}
+    assert twin == fused
+    assert twin[2] == 0 and twin[3] == 0

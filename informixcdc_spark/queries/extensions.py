@@ -704,11 +704,21 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e15 — IVF-style ANN (the inverted-file alternative to e08's hyperplane
 # LSH): vectors are assigned to their nearest-centroid cell; a query
 # probes only its own cell (nprobe=1). Same exactness rules: fold-ordered
-# dots, deterministic tiebreaks.
+# dots, deterministic tiebreaks. Second arm: the PRODUCTION codebook
+# path — ivf_cells_kmeans runs real distributed Lloyd iterations on a
+# closed-form-clusterable fixture (vector i = 4·e_{i%8} + 1·e_{8+i%5},
+# built from vec_id alone): seeds are the 8 lowest ids (dominant dims
+# 0..7 exactly), every vector's cosine to its dominant-dim centroid is
+# ≥16/17 of max vs ≤1/17 for any other, so Lloyd assignment is stable
+# from iteration 1 and the converged cell of vector i is i % 8 — a
+# closed form the oracle states while Spark actually iterates
+# assign→mean→reassign distributed. This grades the trained-codebook
+# path itself, not just the lowest-id stand-in (r4 verdict stretch).
 # ---------------------------------------------------------------------------
 @register(
     "e15_ann_ivf",
     oracle=f"""
+    SELECT 'ivf' AS mode, * FROM (
     WITH v AS (SELECT vec_id, embedding FROM embeddings),
     cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
              WHERE vec_id < 8),
@@ -737,11 +747,42 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cosine,
            CAST(cell AS BIGINT) AS cell
     FROM pairs WHERE rnk <= 3
+    )
+    UNION ALL
+    SELECT 'kmeans' AS mode, vec_id AS query_id, CAST(0 AS INT) AS rank,
+           vec_id AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
+           CAST(vec_id % 8 AS BIGINT) AS cell
+    FROM embeddings
     """,
 )
 def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.similarity import ivf_cells_kmeans
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return ivf_knn(emb, query_max_id=10, k=3, n_centroids=8)
+    ivf = ivf_knn(emb, query_max_id=10, k=3, n_centroids=8).select(
+        F.lit("ivf").alias("mode"), "*"
+    )
+    # kmeans arm: deterministic clusterable fixture from vec_id alone
+    i = F.col("vec_id")
+    synth = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(12)),
+            lambda d: F.when(d == i % 8, F.lit(4.0))
+            .when(d == F.lit(8) + i % 5, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    km = ivf_cells_kmeans(synth, n_centroids=8, n_iter=3).select(
+        F.lit("kmeans").alias("mode"),
+        F.col("vec_id").alias("query_id"),
+        F.lit(0).cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.col("cell").cast("long").alias("cell"),
+    )
+    return ivf.unionByName(km)
 
 
 # ---------------------------------------------------------------------------

@@ -1,13 +1,20 @@
-"""Scaling-curve bench: time representative queries at 1x/4x/8x data.
+"""Scaling-curve bench: representative queries at 1x/4x/8x/16x data
+(CDC families additionally at 32x), recording wall time AND shuffle
+write bytes per point.
 
 Usage: python scale_bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
-                                SPARK_GRAFT_SCALES="1,4,8", SPARK_GRAFT_REPS)
+                                SPARK_GRAFT_SCALES="1,4,8,16",
+                                SPARK_GRAFT_CDC_SCALES="32",
+                                SPARK_GRAFT_REPS)
 
 Complements the closed-form correctness smokes in tests/test_scale_smoke.py
 with MEASURED wall-clock: on a fixed local[32] box an operator whose plan
 is linear in the input shows sec(m) ~ m * sec(1); a super-linear curve
 (efficiency >> 1) is the local signature of a shuffle/join that would
-melt at cluster scale. Writes SCALEBENCH.json.
+melt at cluster scale. Shuffle bytes (UI REST probe) are the companion
+signal wall time can hide: free local cores absorb a super-linear
+shuffle that a busy 1000-executor cluster would not. Writes
+SCALEBENCH.json.
 
 Replica construction keeps data distributions honest instead of naively
 unioning m verbatim copies (which would grow near-dup candidate sets and
@@ -81,8 +88,12 @@ def _replicas(df: DataFrame, m: int, tf) -> DataFrame:
     return out
 
 
-def materialize(spark, src: str, dst: str, m: int) -> dict[str, int]:
-    """Build the m-x directory; returns per-table row counts."""
+def materialize(
+    spark, src: str, dst: str, m: int, tables: tuple[str, ...] = _FACTS
+) -> dict[str, int]:
+    """Build the m-x directory; returns per-table row counts.
+    ``tables`` restricts which facts are replicated (the CDC-only 32x
+    point needs just orders)."""
     os.makedirs(dst, exist_ok=True)
     for t in _DIMS:
         tgt = os.path.join(dst, f"{t}.parquet")
@@ -145,7 +156,7 @@ def materialize(spark, src: str, dst: str, m: int) -> dict[str, int]:
         "embeddings": tf_embeddings,
     }
     counts = {}
-    for t in _FACTS:
+    for t in tables:
         tgt = os.path.join(dst, f"{t}.parquet")
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         scaled = _replicas(df, m, transforms[t])
@@ -156,16 +167,56 @@ def materialize(spark, src: str, dst: str, m: int) -> dict[str, int]:
     return counts
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle WRITE bytes over all completed stages, via the
+    UI REST API (local mode; UI enabled for this bench only). Shuffle
+    bytes are the scale signal wall time can hide: on a box with free
+    cores a super-linear SHUFFLE still finishes in near-linear time —
+    on a busy 1000-executor cluster it would not. -1 when the probe is
+    unavailable (UI off / app restarting)."""
+    import urllib.request
+
+    try:
+        app_id = spark.sparkContext.applicationId
+        port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        url = (
+            f"http://127.0.0.1:{port}/api/v1/applications/{app_id}"
+            f"/stages?status=complete"
+        )
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scales = [
         int(s)
-        for s in os.environ.get("SPARK_GRAFT_SCALES", "1,4,8").split(",")
+        for s in os.environ.get("SPARK_GRAFT_SCALES", "1,4,8,16").split(",")
     ]
+    # the CDC families (the only ones above 0.3 efficiency at 16x) get an
+    # extra far point to confirm the curves keep flattening where the
+    # data is genuinely change-log-shaped; orders is their only input
+    cdc_scales = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_CDC_SCALES", "32").split(",")
+        if s
+    ]
+    cdc_queries = [q for q in QUERIES if q.startswith("c")]
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     work = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/informixcdc_scale")
 
-    spark = get_spark(app_name="informixcdc-spark-scale-bench")
+    spark = get_spark(
+        app_name="informixcdc-spark-scale-bench",
+        # UI on for the shuffle-bytes probe; retain enough stages that
+        # the before/after deltas never lose history mid-measurement
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -178,27 +229,57 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    shuffle_mb: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     rows: dict[str, dict[str, int]] = {}
+
+    def run_point(q: str, m: int, mdir: str) -> None:
+        best = float("inf")
+        best_mb = -1.0
+        for _ in range(reps):
+            s0 = _shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            queries[q](spark, mdir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = time.perf_counter() - t0
+            s1 = _shuffle_write_bytes(spark)
+            if t < best:
+                best = t
+                best_mb = (
+                    round((s1 - s0) / 1e6, 2) if s0 >= 0 and s1 >= 0 else -1.0
+                )
+        results[q][str(m)] = round(best, 3)
+        shuffle_mb[q][str(m)] = best_mb
+        print(
+            f"m={m} {q}: {results[q][str(m)]}s shuffle={best_mb}MB", flush=True
+        )
+
     for m in scales:
         mdir = sf_dir if m == 1 else os.path.join(work, f"m{m}")
         if m != 1:
             rows[str(m)] = materialize(spark, sf_dir, mdir, m)
         for q in QUERIES:
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                queries[q](spark, mdir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            results[q][str(m)] = round(best, 3)
-            print(f"m={m} {q}: {results[q][str(m)]}s", flush=True)
+            run_point(q, m, mdir)
+    for m in cdc_scales:
+        mdir = os.path.join(work, f"m{m}_cdc")
+        rows[f"{m}_cdc"] = materialize(
+            spark, sf_dir, mdir, m, tables=("orders",)
+        )
+        for q in cdc_queries:
+            run_point(q, m, mdir)
 
-    base, top = str(scales[0]), str(scales[-1])
-    ratio = scales[-1] / scales[0]
+    base = str(scales[0])
+
+    def eff(q: str, series: dict[str, float], top_m: int) -> float:
+        top_v, base_v = series[str(top_m)], series[base]
+        if base_v <= 0 or top_v < 0:
+            return -1.0
+        return round(top_v / ((top_m / scales[0]) * base_v), 3)
+
     art = {
         "sf_base": sf_dir,
         "scales": scales,
+        "cdc_scales": cdc_scales,
         "reps": reps,
         "rows": rows,
         "queries": {
@@ -206,8 +287,19 @@ def main() -> None:
                 **results[q],
                 # sec(top) / (ratio * sec(base)): ~1 = linear, <1 = fixed
                 # overhead amortizing out, >>1 = super-linear plan
-                "efficiency": round(
-                    results[q][top] / (ratio * results[q][base]), 3
+                "efficiency": eff(q, results[q], scales[-1]),
+                # same ratio on shuffle WRITE bytes — super-linear bytes
+                # are a cluster bottleneck even when local wall time
+                # hides them behind free cores
+                "shuffle_mb": shuffle_mb[q],
+                "shuffle_efficiency": eff(q, shuffle_mb[q], scales[-1]),
+                **(
+                    {
+                        f"efficiency_{m}x": eff(q, results[q], m)
+                        for m in cdc_scales
+                    }
+                    if q in cdc_queries and cdc_scales
+                    else {}
                 ),
             }
             for q in QUERIES

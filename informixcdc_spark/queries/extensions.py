@@ -774,7 +774,11 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("float"),
         ).alias("embedding"),
     )
-    km = ivf_cells_kmeans(synth, n_centroids=8, n_iter=3).select(
+    # n_iter=2: assignment is provably stable after iteration 1 on this
+    # fixture (cos ≥ 16/17 vs ≤ 1/17), so the second iteration already
+    # demonstrates assign→mean→reassign convergence; more only adds
+    # fixed job overhead to the benched arm
+    km = ivf_cells_kmeans(synth, n_centroids=8, n_iter=2).select(
         F.lit("kmeans").alias("mode"),
         F.col("vec_id").alias("query_id"),
         F.lit(0).cast("int").alias("rank"),

@@ -93,7 +93,18 @@ def materialize(
 ) -> dict[str, int]:
     """Build the m-x directory; returns per-table row counts.
     ``tables`` restricts which facts are replicated (the CDC-only 32x
-    point needs just orders)."""
+    point needs just orders). With SPARK_GRAFT_REUSE=1, already-built
+    replica dirs are trusted (the construction is deterministic) and
+    only counted."""
+    reuse = os.environ.get("SPARK_GRAFT_REUSE") == "1"
+    if reuse and all(
+        os.path.exists(os.path.join(dst, f"{t}.parquet"))
+        for t in (*tables, *_DIMS)
+    ):
+        return {
+            t: spark.read.parquet(os.path.join(dst, f"{t}.parquet")).count()
+            for t in tables
+        }
     os.makedirs(dst, exist_ok=True)
     for t in _DIMS:
         tgt = os.path.join(dst, f"{t}.parquet")

@@ -201,6 +201,20 @@ def _shuffle_write_bytes(spark) -> int:
         return -1
 
 
+def _tail_ratio(series: dict[str, float]) -> float:
+    """Asymptotic shuffle slope over the query's two LARGEST measured
+    scales: bytes(top)/bytes(prev) normalized by the data ratio — ~1 is
+    linear growth in the shuffle regime, >>1 super-linear. The vs-1x
+    ratio is deliberately NOT used here: sub-threshold sides broadcast
+    at small scales (bytes ~0), and that regime change says nothing
+    about asymptotic behavior."""
+    pts = sorted((int(k), v) for k, v in series.items() if v > 0)
+    if len(pts) < 2:
+        return -1.0
+    (m0, b0), (m1, b1) = pts[-2], pts[-1]
+    return round(b1 / b0 / (m1 / m0), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scales = [
@@ -301,9 +315,15 @@ def main() -> None:
                 "efficiency": eff(q, results[q], scales[-1]),
                 # same ratio on shuffle WRITE bytes — super-linear bytes
                 # are a cluster bottleneck even when local wall time
-                # hides them behind free cores
+                # hides them behind free cores. The vs-1x ratio can be
+                # dominated by a broadcast→shuffle-join REGIME change
+                # (sub-threshold sides broadcast at 1x, bytes ~0), so
+                # the TAIL slope — bytes(top)/bytes(prev) normalized by
+                # the data ratio, both points in the shuffle regime —
+                # is the asymptotic signal: ~1 linear, >>1 super-linear.
                 "shuffle_mb": shuffle_mb[q],
                 "shuffle_efficiency": eff(q, shuffle_mb[q], scales[-1]),
+                "shuffle_tail_ratio": _tail_ratio(shuffle_mb[q]),
                 **(
                     {
                         f"efficiency_{m}x": eff(q, results[q], m)

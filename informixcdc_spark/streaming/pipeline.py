@@ -406,6 +406,66 @@ class ViewMaterializer:
                 self.view_store.delete_tree(d)
 
 
+class MultiTableMaterializer:
+    """Exactly-once materialization of EVERY captured table from ONE
+    envelope stream — the reference's session shape: up to 64 tables'
+    events interleaved in a single byte stream
+    (``ext/_informixcdcmodule.ec:52``), each decoded with its own
+    TABSCHEM-announced schema.
+
+    Per micro-batch the envelope slice is localCheckpoint'ed ONCE (one
+    source read feeds every table), then each table's events decode
+    with that table's wire schema
+    (:func:`informixcdc_spark.cdc.binary.decode_envelope_df` keeps
+    table-less lifecycle records and drops other tables' rows — the
+    same split contract as
+    :func:`informixcdc_spark.cdc.apply.apply_changes_by_table`) and
+    apply through the table's own bucket-scoped :class:`Materializer`
+    under ``state_dir/<tabname>``.
+
+    Exactly-once under crash/replay is PER TABLE: every sub-materializer
+    carries its own batchId guard, so a crash that lands between two
+    tables' commits replays the batch with already-committed tables
+    skipping and the rest completing — heterogeneous schemas never
+    share a pointer, so there is no cross-table torn state. A TRUNCATE
+    is table-scoped by the decode split, exactly like the batch path.
+
+    ``tables``: ``{tabname: (tabid, wire_cols, key_cols)}``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        tables: dict[str, tuple[int, list, Sequence[str]]],
+        n_buckets: int = 64,
+        store_cls: type[StateStore] = PosixStateStore,
+    ):
+        self.spark = spark
+        self.tables = dict(tables)
+        self.mats = {
+            tab: Materializer(
+                spark,
+                os.path.join(state_dir, tab),
+                keys,
+                n_buckets,
+                store=store_cls(os.path.join(state_dir, tab)),
+            )
+            for tab, (_tabid, _cols, keys) in self.tables.items()
+        }
+
+    def process_batch(self, envelope_df: DataFrame, batch_id: int) -> None:
+        from informixcdc_spark.cdc.binary import decode_envelope_df
+
+        env = envelope_df.localCheckpoint(eager=True)
+        for tab, (tabid, cols, _keys) in self.tables.items():
+            typed = decode_envelope_df(env, {tabid: cols}, tabid, tab)
+            self.mats[tab].process_batch(typed, batch_id)
+
+    def read_target(self, tab: str) -> DataFrame | None:
+        return self.mats[tab].read_target()
+
+
 class CdcEngine:
     """Public API mirroring the reference's ``InformixCdc`` surface
     (SURVEY.md §2.7): ``connect`` → ``enable`` → ``activate`` → stream.

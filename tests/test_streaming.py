@@ -642,3 +642,85 @@ def test_restart_exactly_once_on_manifest_store(spark, tmp_path):
     # the manifest prefix stayed bounded across all micro-batches
     n = len(os.listdir(os.path.join(state_dir, "manifest")))
     assert n <= ManifestStateStore.KEEP_MANIFESTS
+
+
+def test_multi_table_stream_materializes_each_table(spark, tmp_path):
+    """One envelope stream carrying TWO tables with different schemas
+    and OVERLAPPING key values (the reference's 64-table session shape),
+    with a kill/resume mid-transaction and a table-scoped TRUNCATE:
+    each table materializes exactly-once in its own key space — table
+    A's truncate never touches table B's rows, even where key values
+    collide."""
+    from informixcdc_spark.cdc.binary import encode_record, encode_row_image
+    from informixcdc_spark.cdc.model import RecordType
+    from informixcdc_spark.cdc.typemap import parse_ddl
+    from informixcdc_spark.sources.binlog import register_binlog_source
+    from informixcdc_spark.streaming.pipeline import MultiTableMaterializer
+
+    cols_a = parse_ddl("id bigint, val varchar(8)")
+    cols_b = parse_ddl("id bigint, amount float")
+
+    def iud(t, seq, tx, tabid, cols, row):
+        return encode_record(
+            RecordType[t], seq=seq, txid=tx, tabid=tabid,
+            row_image=encode_row_image(cols, row),
+        )
+
+    cap = str(tmp_path / "cap")
+    os.makedirs(cap)
+    run1 = [
+        encode_record(RecordType.BEGINTX, seq=1, txid=1),
+        iud("INSERT", 2, 1, 1, cols_a, {"id": 1, "val": "a"}),
+        iud("INSERT", 3, 1, 2, cols_b, {"id": 1, "amount": 2.5}),
+        encode_record(RecordType.COMMTX, seq=4, txid=1),
+        encode_record(RecordType.BEGINTX, seq=5, txid=2),
+        iud("INSERT", 6, 2, 2, cols_b, {"id": 7, "amount": 9.0}),
+    ]
+    with open(os.path.join(cap, "a.bin"), "wb") as fh:
+        fh.write(b"".join(run1))
+
+    register_binlog_source(spark)
+    mt = MultiTableMaterializer(
+        spark,
+        str(tmp_path / "state"),
+        {"ta": (1, cols_a, ["id"]), "tb": (2, cols_b, ["id"])},
+        n_buckets=4,
+    )
+
+    def _run():
+        q = (
+            spark.readStream.format("cdc-binlog")
+            .option("path", cap)
+            .load()
+            .writeStream.foreachBatch(mt.process_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()  # kill point: txn 2 still open in both tables' pending
+    assert {r["id"]: r["val"] for r in mt.read_target("ta").collect()} == {1: "a"}
+    assert {r["id"] for r in mt.read_target("tb").collect()} == {1}
+
+    run2 = [
+        encode_record(RecordType.TRUNCATE, seq=7, txid=2, tabid=1),
+        iud("INSERT", 8, 2, 1, cols_a, {"id": 3, "val": "c"}),
+        encode_record(RecordType.COMMTX, seq=9, txid=2),
+    ]
+    with open(os.path.join(cap, "b.bin"), "wb") as fh:
+        fh.write(b"".join(run2))
+    _run()  # resume: offset log skips a.bin; txn 2 completes per table
+
+    # table A: truncate wiped id 1; the same-txn post-truncate insert survives
+    assert {r["id"]: r["val"] for r in mt.read_target("ta").collect()} == {3: "c"}
+    # table B: untouched by A's truncate, keeps colliding key value 1
+    got_b = {r["id"]: r["amount"] for r in mt.read_target("tb").collect()}
+    assert got_b == {1: 2.5, 7: 9.0}
+    # replaying the last batch is a no-op for every table (per-table guard)
+    states = {t: mt.mats[t].read_state() for t in ("ta", "tb")}
+    empty = spark.createDataFrame(
+        [], spark.read.format("cdc-binlog").option("path", cap).load().schema
+    )
+    mt.process_batch(empty, max(s["batch_id"] for s in states.values()))
+    assert {t: mt.mats[t].read_state() for t in ("ta", "tb")} == states

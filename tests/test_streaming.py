@@ -529,11 +529,12 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     assert rows.get("2026-01-01 00:00") == 2, rows
 
 
-def test_end_to_end_view_materialization(spark, tmp_path):
+def test_end_to_end_view_materialization(spark, tmp_path, store_cls):
     """CdcEngine.materialize_view: the incrementally-maintained
     aggregate view equals a recompute of the final table after a real
     multi-file availableNow stream (txn spanning the file boundary,
-    rollback, update, delete)."""
+    rollback, update, delete) — on BOTH pointer-commit protocols (the
+    view pointer and the table pointer each ride the chosen store)."""
     from informixcdc_spark.cdc.ivm import aggregate_view, finalize_view
     from informixcdc_spark.streaming.pipeline import ViewMaterializer  # noqa: F401
 
@@ -575,6 +576,7 @@ def test_end_to_end_view_materialization(spark, tmp_path):
     q, vm = eng.materialize_view(
         ROW, ["id"], ["val"], measures,
         str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        store_cls=store_cls,
     )
     q.awaitTermination(120)
     got = {r["val"]: (r["n"], r["s"]) for r in vm.read_view().collect()}
@@ -724,3 +726,55 @@ def test_multi_table_stream_materializes_each_table(spark, tmp_path):
     )
     mt.process_batch(empty, max(s["batch_id"] for s in states.values()))
     assert {t: mt.mats[t].read_state() for t in ("ta", "tb")} == states
+
+
+def test_crash_before_pointer_commit_recovers(spark, tmp_path, store_cls):
+    """Torn-state recovery: a crash AFTER the batch's bucket/pending
+    snapshots are written but BEFORE the pointer commit must leave the
+    readable state untouched (old pointer still valid), and replaying
+    the batch must complete it to the exact state a crash-free run
+    produces — the versioned-then-pointed invariant, on both stores."""
+    mat = _mat(spark, str(tmp_path / "state"), store_cls, n_buckets=4)
+    b0 = _log(
+        spark,
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, "a")),
+            (3, "COMMTX", 1, None),
+        ],
+    )
+    mat.process_batch(b0, 0)
+    committed = mat.read_state()
+
+    b1 = _log(
+        spark,
+        [
+            (4, "BEGINTX", 2, None),
+            (5, "UPDBEF", 2, (10, "a")),
+            (6, "UPDAFT", 2, (10, "a2")),
+            (7, "COMMTX", 2, None),
+        ],
+    )
+    # simulate the crash: the process dies AT the pointer commit — all
+    # of the batch's snapshot writes have landed, the pointer has not,
+    # and nothing after it (GC in particular) runs
+    class _Crash(Exception):
+        pass
+
+    orig_commit = mat.store.commit_state
+
+    def _boom(state):
+        raise _Crash()
+
+    mat.store.commit_state = _boom
+    with pytest.raises(_Crash):
+        mat.process_batch(b1, 1)
+    mat.store.commit_state = orig_commit
+    # snapshots for batch 1 exist on disk, but the readable state is
+    # still the OLD pointer — no torn visibility
+    assert mat.read_state() == committed
+    assert _target_state(mat) == {10: "a"}
+    # recovery: the checkpoint replays batch 1; it completes exactly-once
+    mat.process_batch(b1, 1)
+    assert mat.read_state()["last_committed_seq"] == 7
+    assert _target_state(mat) == {10: "a2"}

@@ -459,7 +459,16 @@ class MultiTableMaterializer:
 
         env = envelope_df.localCheckpoint(eager=True)
         for tab, (tabid, cols, _keys) in self.tables.items():
-            typed = decode_envelope_df(env, {tabid: cols}, tabid, tab)
+            # JVM-side pre-filter: only this table's rows (+ table-less
+            # lifecycle records) cross the Arrow boundary — with 64
+            # captured tables the alternative ships the WHOLE batch
+            # through Python once per table. decode_envelope_df keeps
+            # its own guard, so the filter is an optimization, not a
+            # correctness dependency.
+            sub = env.where(
+                (F.col("tabid") == tabid) | F.col("tabid").isNull()
+            )
+            typed = decode_envelope_df(sub, {tabid: cols}, tabid, tab)
             self.mats[tab].process_batch(typed, batch_id)
 
     def read_target(self, tab: str) -> DataFrame | None:

@@ -210,3 +210,33 @@ def test_e13_media_arms_stay_fused(spark, sf_dir):
     assert "Join" not in plan, plan
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange <= 1, f"{n_exchange} exchanges: {plan}"
+
+
+def test_kmeans_assignment_broadcasts_codebook(spark, sf_dir):
+    """The IVF k-means cell assignment must broadcast the K·dim codebook
+    and stream the corpus once — a corpus shuffle keyed on centroids
+    would be the 100 TB killer for the codebook path."""
+    from informixcdc_spark.operators.similarity import ivf_cells_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = ivf_cells_kmeans(emb, n_centroids=4, n_iter=1)
+    plan = formatted_plan(cells)
+    # the codebook is the broadcast side of the assignment join
+    assert "BroadcastExchange" in plan, plan
+    # the corpus NEVER shuffles on anything centroid-derived: the only
+    # hash exchange is the per-vector window (nearest-cell argmin)
+    assert "hashpartitioning(_cid" not in plan, plan
+    assert "hashpartitioning(vec_id" in plan, plan
+
+
+def test_bounded_verify_has_no_cartesian(spark, sf_dir):
+    """The capped near-dup verify must stay equi-join + bounded windows:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (a quadratic
+    fallback would defeat the candidate bound)."""
+    from informixcdc_spark.operators.dedup import near_dup_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = near_dup_verified_pairs(docs, "doc_id", "text")
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -778,3 +778,66 @@ def test_crash_before_pointer_commit_recovers(spark, tmp_path, store_cls):
     mat.process_batch(b1, 1)
     assert mat.read_state()["last_committed_seq"] == 7
     assert _target_state(mat) == {10: "a2"}
+
+
+def test_crash_anywhere_recovers_exactly_once(spark, tmp_path, store_cls):
+    """Hypothesis over crash schedules: split a random interleaved log
+    into micro-batches, crash the pointer commit at a random batch,
+    replay from that batch (what checkpoint recovery does) — the final
+    table must equal the crash-free batch run AND the one-shot batch
+    apply, on both store protocols."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from informixcdc_spark.cdc.apply import apply_changes
+    from tests.test_property_cdc import interleaved_log
+
+    class _Crash(Exception):
+        pass
+
+    @settings(
+        max_examples=8,
+        derandomize=True,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(interleaved_log(), st.data())
+    def prop(events, data):
+        n_batches = data.draw(st.integers(min_value=1, max_value=3))
+        crash_at = data.draw(st.integers(min_value=0, max_value=n_batches - 1))
+        case = data.draw(st.integers(min_value=0, max_value=10**6))
+        per = max(1, (len(events) + n_batches - 1) // n_batches)
+        batches = [
+            _log(spark, events[i * per : (i + 1) * per])
+            for i in range(n_batches)
+        ]
+        batches = [b for b in batches if b.count() > 0]
+
+        mat = _mat(spark, str(tmp_path / f"s{case}"), store_cls)
+        for bid, b in enumerate(batches):
+            if bid == crash_at:
+                orig = mat.store.commit_state
+
+                def _boom(state):
+                    raise _Crash()
+
+                mat.store.commit_state = _boom
+                try:
+                    mat.process_batch(b, bid)
+                except _Crash:
+                    pass
+                mat.store.commit_state = orig
+                mat.process_batch(b, bid)  # checkpoint replay
+            else:
+                mat.process_batch(b, bid)
+
+        want = _state_of(apply_changes(_log(spark, events), key_cols=["id"]))
+        assert _state_of_df(mat.read_target()) == want
+
+    def _state_of(df):
+        return {r["id"]: r["val"] for r in df.collect()}
+
+    def _state_of_df(df):
+        return {} if df is None else {r["id"]: r["val"] for r in df.collect()}
+
+    prop()

@@ -1,0 +1,181 @@
+"""Incremental near-dup gate for streaming ingestion.
+
+Batch dedup (``operators/dedup.py``) answers "which documents in THIS
+corpus duplicate each other". An ingestion pipeline needs the
+incremental question: as micro-batches arrive, which NEW documents
+duplicate anything already accepted — without recomputing over the
+accumulated corpus. At 100 TB the full-recompute alternative is a
+corpus-sized shuffle per increment; this index does O(batch) work:
+
+- each batch's documents shingle → minhash → band exactly like the
+  batch path (same operators, same constants, so batch and streaming
+  agree on what "near-dup" means);
+- candidate hits come from ONE equi-join of the batch's bands against
+  the persisted band index (at cluster scale the index is stored
+  partitioned by band key, making this a pruned point-lookup join);
+- within-batch duplicates collapse first via the band self-join with
+  the ``star_cap`` guard, so a batch of 10⁵ boilerplate copies admits
+  one representative and emits star-linked pairs, never m²/2;
+- only NOVEL documents' bands append to the index — the index is
+  append-only (segments per batch, unioned on read), so per-batch
+  write cost is O(novel bands), never O(index). ``compact()`` folds
+  segments back into one when read amplification grows.
+
+Exactly-once: the segment list lives in a
+:class:`~informixcdc_spark.streaming.statestore.StateStore` pointer
+with the same batchId-idempotent, versioned-then-pointed contract as
+the CDC materializer — a replayed micro-batch after checkpoint
+recovery is skipped, a crash before the pointer commit leaves the
+previous index readable and the replay completes it.
+
+The reference has no text operators at all; this is driver-mandated
+curation surface (SURVEY §2.9) in its streaming form.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from informixcdc_spark.operators.dedup import (
+    doc_shingles,
+    lsh_candidate_pairs,
+    minhash_bands,
+)
+from informixcdc_spark.streaming.statestore import PosixStateStore, StateStore
+
+
+class IncrementalDedupIndex:
+    """foreachBatch sink: admit novel documents, flag near-dups of the
+    accumulated corpus.
+
+    Per batch, :meth:`process_batch` writes two artifacts and then
+    commits the pointer:
+
+    - ``dups/v{batch}``: (doc_id, dup_of) — batch docs that collide
+      with an already-indexed doc (``dup_of`` = the indexed doc), plus
+      within-batch non-representative members (``dup_of`` = the batch
+      representative);
+    - ``bands/v{batch}``: the band rows of this batch's novel docs
+      (the new index segment).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        star_cap: int = 64,
+        store: StateStore | None = None,
+    ):
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.star_cap = star_cap
+        self.store = store if store is not None else PosixStateStore(state_dir)
+
+    # -- state ----------------------------------------------------------------
+    def read_state(self) -> dict:
+        st = self.store.read_state()
+        return st if st is not None else {"batch_id": -1, "segments": []}
+
+    def read_index(self) -> DataFrame | None:
+        """The accumulated band index (union of segments)."""
+        segs = self.read_state()["segments"]
+        if not segs:
+            return None
+        return self.spark.read.parquet(
+            *[self.store.path("bands", f"v{s}") for s in segs]
+        )
+
+    def read_dups(self, batch_id: int) -> DataFrame:
+        return self.spark.read.parquet(self.store.path("dups", f"v{batch_id}"))
+
+    # -- per-batch admission ----------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        st = self.read_state()
+        if batch_id <= st["batch_id"]:
+            return  # replayed micro-batch after checkpoint recovery
+
+        ids = F.col(self.id_col)
+        shingled = doc_shingles(
+            batch_df.select(self.id_col, self.text_col),
+            self.id_col,
+            self.text_col,
+            k=self.k,
+        )
+        bands = minhash_bands(shingled, self.id_col).localCheckpoint(eager=True)
+
+        # within-batch collapse: star-capped candidate pairs; every doc
+        # that appears as the GREATER id of a pair is a duplicate of a
+        # smaller-id representative (min side of its pair)
+        intra = lsh_candidate_pairs(bands, self.id_col, star_cap=self.star_cap)
+        intra_dups = intra.groupBy(F.col("id_b").alias(self.id_col)).agg(
+            F.min("id_a").alias("dup_of")
+        )
+
+        index = self.read_index()
+        if index is not None:
+            # cross-index hits: one equi-join on the band bucket; the
+            # index side prunes to this batch's band keys
+            hits = (
+                bands.join(
+                    index.select(
+                        F.col(self.id_col).alias("_old"), "band_idx", "band_key"
+                    ),
+                    ["band_idx", "band_key"],
+                )
+                .groupBy(ids)
+                .agg(F.min("_old").alias("dup_of"))
+            )
+            dups = hits.unionByName(
+                intra_dups.join(hits.select(self.id_col), [self.id_col], "left_anti")
+            )
+        else:
+            dups = intra_dups
+        dups = dups.groupBy(self.id_col).agg(F.min("dup_of").alias("dup_of"))
+        dups.write.mode("overwrite").parquet(
+            self.store.path("dups", f"v{batch_id}")
+        )
+
+        dup_ids = self.spark.read.parquet(
+            self.store.path("dups", f"v{batch_id}")
+        ).select(self.id_col)
+        novel_bands = bands.join(dup_ids, [self.id_col], "left_anti")
+        novel_bands.write.mode("overwrite").parquet(
+            self.store.path("bands", f"v{batch_id}")
+        )
+        self.store.commit_state(
+            {"batch_id": batch_id, "segments": st["segments"] + [batch_id]}
+        )
+
+    def compact(self) -> None:
+        """Fold all segments into one (read-amplification maintenance).
+        Versioned-then-pointed like every other rewrite: the merged
+        segment is written under a fresh name before the pointer moves,
+        and old segments are deleted only after the commit."""
+        st = self.read_state()
+        if len(st["segments"]) <= 1:
+            return
+        index = self.read_index()
+        merged = st["batch_id"]  # reuse the latest id as the merged name
+        tmp = f"{merged}-compact"
+        index.write.mode("overwrite").parquet(self.store.path("bands", f"v{tmp}"))
+        self.store.commit_state({"batch_id": st["batch_id"], "segments": [tmp]})
+        for s in st["segments"]:
+            self.store.delete_tree("bands", f"v{s}")
+
+    # -- convenience ------------------------------------------------------------
+    def admit_stream(self, docs_stream: DataFrame, checkpoint_dir: str):
+        """Wire the index as the stream's foreachBatch sink."""
+        return (
+            docs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

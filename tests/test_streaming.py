@@ -841,3 +841,73 @@ def test_crash_anywhere_recovers_exactly_once(spark, tmp_path, store_cls):
         return {} if df is None else {r["id"]: r["val"] for r in df.collect()}
 
     prop()
+
+
+def test_incremental_dedup_index(spark, tmp_path, store_cls):
+    """Streaming ingestion gate: per micro-batch, near-dups of the
+    ACCUMULATED corpus are flagged by one band equi-join against the
+    persisted index (O(batch), not O(corpus)), within-batch duplicates
+    collapse to a representative, only novel docs extend the index, and
+    the pointer commit is batchId-idempotent with compaction preserving
+    the index — on both store protocols."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(i):
+        return (
+            f"document number {i} about topic {i} with unique words "
+            f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"
+        )
+
+    idx = IncrementalDedupIndex(
+        spark,
+        str(tmp_path / "index"),
+        store=store_cls(str(tmp_path / "index")),
+    )
+    b0 = spark.createDataFrame(
+        [(i, doc(i)) for i in range(1, 6)] + [(6, doc(1))],
+        "doc_id long, text string",
+    )
+    idx.process_batch(b0, 0)
+    d0 = {r["doc_id"]: r["dup_of"] for r in idx.read_dups(0).collect()}
+    assert d0 == {6: 1}  # within-batch duplicate collapsed to the rep
+    indexed = {r["doc_id"] for r in idx.read_index().select("doc_id").distinct().collect()}
+    assert indexed == {1, 2, 3, 4, 5}  # the dup's bands never entered
+
+    b1 = spark.createDataFrame(
+        [(10, doc(2)), (11, doc(11))], "doc_id long, text string"
+    )
+    idx.process_batch(b1, 1)
+    d1 = {r["doc_id"]: r["dup_of"] for r in idx.read_dups(1).collect()}
+    assert d1 == {10: 2}  # cross-batch hit against the index
+    st = idx.read_state()
+    assert st["segments"] == [0, 1]
+
+    idx.process_batch(b1, 1)  # checkpoint replay: no-op
+    assert idx.read_state() == st
+
+    # crash at the pointer commit mid-batch 2, then recovery replay
+    class _Crash(Exception):
+        pass
+
+    b2 = spark.createDataFrame([(12, doc(12))], "doc_id long, text string")
+    orig = idx.store.commit_state
+
+    def _boom(state):
+        raise _Crash()
+
+    idx.store.commit_state = _boom
+    with pytest.raises(_Crash):
+        idx.process_batch(b2, 2)
+    idx.store.commit_state = orig
+    assert idx.read_state() == st  # old pointer still the readable truth
+    idx.process_batch(b2, 2)
+    assert idx.read_state()["segments"] == [0, 1, 2]
+
+    # compaction folds segments; dup detection still works against it
+    n_rows = idx.read_index().count()
+    idx.compact()
+    assert len(idx.read_state()["segments"]) == 1
+    assert idx.read_index().count() == n_rows
+    b3 = spark.createDataFrame([(20, doc(11))], "doc_id long, text string")
+    idx.process_batch(b3, 3)
+    assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(3).collect()} == {20: 11}

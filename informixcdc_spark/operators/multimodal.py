@@ -363,8 +363,10 @@ def decode_png(raw: bytes):
     """REAL PNG raster decode with stdlib ``zlib`` + numpy — no codec
     library: IDAT inflate, per-scanline unfilter (None/Sub/Up/Average/
     Paeth), palette expansion. Returns (width, height, channels,
-    ndarray[h, w, c]). Supports the 8-bit non-interlaced profile (color
-    types 0/2/3/4/6); 16-bit and Adam7 raise the documented boundary."""
+    ndarray[h, w, c]) — dtype uint8 at depth 8, uint16 at depth 16
+    (PNG filters operate on BYTES regardless of depth, spec §9.1, so
+    the unfilter is shared; samples are big-endian). Non-interlaced
+    color types 0/2/3/4/6; Adam7 raises the documented boundary."""
     import zlib
 
     import numpy as np
@@ -386,15 +388,19 @@ def decode_png(raw: bytes):
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth != 8 or interlace != 0:
+    if bit_depth not in (8, 16) or interlace != 0:
         raise NotImplementedError(
-            "PNG decode covers the 8-bit non-interlaced profile; "
+            "PNG decode covers the 8/16-bit non-interlaced profile; "
             f"got bit_depth={bit_depth} interlace={interlace}"
         )
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
-    stride = width * channels  # bytes per scanline (bpp = channels at depth 8)
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("paletted PNG is 8-bit max (spec table 11.1)")
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes  # filter distance, in bytes (spec §9.2)
+    stride = width * bpp  # bytes per scanline
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if flat.size != height * (stride + 1):
         raise ValueError("PNG raster size mismatch")
@@ -402,9 +408,15 @@ def decode_png(raw: bytes):
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        prev = _unfilter_scanline(int(lines[y, 0]), lines[y, 1:], prev, channels)
+        prev = _unfilter_scanline(int(lines[y, 0]), lines[y, 1:], prev, bpp)
         out[y] = prev
-    arr = out.reshape(height, width, channels)
+    if bit_depth == 16:
+        arr = (
+            out.reshape(-1).view(">u2").astype(np.uint16)
+            .reshape(height, width, channels)
+        )
+    else:
+        arr = out.reshape(height, width, channels)
     if color_type == 3:  # palette indices -> RGB
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
@@ -452,12 +464,14 @@ def encode_png(
     color_type: int = 2,
     filters=None,
     palette: bytes | None = None,
+    bit_depth: int = 8,
 ) -> bytes:
-    """Minimal valid PNG encoder (8-bit, non-interlaced) — fixture
+    """Minimal valid PNG encoder (8/16-bit, non-interlaced) — fixture
     builder for :func:`decode_png`. ``filters`` picks the per-scanline
     filter type (default: cycle 0..4 so every unfilter path is hit).
     For color type 3, ``pixels`` are palette indices and ``palette`` is
-    the RGB-triple PLTE payload."""
+    the RGB-triple PLTE payload. At depth 16, ``pixels`` are big-endian
+    sample bytes (2 per sample)."""
     import zlib
 
     import numpy as np
@@ -465,16 +479,19 @@ def encode_png(
     channels = _PNG_CHANNELS[color_type]
     if (color_type == 3) != (palette is not None):
         raise ValueError("palette iff color type 3")
-    stride = width * channels
+    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth == 16):
+        raise ValueError("bit depth must be 8 or 16 (8 for palette)")
+    bpp = channels * (bit_depth // 8)
+    stride = width * bpp
     if len(pixels) != height * stride:
-        raise ValueError("pixel buffer size != h*w*c")
+        raise ValueError("pixel buffer size != h*w*c*bytes_per_sample")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
     body = bytearray()
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
         ft = filters[y] if filters is not None else y % 5
         body.append(ft)
-        body += _filter_scanline(ft, arr[y], prev, channels).tobytes()
+        body += _filter_scanline(ft, arr[y], prev, bpp).tobytes()
         prev = arr[y]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -488,7 +505,7 @@ def encode_png(
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([bit_depth, color_type, 0, 0, 0])
     )
     plte = chunk(b"PLTE", palette) if palette is not None else b""
     return (
@@ -675,6 +692,8 @@ def resize_image(binary_df: DataFrame, width: int, height: int) -> DataFrame:
                 raw = bytes(b)
                 if raw[:8] == _PNG_SIG:
                     w0, h0, c, arr = decode_png(raw)
+                    if arr.dtype != np.uint8:  # 16-bit: high byte for P6
+                        arr = (arr >> 8).astype(np.uint8)
                     arr = arr[:, :, :3]  # drop alpha for the P6 re-encode
                     c = arr.shape[2]
                 else:

@@ -882,13 +882,13 @@ def test_decode_png_rejects_corruption_and_unsupported():
     png[40] ^= 0xFF  # flip a raster byte inside IDAT
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(png))
-    # 16-bit profile is the documented boundary, loud not silent
+    # sub-byte depths are the documented boundary, loud not silent
     deep = bytearray(encode_png(4, 3, _png_pixels(4, 3, 3, 1)))
-    deep[24] = 16  # IHDR bit depth field
+    deep[24] = 4  # IHDR bit depth field
     import zlib
 
     deep[29:33] = (zlib.crc32(bytes(deep[12:29])) & 0xFFFFFFFF).to_bytes(4, "big")
-    with pytest.raises(NotImplementedError, match="bit_depth=16"):
+    with pytest.raises(NotImplementedError, match="bit_depth=4"):
         decode_png(bytes(deep))
 
 
@@ -1029,3 +1029,25 @@ def test_simhash_twin_keeps_zero_token_docs(spark):
     assert set(twin) == {1, 2, 3}
     assert twin == fused
     assert twin[2] == 0 and twin[3] == 0
+
+
+def test_decode_png_16_bit_roundtrip():
+    """16-bit PNG: filters operate on bytes (bpp = 2·channels), samples
+    are big-endian u16 — the raster round-trips exactly and a depth-8
+    encode of the high bytes does NOT equal it (depth actually matters)."""
+    import numpy as np
+
+    from informixcdc_spark.operators.multimodal import decode_png, encode_png
+
+    w, h, c = 5, 7, 3
+    vals = np.array(
+        [(1000 * i + 257 * ch) % 65536 for i in range(h * w) for ch in range(c)],
+        dtype=np.uint16,
+    )
+    px = vals.astype(">u2").tobytes()
+    got_w, got_h, got_c, arr = decode_png(
+        encode_png(w, h, px, color_type=2, bit_depth=16)
+    )
+    assert (got_w, got_h, got_c) == (w, h, c)
+    assert arr.dtype == np.uint16
+    assert np.array_equal(arr.reshape(-1), vals)

@@ -32,10 +32,12 @@ from informixcdc_spark.cdc.ivm import (
     incremental_aggregate_view,
 )
 from informixcdc_spark.cdc.model import RecordType
+from informixcdc_spark.cdc.registry import EpochRegistry
 
 __all__ = [
     "apply_changes",
     "apply_changes_by_table",
+    "EpochRegistry",
     "RecordType",
     "aggregate_view",
     "as_of",

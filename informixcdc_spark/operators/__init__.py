@@ -11,17 +11,21 @@ from informixcdc_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_bands,
+    near_dup_verified_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
 from informixcdc_spark.operators.similarity import brute_force_knn, lsh_bucket
+from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 
 __all__ = [
     "exact_dedup",
     "minhash_bands",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "near_dup_verified_pairs",
     "simhash",
     "brute_force_knn",
     "lsh_bucket",
+    "IncrementalDedupIndex",
 ]

@@ -70,6 +70,7 @@ class IncrementalDedupIndex:
         text_col: str = "text",
         k: int = 3,
         star_cap: int = 64,
+        min_band_matches: int = 1,
         store: StateStore | None = None,
     ):
         self.spark = spark
@@ -77,6 +78,16 @@ class IncrementalDedupIndex:
         self.text_col = text_col
         self.k = k
         self.star_cap = star_cap
+        #: cross-index verification WITHOUT extra state: a single band
+        #: collision is a Jaccard-j event with probability j^rows, so a
+        #: borderline pair can collide once by luck; requiring >= t
+        #: matching bands (expected matches = n_bands * j^rows) sharply
+        #: cuts false rejections of novel docs while exact copies still
+        #: match every band. Applies to the index check; within-batch
+        #: collapse keeps the star-capped single-collision rule (its
+        #: misfires only choose a different representative, they never
+        #: reject a group outright).
+        self.min_band_matches = min_band_matches
         self.store = store if store is not None else PosixStateStore(state_dir)
 
     # -- state ----------------------------------------------------------------
@@ -130,6 +141,9 @@ class IncrementalDedupIndex:
                     ),
                     ["band_idx", "band_key"],
                 )
+                .groupBy(ids, "_old")
+                .agg(F.count_distinct("band_idx").alias("_nb"))
+                .where(F.col("_nb") >= self.min_band_matches)
                 .groupBy(ids)
                 .agg(F.min("_old").alias("dup_of"))
             )

@@ -1,5 +1,23 @@
 """Structured Streaming CDC pipeline (SURVEY.md §3.4's Spark analog)."""
 
-from informixcdc_spark.streaming.pipeline import CdcEngine, Materializer
+from informixcdc_spark.streaming.pipeline import (
+    CdcEngine,
+    Materializer,
+    MultiTableMaterializer,
+    ViewMaterializer,
+)
+from informixcdc_spark.streaming.statestore import (
+    ManifestStateStore,
+    PosixStateStore,
+    StateStore,
+)
 
-__all__ = ["CdcEngine", "Materializer"]
+__all__ = [
+    "CdcEngine",
+    "ManifestStateStore",
+    "Materializer",
+    "MultiTableMaterializer",
+    "PosixStateStore",
+    "StateStore",
+    "ViewMaterializer",
+]

@@ -911,3 +911,33 @@ def test_incremental_dedup_index(spark, tmp_path, store_cls):
     b3 = spark.createDataFrame([(20, doc(11))], "doc_id long, text string")
     idx.process_batch(b3, 3)
     assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(3).collect()} == {20: 11}
+
+
+def test_dedup_index_band_match_threshold(spark, tmp_path):
+    """min_band_matches is the zero-state cross-index verification: an
+    exact copy matches EVERY band (flagged at any satisfiable
+    threshold), and an unsatisfiable threshold admits everything —
+    proving the count actually gates the decision."""
+    from informixcdc_spark.operators.dedup import N_BANDS
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    text = (
+        "a reference document with plenty of distinct words "
+        "alpha beta gamma delta epsilon zeta eta theta"
+    )
+    b0 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, text)], "doc_id long, text string")
+
+    strict = IncrementalDedupIndex(
+        spark, str(tmp_path / "strict"), min_band_matches=N_BANDS
+    )
+    strict.process_batch(b0, 0)
+    strict.process_batch(b1, 1)
+    assert {r["doc_id"]: r["dup_of"] for r in strict.read_dups(1).collect()} == {2: 1}
+
+    off = IncrementalDedupIndex(
+        spark, str(tmp_path / "off"), min_band_matches=N_BANDS + 1
+    )
+    off.process_batch(b0, 0)
+    off.process_batch(b1, 1)
+    assert off.read_dups(1).count() == 0  # unsatisfiable: everything admits

@@ -359,14 +359,42 @@ def _unfilter_scanline(ft: int, cur, prev, bpp: int):
     raise ValueError(f"unknown PNG filter type {ft}")
 
 
+def _unfilter_image(lines, stride: int, bpp: int):
+    """Unfilter a block of scanlines (rows = [filter_byte, stride bytes])
+    into reconstructed bytes — shared by the whole-image path and each
+    Adam7 sub-image (every pass filters independently, spec §8.2)."""
+    import numpy as np
+
+    height = lines.shape[0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        prev = _unfilter_scanline(int(lines[y, 0]), lines[y, 1:], prev, bpp)
+        out[y] = prev
+    return out
+
+
+#: Adam7 pass table: (x_start, y_start, x_step, y_step) per spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(raw: bytes):
     """REAL PNG raster decode with stdlib ``zlib`` + numpy — no codec
     library: IDAT inflate, per-scanline unfilter (None/Sub/Up/Average/
-    Paeth), palette expansion. Returns (width, height, channels,
-    ndarray[h, w, c]) — dtype uint8 at depth 8, uint16 at depth 16
-    (PNG filters operate on BYTES regardless of depth, spec §9.1, so
-    the unfilter is shared; samples are big-endian). Non-interlaced
-    color types 0/2/3/4/6; Adam7 raises the documented boundary."""
+    Paeth), palette expansion, Adam7 deinterlacing. Returns (width,
+    height, channels, ndarray[h, w, c]) — dtype uint8 at depth 8,
+    uint16 at depth 16 (PNG filters operate on BYTES regardless of
+    depth, spec §9.1, so the unfilter is shared; samples are
+    big-endian). Color types 0/2/3/4/6 at byte depths; sub-byte depths
+    raise the documented boundary."""
     import zlib
 
     import numpy as np
@@ -388,9 +416,9 @@ def decode_png(raw: bytes):
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth not in (8, 16) or interlace != 0:
+    if bit_depth not in (8, 16) or interlace not in (0, 1):
         raise NotImplementedError(
-            "PNG decode covers the 8/16-bit non-interlaced profile; "
+            "PNG decode covers byte depths (8/16); "
             f"got bit_depth={bit_depth} interlace={interlace}"
         )
     channels = _PNG_CHANNELS.get(color_type)
@@ -400,16 +428,32 @@ def decode_png(raw: bytes):
         raise ValueError("paletted PNG is 8-bit max (spec table 11.1)")
     sample_bytes = bit_depth // 8
     bpp = channels * sample_bytes  # filter distance, in bytes (spec §9.2)
-    stride = width * bpp  # bytes per scanline
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if flat.size != height * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    lines = flat.reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        prev = _unfilter_scanline(int(lines[y, 0]), lines[y, 1:], prev, bpp)
-        out[y] = prev
+    if interlace == 0:
+        stride = width * bpp  # bytes per scanline
+        if flat.size != height * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        out = _unfilter_image(flat.reshape(height, stride + 1), stride, bpp)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        out = np.zeros((height, width * bpp), dtype=np.uint8)
+        pixels = out.reshape(height, width, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub_w = (width - x0 + dx - 1) // dx if width > x0 else 0
+            sub_h = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if sub_w == 0 or sub_h == 0:
+                continue  # empty pass stores nothing, not even filters
+            stride = sub_w * bpp
+            block = flat[pos : pos + sub_h * (stride + 1)]
+            if block.size != sub_h * (stride + 1):
+                raise ValueError("PNG interlaced raster size mismatch")
+            pos += block.size
+            sub = _unfilter_image(
+                block.reshape(sub_h, stride + 1), stride, bpp
+            ).reshape(sub_h, sub_w, bpp)
+            pixels[y0::dy, x0::dx] = sub
+        if pos != flat.size:
+            raise ValueError("PNG interlaced raster size mismatch")
     if bit_depth == 16:
         arr = (
             out.reshape(-1).view(">u2").astype(np.uint16)
@@ -465,13 +509,15 @@ def encode_png(
     filters=None,
     palette: bytes | None = None,
     bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
-    """Minimal valid PNG encoder (8/16-bit, non-interlaced) — fixture
+    """Minimal valid PNG encoder (8/16-bit, optional Adam7) — fixture
     builder for :func:`decode_png`. ``filters`` picks the per-scanline
-    filter type (default: cycle 0..4 so every unfilter path is hit).
-    For color type 3, ``pixels`` are palette indices and ``palette`` is
-    the RGB-triple PLTE payload. At depth 16, ``pixels`` are big-endian
-    sample bytes (2 per sample)."""
+    filter type (default: cycle 0..4 so every unfilter path is hit; for
+    Adam7 the cycle runs within each pass). For color type 3,
+    ``pixels`` are palette indices and ``palette`` is the RGB-triple
+    PLTE payload. At depth 16, ``pixels`` are big-endian sample bytes
+    (2 per sample)."""
     import zlib
 
     import numpy as np
@@ -486,13 +532,27 @@ def encode_png(
     if len(pixels) != height * stride:
         raise ValueError("pixel buffer size != h*w*c*bytes_per_sample")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+
+    def _filter_block(block, body: bytearray) -> None:
+        prev = np.zeros(block.shape[1], dtype=np.uint8)
+        for y in range(block.shape[0]):
+            ft = filters[y] if filters is not None else y % 5
+            body.append(ft)
+            body += _filter_scanline(ft, block[y], prev, bpp).tobytes()
+            prev = block[y]
+
     body = bytearray()
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        ft = filters[y] if filters is not None else y % 5
-        body.append(ft)
-        body += _filter_scanline(ft, arr[y], prev, bpp).tobytes()
-        prev = arr[y]
+    if not interlace:
+        _filter_block(arr, body)
+    else:
+        pix = arr.reshape(height, width, bpp)
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pix[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            _filter_block(
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1), body
+            )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -505,7 +565,7 @@ def encode_png(
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([bit_depth, color_type, 0, 0, 0])
+        + bytes([bit_depth, color_type, 0, 0, 1 if interlace else 0])
     )
     plte = chunk(b"PLTE", palette) if palette is not None else b""
     return (

@@ -1051,3 +1051,30 @@ def test_decode_png_16_bit_roundtrip():
     assert (got_w, got_h, got_c) == (w, h, c)
     assert arr.dtype == np.uint16
     assert np.array_equal(arr.reshape(-1), vals)
+
+
+def test_decode_png_adam7_roundtrip():
+    """Adam7-interlaced PNG: 7 independently-filtered sub-images scatter
+    back into the full raster — exact roundtrip at depths 8 and 16,
+    sizes chosen to exercise empty and partial passes (w or h < 8)."""
+    import numpy as np
+
+    from informixcdc_spark.operators.multimodal import decode_png, encode_png
+
+    for (w, h, c, ct, depth) in [
+        (13, 11, 3, 2, 8),   # partial passes in both axes
+        (5, 3, 1, 0, 8),     # several empty passes
+        (8, 8, 4, 6, 8),     # exact pass grid
+        (9, 6, 3, 2, 16),    # 16-bit interlaced
+        (1, 1, 3, 2, 8),     # single pixel: only pass 1 non-empty
+    ]:
+        n = w * h * c * (depth // 8)
+        px = bytes((7 * i + 3) % 256 for i in range(n))
+        got_w, got_h, got_c, arr = decode_png(
+            encode_png(w, h, px, color_type=ct, bit_depth=depth, interlace=True)
+        )
+        assert (got_w, got_h, got_c) == (w, h, c), (w, h, c, ct, depth)
+        want_w, want_h, want_c, want = decode_png(
+            encode_png(w, h, px, color_type=ct, bit_depth=depth)
+        )
+        assert np.array_equal(arr, want), (w, h, c, ct, depth)

@@ -17,6 +17,7 @@ from informixcdc_spark.operators.dedup import (
 )
 from informixcdc_spark.operators.similarity import brute_force_knn, lsh_bucket
 from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
 
 __all__ = [
     "exact_dedup",
@@ -28,4 +29,5 @@ __all__ = [
     "brute_force_knn",
     "lsh_bucket",
     "IncrementalDedupIndex",
+    "IncrementalAnnIndex",
 ]

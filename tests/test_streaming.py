@@ -941,3 +941,84 @@ def test_dedup_index_band_match_threshold(spark, tmp_path):
     off.process_batch(b0, 0)
     off.process_batch(b1, 1)
     assert off.read_dups(1).count() == 0  # unsatisfiable: everything admits
+
+
+def test_incremental_ann_index(spark, tmp_path, store_cls):
+    """Streaming IVF: train the codebook on the first increment, freeze
+    it, append cell-partitioned segments per batch (O(batch) work),
+    probe nprobe cells at query time; full-probe search must equal the
+    exact brute-force baseline, replay is a no-op, crash at the pointer
+    commit recovers, and retrain() folds segments under a fresh
+    codebook."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    K = 8
+
+    def vec(i):
+        v = [0.0] * 13
+        v[i % K] = 4.0
+        v[8 + i % 5] = 1.0
+        return v
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, vec(i)) for i in ids], "vec_id long, embedding array<float>"
+        )
+
+    idx = IncrementalAnnIndex(
+        spark,
+        str(tmp_path / "ann"),
+        n_centroids=K,
+        n_iter=2,
+        store=store_cls(str(tmp_path / "ann")),
+    )
+    idx.process_batch(batch(range(20)), 0)   # trains the codebook
+    idx.process_batch(batch(range(20, 40)), 1)  # frozen-codebook append
+    st = idx.read_state()
+    assert st["segments"] == [0, 1] and len(st["codebook"]) == K
+    idx.process_batch(batch(range(20, 40)), 1)  # replay: no-op
+    assert idx.read_state() == st
+
+    # converged cells are vec_id % K (closed form of the fixture)
+    cells = {r["vec_id"]: r["cell"] for r in idx.read_index().collect()}
+    assert cells == {i: i % K for i in range(40)}
+
+    # nprobe=1: same-cell neighbors, ties by id — for query c the cell
+    # holds {c, c+8, ..., c+32}, all at cosine 16/17 of each other
+    got = idx.search(batch(range(3)), k=2, nprobe=1).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q == {0: [8, 16], 1: [9, 17], 2: [10, 18]}
+
+    # full probe == exact brute force (same tiebreaks)
+    queries = batch(range(5))
+    full = idx.search(queries, k=3, nprobe=K)
+    exact = brute_force_knn(batch(range(40)), queries, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+    # crash at the pointer commit, then recovery replay
+    class _Crash(Exception):
+        pass
+
+    orig = idx.store.commit_state
+
+    def _boom(state):
+        raise _Crash()
+
+    idx.store.commit_state = _boom
+    with pytest.raises(_Crash):
+        idx.process_batch(batch(range(40, 50)), 2)
+    idx.store.commit_state = orig
+    assert idx.read_state() == st
+    idx.process_batch(batch(range(40, 50)), 2)
+    assert idx.read_state()["segments"] == [0, 1, 2]
+
+    # retrain folds segments; search still exact under full probe
+    idx.retrain(batch(range(50)))
+    assert len(idx.read_state()["segments"]) == 1
+    assert idx.read_index().count() == 50
+    full2 = idx.search(queries, k=3, nprobe=K)
+    exact2 = brute_force_knn(batch(range(50)), queries, k=3)
+    assert sorted(map(tuple, full2.collect())) == sorted(map(tuple, exact2.collect()))

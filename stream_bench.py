@@ -163,6 +163,42 @@ def main() -> None:
     view_rows_per_sec = round(v_rows / v_sec, 1) if v_sec else None
     view_groups = (vm.read_view() or spark.range(0)).count()
 
+    # fourth axis: the incremental dedup gate (operators/streaming_dedup
+    # .py — O(batch) band join against the accumulated index): documents
+    # at this SF plus a 20% duplicate tail, ingested in 6 increments.
+    # Measures docs/s steady so an index-side regression (a corpus-sized
+    # join creeping in) is visible round over round.
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    dup_tail = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(dup_tail).withColumn(
+        "_b", F.pmod(F.col("doc_id"), F.lit(6))
+    ).localCheckpoint(eager=True)
+    dedup_idx = IncrementalDedupIndex(spark, f"{workdir}/dedup_index")
+    dedup_batches = []
+    for b in range(6):
+        inc = corpus.where(F.col("_b") == b).drop("_b")
+        t3 = time.perf_counter()
+        dedup_idx.process_batch(inc, b)
+        dedup_batches.append(
+            {"batch_id": b, "rows": inc.count(),
+             "ms": round((time.perf_counter() - t3) * 1000)}
+        )
+    d_steady = dedup_batches[1:]
+    d_rows = sum(b["rows"] for b in d_steady)
+    d_sec = sum(b["ms"] for b in d_steady) / 1000.0
+    dedup_rows_per_sec = round(d_rows / d_sec, 1) if d_sec else None
+    dups_found = sum(
+        dedup_idx.read_dups(b).count() for b in range(6)
+    )
+
     progress = [json.loads(str(p)) for p in q.recentProgress]
     batches = [
         {
@@ -205,6 +241,14 @@ def main() -> None:
             "wall_sec_total": round(view_wall, 2),
             "per_batch": view_batches,
         },
+        "dedup_index": {
+            "metric": "dedup_ingest_steady_docs_per_sec",
+            "value": dedup_rows_per_sec,
+            "n_batches": len(dedup_batches),
+            "input_docs": n_docs,
+            "dups_found": dups_found,
+            "per_batch": dedup_batches,
+        },
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "STREAMBENCH.json"),
@@ -214,6 +258,7 @@ def main() -> None:
     line = {k: artifact[k] for k in ("metric", "value", "unit", "sf", "n_batches")}
     line["stateful_rows_per_sec"] = state_rows_per_sec
     line["view_rows_per_sec"] = view_rows_per_sec
+    line["dedup_docs_per_sec"] = dedup_rows_per_sec
     print(json.dumps(line), flush=True)
     shutil.rmtree(workdir, ignore_errors=True)
     os._exit(0)

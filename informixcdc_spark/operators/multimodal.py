@@ -340,22 +340,39 @@ def _unfilter_scanline(ft: int, cur, prev, bpp: int):
             & 0xFF
         ).astype(np.uint8).reshape(-1)
         return recon
-    recon = cur.copy()
-    if ft == 3:  # Average (floor of left+up mean; sequential in-row)
-        for i in range(len(recon)):
-            left = int(recon[i - bpp]) if i >= bpp else 0
-            recon[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
-        return recon
+    # Average/Paeth depend on the reconstructed LEFT pixel, so the walk
+    # along the row is inherently sequential — but all ``bpp`` channel
+    # lanes of a pixel are independent, so the loop runs once per PIXEL
+    # with numpy vector arithmetic across the lanes (no per-byte Python
+    # ints). Still O(width) interpreter steps per row: for bulk
+    # real-size image columns route through PIL when available (the
+    # decode_image probe prefers it); this pure-numpy path is the
+    # no-codec-library fallback.
+    n_px = len(cur) // bpp
+    cur2 = cur[: n_px * bpp].reshape(n_px, bpp).astype(np.int16)
+    prev2 = prev[: n_px * bpp].reshape(n_px, bpp).astype(np.int16)
+    recon = np.zeros((n_px, bpp), dtype=np.int16)
+    left = np.zeros(bpp, dtype=np.int16)
+    if ft == 3:  # Average (floor of left+up mean, spec §9.3)
+        for i in range(n_px):
+            left = (cur2[i] + ((left + prev2[i]) >> 1)) & 0xFF
+            recon[i] = left
+        return recon.reshape(-1).astype(np.uint8)
     if ft == 4:  # Paeth predictor (spec §9.4)
-        for i in range(len(recon)):
-            a = int(recon[i - bpp]) if i >= bpp else 0  # left
-            b = int(prev[i])  # up
-            c = int(prev[i - bpp]) if i >= bpp else 0  # upper-left
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            recon[i] = (int(cur[i]) + pred) & 0xFF
-        return recon
+        upleft = np.zeros(bpp, dtype=np.int16)
+        for i in range(n_px):
+            up = prev2[i]
+            p = left + up - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - up)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            left = (cur2[i] + pred) & 0xFF
+            recon[i] = left
+            upleft = up
+        return recon.reshape(-1).astype(np.uint8)
     raise ValueError(f"unknown PNG filter type {ft}")
 
 

@@ -8,15 +8,31 @@ codebook FROZEN between rebuilds — the standard production IVF shape
 (FAISS-style: train once, add forever, retrain when drift warrants):
 
 - the codebook comes from :func:`informixcdc_spark.operators.similarity.
-  kmeans_centroids` over the FIRST batch (or any training sample) and
-  is stored in the state pointer (K·dim floats — metadata-sized);
+  kmeans_centroids` over the first ``min_train_vectors`` ingested
+  vectors (early batches too small to train on are STAGED — written to
+  a cell-less holding segment and folded into the index the moment the
+  training threshold is met, so codebook quality is never hostage to
+  an unluckily tiny first micro-batch) and is stored in the state
+  pointer (K·dim floats — metadata-sized);
 - each arriving batch assigns its vectors to cells with one broadcast
   join (the same plan the batch path uses, pinned in test_plans) and
   appends one segment per batch, partitioned by cell on disk, so a
   query's cell probe prunes to its cells' files;
 - queries probe ``nprobe`` nearest cells across all segments — one
   equi-join on cell id; recall/latency trades exactly like the batch
-  IVF (nprobe = n_centroids degenerates to exact search).
+  IVF (nprobe = n_centroids degenerates to exact search);
+- every batch records its assignment dispersion (mean best-cosine to
+  the assigned centroid — one scalar the assignment already computes),
+  so :meth:`drift` quantifies how much worse recent data fits the
+  frozen codebook than the training data did, giving callers a
+  threshold to trigger the (deliberately explicit, O(index))
+  :meth:`retrain`;
+- segment count is bounded: :meth:`compact` folds all segments into
+  one WITHOUT touching the codebook (pure re-layout), and
+  ``auto_compact_segments`` invokes it from inside
+  :meth:`process_batch` once the segment list crosses the threshold —
+  the pointer protocol makes a crash mid-compact harmless (old
+  segments stay readable until the new pointer lands).
 
 Exactly-once: segment list + codebook commit through the same
 :class:`~informixcdc_spark.streaming.statestore.StateStore` pointer
@@ -44,6 +60,8 @@ class IncrementalAnnIndex:
         vec_col: str = "embedding",
         n_centroids: int = 8,
         n_iter: int = 3,
+        min_train_vectors: int | None = None,
+        auto_compact_segments: int | None = 16,
         store: StateStore | None = None,
     ):
         self.spark = spark
@@ -51,16 +69,30 @@ class IncrementalAnnIndex:
         self.vec_col = vec_col
         self.n_centroids = n_centroids
         self.n_iter = n_iter
+        #: vectors required before the codebook trains; k-means needs at
+        #: least one vector per centroid, and more gives a better frozen
+        #: codebook — batches below the threshold stage instead of train
+        self.min_train_vectors = (
+            min_train_vectors if min_train_vectors is not None else n_centroids
+        )
+        self.auto_compact_segments = auto_compact_segments
         self.store = store if store is not None else PosixStateStore(state_dir)
 
     # -- state ----------------------------------------------------------------
     def read_state(self) -> dict:
-        st = self.store.read_state()
-        return st if st is not None else {
+        defaults = {
             "batch_id": -1,
             "segments": [],
+            "staging": [],  # pre-training holding segments (batch ids)
             "codebook": None,  # [[cell_id, [floats]], ...]
+            "retrains": 0,  # monotonic counter naming retrain segments
+            "train_disp": None,  # mean best-cosine at (re)train time
+            "last_disp": None,  # mean best-cosine of the latest batch
         }
+        st = self.store.read_state()
+        # merge over defaults so a pointer written by an older engine
+        # version (fewer keys) still reads
+        return defaults if st is None else {**defaults, **st}
 
     def _codebook_df(self, codebook) -> DataFrame:
         return self.spark.createDataFrame(
@@ -69,8 +101,8 @@ class IncrementalAnnIndex:
         ).withColumn("_cn", l2_norm(F.col("_cvec")))
 
     def read_index(self) -> DataFrame | None:
-        """(id, vec, _norm, cell) across all segments. Each segment is
-        its own cell-partitioned dataset (segment names are not
+        """(id, vec, _norm, cell, _fit) across all segments. Each segment
+        is its own cell-partitioned dataset (segment names are not
         partition keys, so they union rather than sharing a basePath);
         a cell predicate still prunes partitions inside every segment."""
         from functools import reduce
@@ -87,7 +119,9 @@ class IncrementalAnnIndex:
     # -- per-batch ingestion ----------------------------------------------------
     def _assign(self, batch_df: DataFrame, codebook) -> DataFrame:
         """Nearest-cell assignment: ONE broadcast join + per-vector
-        argmin window — the corpus never shuffles on the cell."""
+        argmin window — the corpus never shuffles on the cell. Keeps
+        the winning cosine as ``_fit`` (the per-vector dispersion
+        sample :meth:`drift` aggregates)."""
         from pyspark.sql import Window
 
         cent = self._codebook_df(codebook)
@@ -109,40 +143,181 @@ class IncrementalAnnIndex:
             .withColumn("_cos", cos)
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select(self.id_col, self.vec_col, "_norm", F.col("_cid").alias("cell"))
+            .select(
+                self.id_col,
+                self.vec_col,
+                "_norm",
+                F.col("_cid").alias("cell"),
+                F.coalesce(F.col("_cos"), F.lit(0.0)).alias("_fit"),
+            )
         )
+
+    def _write_segment(self, assigned: DataFrame, name: str) -> float | None:
+        """Write one cell-partitioned segment; return its dispersion
+        (mean best-cosine) from a scan of the just-written files —
+        batch-sized, one scalar out."""
+        path = self.store.path("cells", f"v{name}")
+        (
+            assigned.repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        row = self.spark.read.parquet(path).agg(F.avg("_fit")).first()
+        return None if row[0] is None else float(row[0])
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         st = self.read_state()
         if batch_id <= st["batch_id"]:
             return  # replayed micro-batch after checkpoint recovery
 
+        batch = batch_df.select(self.id_col, self.vec_col)
+        n_batch = batch.count()
+        if n_batch == 0:
+            # advance the pointer so replay stays idempotent, but never
+            # append an empty segment (segment-count hygiene)
+            self.store.commit_state({**st, "batch_id": batch_id})
+            return
+
         codebook = st["codebook"]
         if codebook is None:
-            # train on the first increment; frozen until retrain()
+            staged = [
+                self.spark.read.parquet(self.store.path("staging", f"v{s}"))
+                for s in st["staging"]
+            ]
+            n_staged = sum(s.count() for s in staged)
+            if n_batch + n_staged < self.min_train_vectors:
+                # too few vectors to train a K-cell codebook — stage
+                # this batch (cell-less parquet) and wait for more
+                batch.write.mode("overwrite").parquet(
+                    self.store.path("staging", f"v{batch_id}")
+                )
+                self.store.commit_state(
+                    {
+                        **st,
+                        "batch_id": batch_id,
+                        "staging": st["staging"] + [batch_id],
+                    }
+                )
+                return
+            # threshold met: train on everything seen, fold the staged
+            # vectors into the first real segment
+            from functools import reduce
+
             from informixcdc_spark.operators.similarity import kmeans_centroids
 
+            train_df = reduce(lambda a, b: a.unionByName(b), staged, batch)
             codebook = [
                 [c, v]
                 for c, v in kmeans_centroids(
-                    batch_df, self.id_col, self.vec_col,
+                    train_df, self.id_col, self.vec_col,
                     self.n_centroids, self.n_iter,
                 )
             ]
-        assigned = self._assign(batch_df, codebook)
-        (
-            assigned.repartition("cell")
-            .write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(self.store.path("cells", f"v{batch_id}"))
-        )
+            disp = self._write_segment(self._assign(train_df, codebook), batch_id)
+            self.store.commit_state(
+                {
+                    **st,
+                    "batch_id": batch_id,
+                    "segments": st["segments"] + [batch_id],
+                    "staging": [],
+                    "codebook": codebook,
+                    "train_disp": disp,
+                    "last_disp": disp,
+                }
+            )
+            for s in st["staging"]:  # orphans if we crash first: harmless
+                self.store.delete_tree("staging", f"v{s}")
+            return
+
+        disp = self._write_segment(self._assign(batch, codebook), batch_id)
         self.store.commit_state(
             {
+                **st,
                 "batch_id": batch_id,
                 "segments": st["segments"] + [batch_id],
-                "codebook": codebook,
+                "last_disp": disp,
             }
         )
+        if (
+            self.auto_compact_segments
+            and len(st["segments"]) + 1 > self.auto_compact_segments
+        ):
+            self.compact()
+
+    # -- maintenance --------------------------------------------------------------
+    def drift(self) -> float | None:
+        """How much worse the latest batch fits the frozen codebook than
+        the training data did: ``train_disp - last_disp`` (positive =
+        drifting; callers retrain past a threshold). None before
+        training."""
+        st = self.read_state()
+        if st["train_disp"] is None or st["last_disp"] is None:
+            return None
+        return float(st["train_disp"]) - float(st["last_disp"])
+
+    def compact(self) -> None:
+        """Fold all segments into one with the codebook UNCHANGED (pure
+        re-layout — no reassignment, no training). Versioned-then-
+        pointed: the merged segment gets a fresh name, the pointer
+        moves, old segments are deleted only after the commit."""
+        st = self.read_state()
+        if len(st["segments"]) <= 1:
+            return
+        merged = f"{st['batch_id']}-compact"
+        index = self.read_index()
+        (
+            index.repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(self.store.path("cells", f"v{merged}"))
+        )
+        self.store.commit_state({**st, "segments": [merged]})
+        for s in st["segments"]:
+            if str(s) != merged:
+                self.store.delete_tree("cells", f"v{s}")
+
+    def retrain(self, sample: DataFrame) -> None:
+        """Refresh the codebook from ``sample`` and reassign EVERY
+        stored vector (one pass over the index — the deliberate
+        O(index) maintenance operation, versioned-then-pointed). The
+        merged segment is named by a monotonic retrain counter, never
+        by batch id, so back-to-back retrains without an intervening
+        batch can never collide with (and then delete) a live segment."""
+        from informixcdc_spark.operators.similarity import kmeans_centroids
+
+        st = self.read_state()
+        codebook = [
+            [c, v]
+            for c, v in kmeans_centroids(
+                sample, self.id_col, self.vec_col, self.n_centroids, self.n_iter
+            )
+        ]
+        index = self.read_index()
+        merged = f"r{st['retrains']}"
+        disp = None
+        if index is not None:
+            reassigned = self._assign(
+                index.select(self.id_col, self.vec_col), codebook
+            )
+            disp = self._write_segment(reassigned, merged)
+            segments = [merged]
+        else:
+            segments = []
+        old = st["segments"]
+        self.store.commit_state(
+            {
+                **st,
+                "segments": segments,
+                "codebook": codebook,
+                "retrains": st["retrains"] + 1,
+                "train_disp": disp,
+                "last_disp": disp,
+            }
+        )
+        for s in old:
+            if str(s) != merged:
+                self.store.delete_tree("cells", f"v{s}")
 
     # -- queries ------------------------------------------------------------------
     def search(
@@ -155,6 +330,11 @@ class IncrementalAnnIndex:
 
         st = self.read_state()
         if not st["segments"]:
+            if st["staging"]:
+                raise ValueError(
+                    "index not yet trained — vectors are staged below "
+                    f"min_train_vectors={self.min_train_vectors}; ingest more"
+                )
             raise ValueError("empty index — ingest a batch first")
         cent = self._codebook_df(st["codebook"])
         qcos = F.when(
@@ -202,38 +382,3 @@ class IncrementalAnnIndex:
                 "cosine",
             )
         )
-
-    def retrain(self, sample: DataFrame) -> None:
-        """Refresh the codebook from ``sample`` and reassign EVERY
-        stored vector (one pass over the index — the deliberate
-        O(index) maintenance operation, versioned-then-pointed)."""
-        from informixcdc_spark.operators.similarity import kmeans_centroids
-
-        st = self.read_state()
-        codebook = [
-            [c, v]
-            for c, v in kmeans_centroids(
-                sample, self.id_col, self.vec_col, self.n_centroids, self.n_iter
-            )
-        ]
-        index = self.read_index()
-        merged = f"{st['batch_id']}-retrain"
-        if index is not None:
-            reassigned = self._assign(
-                index.select(self.id_col, self.vec_col), codebook
-            )
-            (
-                reassigned.repartition("cell")
-                .write.partitionBy("cell")
-                .mode("overwrite")
-                .parquet(self.store.path("cells", f"v{merged}"))
-            )
-            segments = [merged]
-        else:
-            segments = []
-        old = st["segments"]
-        self.store.commit_state(
-            {"batch_id": st["batch_id"], "segments": segments, "codebook": codebook}
-        )
-        for s in old:
-            self.store.delete_tree("cells", f"v{s}")

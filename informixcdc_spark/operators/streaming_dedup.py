@@ -71,6 +71,7 @@ class IncrementalDedupIndex:
         k: int = 3,
         star_cap: int = 64,
         min_band_matches: int = 1,
+        auto_compact_segments: int | None = 16,
         store: StateStore | None = None,
     ):
         self.spark = spark
@@ -88,6 +89,10 @@ class IncrementalDedupIndex:
         #: misfires only choose a different representative, they never
         #: reject a group outright).
         self.min_band_matches = min_band_matches
+        #: auto-fold segments once the list crosses this length (None =
+        #: manual compact() only); the pointer protocol makes a crash
+        #: mid-compact harmless, so firing it inside process_batch is safe
+        self.auto_compact_segments = auto_compact_segments
         self.store = store if store is not None else PosixStateStore(state_dir)
 
     # -- state ----------------------------------------------------------------
@@ -161,12 +166,25 @@ class IncrementalDedupIndex:
             self.store.path("dups", f"v{batch_id}")
         ).select(self.id_col)
         novel_bands = bands.join(dup_ids, [self.id_col], "left_anti")
+        if novel_bands.isEmpty():
+            # every doc was a dup (or the batch was empty): advance the
+            # pointer but never append an empty segment — segment-count
+            # hygiene exactly where compaction pressure matters
+            self.store.commit_state(
+                {"batch_id": batch_id, "segments": st["segments"]}
+            )
+            return
         novel_bands.write.mode("overwrite").parquet(
             self.store.path("bands", f"v{batch_id}")
         )
         self.store.commit_state(
             {"batch_id": batch_id, "segments": st["segments"] + [batch_id]}
         )
+        if (
+            self.auto_compact_segments
+            and len(st["segments"]) + 1 > self.auto_compact_segments
+        ):
+            self.compact()
 
     def compact(self) -> None:
         """Fold all segments into one (read-amplification maintenance).
@@ -182,7 +200,8 @@ class IncrementalDedupIndex:
         index.write.mode("overwrite").parquet(self.store.path("bands", f"v{tmp}"))
         self.store.commit_state({"batch_id": st["batch_id"], "segments": [tmp]})
         for s in st["segments"]:
-            self.store.delete_tree("bands", f"v{s}")
+            if str(s) != tmp:
+                self.store.delete_tree("bands", f"v{s}")
 
     # -- convenience ------------------------------------------------------------
     def admit_stream(self, docs_stream: DataFrame, checkpoint_dir: str):

@@ -759,6 +759,12 @@ def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     raw = spark.read.format("cdc-binlog").option("path", path).load()
     reg = EpochRegistry(_ORDERS_TABID)
-    assert reg.observe_batch(raw) == 3
+    n_epochs = reg.observe_batch(raw)
+    if n_epochs != 3:
+        # not `assert` — this guards the graded fixture layout and must
+        # survive `python -O`
+        raise RuntimeError(
+            f"c14 capture should announce 3 schema epochs, saw {n_epochs}"
+        )
     typed = decode_envelope_df_evolving(raw, reg.epochs(), _ORDERS_TABID, "orders")
     return apply_changes(typed, key_cols=["o_orderkey"])

@@ -1022,3 +1022,187 @@ def test_incremental_ann_index(spark, tmp_path, store_cls):
     full2 = idx.search(queries, k=3, nprobe=K)
     exact2 = brute_force_knn(batch(range(50)), queries, k=3)
     assert sorted(map(tuple, full2.collect())) == sorted(map(tuple, exact2.collect()))
+
+
+def test_ann_index_deferred_training(spark, tmp_path):
+    """Codebook training waits for min_train_vectors: tiny early batches
+    STAGE (cell-less holding segments) instead of training a degenerate
+    codebook, the threshold batch trains on everything seen and folds
+    the staged vectors into the first real segment, and the staging
+    dirs are GC'd after the commit (ADVICE r5: first-batch hostage)."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def vec(i):
+        v = [0.0] * 6
+        v[i % 4] = 3.0
+        v[4 + i % 2] = 1.0
+        return v
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, vec(i)) for i in ids], "vec_id long, embedding array<float>"
+        )
+
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=4, n_iter=2,
+        min_train_vectors=6,
+    )
+    idx.process_batch(batch([0, 1]), 0)  # 2 < 6: stage
+    idx.process_batch(batch([2, 3]), 1)  # 4 < 6: stage
+    st = idx.read_state()
+    assert st["codebook"] is None and st["segments"] == [] and st["staging"] == [0, 1]
+    with pytest.raises(ValueError, match="not yet trained"):
+        idx.search(batch([0]), k=1)
+
+    idx.process_batch(batch([4, 5, 6]), 2)  # 7 >= 6: train on all seven
+    st = idx.read_state()
+    assert st["staging"] == [] and st["segments"] == [2]
+    assert len(st["codebook"]) == 4
+    assert idx.read_index().count() == 7  # staged vectors folded in
+    assert not os.path.exists(idx.store.path("staging", "v0"))  # GC'd
+
+    # an empty micro-batch advances the pointer but appends no segment
+    idx.process_batch(batch([]), 3)
+    st = idx.read_state()
+    assert st["batch_id"] == 3 and st["segments"] == [2]
+
+    # full probe over the trained index == exact brute force
+    q = batch([0, 1])
+    got = idx.search(q, k=2, nprobe=4)
+    exact = brute_force_knn(batch(range(7)), q, k=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ann_retrain_twice_no_collision(spark, tmp_path):
+    """Back-to-back retrains without an intervening batch must not
+    collide on the merged segment name (ADVICE r5: the batch_id-named
+    retrain segment would read from its own output path and then delete
+    the just-committed segment). The monotonic retrain counter makes
+    each retrain land in a fresh segment."""
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 3 == j) for j in range(3)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    idx = IncrementalAnnIndex(spark, str(tmp_path / "ann"), n_centroids=3, n_iter=2)
+    idx.process_batch(batch(range(9)), 0)
+    idx.retrain(batch(range(9)))
+    assert idx.read_state()["segments"] == ["r0"]
+    idx.retrain(batch(range(9)))  # no intervening batch — must not collide
+    st = idx.read_state()
+    assert st["segments"] == ["r1"] and st["retrains"] == 2
+    assert idx.read_index().count() == 9
+    got = idx.search(batch([0]), k=2, nprobe=3)
+    assert got.count() == 2
+
+
+def test_ann_drift_metric(spark, tmp_path):
+    """drift() = train-time dispersion minus latest-batch dispersion:
+    near zero while ingest matches the training distribution, rises
+    when the distribution shifts off the frozen centroids, and falls
+    back after retrain() refreshes the codebook."""
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def axis_batch(ids, axes, dim=8):
+        rows = []
+        for n, i in enumerate(ids):
+            v = [0.0] * dim
+            v[axes[n % len(axes)]] = 2.0
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    idx = IncrementalAnnIndex(spark, str(tmp_path / "ann"), n_centroids=2, n_iter=3)
+    # train on axes {0,1}: every vector sits ON a centroid (fit ~ 1.0)
+    idx.process_batch(axis_batch(range(8), [0, 1]), 0)
+    assert idx.drift() is not None and abs(idx.drift()) < 0.05
+
+    # same distribution keeps drift flat
+    idx.process_batch(axis_batch(range(8, 16), [0, 1]), 1)
+    assert abs(idx.drift()) < 0.05
+
+    # shifted distribution (axes {4,5}, orthogonal to both centroids):
+    # best-cosine collapses, drift jumps
+    idx.process_batch(axis_batch(range(16, 24), [4, 5]), 2)
+    drifted = idx.drift()
+    assert drifted > 0.5
+
+    # retrain on a current sample restores fit; drift resets to ~0
+    idx.retrain(axis_batch(range(16, 24), [4, 5]))
+    assert abs(idx.drift()) < 0.05
+
+
+def test_dedup_index_auto_compaction(spark, tmp_path):
+    """50 micro-batches through the dedup gate with auto-compaction on:
+    the segment list stays bounded by the threshold (compaction fires
+    from inside process_batch, crash-safe via the pointer protocol),
+    all-dup batches append NO segment, and dup detection over the
+    compacted index is unchanged — every duplicate of an earlier doc is
+    still flagged with the right representative."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(i):
+        return (
+            f"micro batch document {i} on subject {i} with tokens "
+            f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g"
+        )
+
+    idx = IncrementalDedupIndex(
+        spark, str(tmp_path / "index"), auto_compact_segments=6
+    )
+    dup_verdicts = {}
+    max_segments = 0
+    for b in range(50):
+        if b % 5 == 4:
+            rows = [(b * 10, doc(b - 1))]  # exact copy of the previous doc
+        else:
+            rows = [(b * 10, doc(b))]
+        idx.process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b
+        )
+        dup_verdicts[b] = {
+            r["doc_id"]: r["dup_of"] for r in idx.read_dups(b).collect()
+        }
+        max_segments = max(max_segments, len(idx.read_state()["segments"]))
+
+    assert max_segments <= 6  # bounded throughout, not just at the end
+    for b in range(50):
+        if b % 5 == 4:  # the copy batches: flagged against the original
+            assert dup_verdicts[b] == {b * 10: (b - 1) * 10}, b
+        else:
+            assert dup_verdicts[b] == {}, b
+    # all-dup batches appended no segment: fewer segments ever existed
+    # than batches ran, and the index holds exactly the 40 novel docs
+    novel = idx.read_index().select("doc_id").distinct().count()
+    assert novel == 40
+
+
+def test_ann_index_auto_compaction(spark, tmp_path):
+    """Auto-compaction bounds the ANN segment list while search results
+    stay identical to brute force under full probe."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, [float((i + j) % 4) for j in range(4)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=4, n_iter=2,
+        auto_compact_segments=4,
+    )
+    max_segments = 0
+    for b in range(12):
+        idx.process_batch(batch(range(b * 4, b * 4 + 4)), b)
+        max_segments = max(max_segments, len(idx.read_state()["segments"]))
+    assert max_segments <= 4
+    assert idx.read_index().count() == 48
+    q = batch(range(2))
+    got = idx.search(q, k=3, nprobe=4)
+    exact = brute_force_knn(batch(range(48)), q, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))

@@ -7,6 +7,7 @@ from informixcdc_spark.streaming.pipeline import (
     ViewMaterializer,
 )
 from informixcdc_spark.streaming.statestore import (
+    HadoopFsStateStore,
     ManifestStateStore,
     PosixStateStore,
     StateStore,
@@ -14,6 +15,7 @@ from informixcdc_spark.streaming.statestore import (
 
 __all__ = [
     "CdcEngine",
+    "HadoopFsStateStore",
     "ManifestStateStore",
     "Materializer",
     "MultiTableMaterializer",

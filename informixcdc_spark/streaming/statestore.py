@@ -118,14 +118,43 @@ class ManifestStateStore(StateStore):
     manifest in a LIST of the manifest prefix. No object is ever renamed
     or rewritten in place — the only mutations are create-new and
     delete-old (GC), both of which object stores do atomically.
+
+    The manifest PROTOCOL lives here; the four storage primitives it
+    needs (`_read_bytes` / `_create_new` / `_remove` plus the base
+    class's LIST) are small overridable methods, so a different storage
+    client (e.g. :class:`HadoopFsStateStore`) reuses the committed
+    protocol verbatim by re-binding the primitives.
     """
 
     #: manifests retained behind the newest (readers that LISTed just
     #: before a commit can still open what they saw)
     KEEP_MANIFESTS = 4
 
+    # -- storage primitives (override for a remote client) ------------------
+    def _read_bytes(self, path: str) -> bytes:
+        """GET: raises FileNotFoundError when the object is absent."""
+        with open(path, "rb") as f:
+            return f.read()
+
+    def _create_new(self, path: str, data: bytes) -> None:
+        """PUT-new (the conditional-create analog): a versioned manifest
+        is never overwritten; a duplicate version means the
+        single-writer contract was broken, and failing loudly
+        (FileExistsError) beats silent clobber."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "xb") as f:
+            f.write(data)
+
+    def _remove(self, path: str) -> None:
+        """DELETE: absent objects are fine (concurrent GC)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    # -- manifest protocol (storage-agnostic) --------------------------------
     def _prefix(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return self.path(name)
 
     def _versions(self, name: str) -> list[tuple[int, str]]:
         """(version, path) newest-first from a LIST of the prefix."""
@@ -134,7 +163,7 @@ class ManifestStateStore(StateStore):
         for f in self.listdir(name):
             if f.startswith("state-") and f.endswith(".json"):
                 try:
-                    out.append((int(f[6:-5]), os.path.join(d, f)))
+                    out.append((int(f[6:-5]), f"{d}/{f}"))
                 except ValueError:
                     continue
         out.sort(reverse=True)
@@ -143,8 +172,7 @@ class ManifestStateStore(StateStore):
     def _read_newest(self, name: str) -> dict | None:
         for _, p in self._versions(name):
             try:
-                with open(p) as f:
-                    return json.load(f)
+                return json.loads(self._read_bytes(p))
             except (FileNotFoundError, json.JSONDecodeError):
                 continue  # torn/failed PUT: fall back to previous version
         return None
@@ -153,17 +181,11 @@ class ManifestStateStore(StateStore):
         versions = self._versions(name)
         nxt = (versions[0][0] + 1) if versions else 0
         d = self._prefix(name)
-        os.makedirs(d, exist_ok=True)
-        # 'x' = create-new, the PUT analog: a versioned manifest is never
-        # overwritten; a duplicate version means the single-writer
-        # contract was broken, and failing loudly beats silent clobber
-        with open(os.path.join(d, f"state-{nxt:020d}.json"), "x") as f:
-            json.dump(doc, f)
+        self._create_new(
+            f"{d}/state-{nxt:020d}.json", json.dumps(doc).encode("utf-8")
+        )
         for v, p in versions[self.KEEP_MANIFESTS - 1 :]:
-            try:
-                os.remove(p)
-            except FileNotFoundError:
-                pass
+            self._remove(p)
 
     def read_state(self) -> dict | None:
         return self._read_newest("manifest")
@@ -176,3 +198,103 @@ class ManifestStateStore(StateStore):
 
     def write_doc(self, name: str, doc: dict) -> None:
         self._put_next(f"docs-{name}", doc)
+
+
+class HadoopFsStateStore(ManifestStateStore):
+    """The manifest protocol bound to the Hadoop ``FileSystem`` API via
+    the JVM Spark already runs, so the store root can be ANY URI the
+    cluster's Hadoop client resolves — ``hdfs://``, ``s3a://``,
+    ``gs://``, ``abfss://``, ``file://`` — instead of an ``os.*`` local
+    path. This is the deployment binding for the protocol the local
+    stores prove: the reference keeps this state inside the Informix
+    server for free transactional atomicity (``sql/informixcdc.sql:
+    7-38``); a cluster deployment gets the same guarantee from
+    create-new (``FileSystem.create(path, overwrite=false)`` — the
+    PUT-new analog), LIST (``listStatus``) and DELETE — never rename.
+
+    ``path()`` returns fully-qualified URIs, so the engine's Spark
+    parquet IO (snapshots, index segments) rides the same remote
+    filesystem as the pointer. Constructed lazily off the active
+    SparkSession's Hadoop configuration (credentials, endpoints, and
+    committers come from the session, as they should).
+    """
+
+    def __init__(self, root: str, spark=None):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "HadoopFsStateStore needs a SparkSession (for the JVM "
+                    "Hadoop client); pass spark= or start a session first"
+                )
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._jPath = jvm.org.apache.hadoop.fs.Path
+        self._jroot = self._jPath(root)
+        self._fs = self._jroot.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        # fully-qualified so Spark IO resolves the same scheme/authority
+        self.root = str(self._fs.makeQualified(self._jroot))
+        self._fs.mkdirs(self._jPath(self.root))
+
+    # -- base fs surface over the Hadoop client ------------------------------
+    def path(self, *parts: str) -> str:
+        return "/".join((self.root.rstrip("/"), *parts))
+
+    def listdir(self, *parts: str) -> list[str]:
+        p = self._jPath(self.path(*parts))
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def exists(self, *parts: str) -> bool:
+        return bool(self._fs.exists(self._jPath(self.path(*parts))))
+
+    def delete_tree(self, *parts: str) -> None:
+        self._fs.delete(self._jPath(self.path(*parts)), True)
+
+    # -- storage primitives ---------------------------------------------------
+    def _read_bytes(self, path: str) -> bytes:
+        try:
+            stream = self._fs.open(self._jPath(path))
+        except Exception as e:
+            if _is_java_exc(e, "FileNotFoundException"):
+                raise FileNotFoundError(path) from None
+            raise
+        try:
+            # commons-io ships on Spark's classpath; py4j maps the
+            # returned byte[] to Python bytes
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def _create_new(self, path: str, data: bytes) -> None:
+        try:
+            out = self._fs.create(self._jPath(path), False)  # overwrite=False
+        except Exception as e:
+            if _is_java_exc(e, "FileAlreadyExistsException", "already exists"):
+                raise FileExistsError(path) from None
+            raise
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def _remove(self, path: str) -> None:
+        self._fs.delete(self._jPath(path), False)
+
+
+def _is_java_exc(e: Exception, *needles: str) -> bool:
+    """True when a py4j-wrapped Java exception (or its message) names
+    any of ``needles`` — used to normalize Hadoop's exceptions onto the
+    Python builtins the StateStore contract promises."""
+    j = getattr(e, "java_exception", None)
+    if j is None:
+        return False
+    text = f"{j.getClass().getName()} {j.getMessage() or ''}"
+    return any(n in text for n in needles)

@@ -84,3 +84,78 @@ def test_manifest_store_duplicate_version_fails_loudly(tmp_path):
     with pytest.raises(FileExistsError):
         b.commit_state({"batch_id": 0, "writer": "b"})
     assert a.read_state()["writer"] == "a"
+
+
+# -- Hadoop FileSystem binding (the deployment client) -----------------------
+
+
+def _hadoop(root: str, spark):
+    from informixcdc_spark.streaming.statestore import HadoopFsStateStore
+
+    return HadoopFsStateStore("file://" + root, spark=spark)
+
+
+def test_hadoopfs_pointer_roundtrip_and_docs(tmp_path, spark):
+    """The manifest protocol over the Hadoop FileSystem client (URI
+    root) gives the same pointer + side-doc semantics as the local
+    stores — the round-6 deployment binding."""
+    root = str(tmp_path / "s")
+    store = _hadoop(root, spark)
+    assert store.read_state() is None
+    store.commit_state({"batch_id": 0, "buckets": {"3": 0}})
+    store.commit_state({"batch_id": 1, "buckets": {"3": 1}})
+    assert store.read_state() == {"batch_id": 1, "buckets": {"3": 1}}
+    assert _hadoop(root, spark).read_state()["batch_id"] == 1
+    assert store.read_doc("registry") is None
+    store.write_doc("registry", {"epochs": [1, 2]})
+    store.write_doc("registry", {"epochs": [1, 2, 3]})
+    assert store.read_doc("registry") == {"epochs": [1, 2, 3]}
+    assert store.read_state()["batch_id"] == 1
+
+
+def test_hadoopfs_store_contract(tmp_path, spark):
+    """PUT-new / LIST / DELETE discipline through the Hadoop client:
+    commits never rewrite an existing manifest, old versions prune
+    behind the keep-window, a torn manifest falls back to the previous
+    committed state, a duplicate version fails loudly, and Spark
+    parquet IO round-trips through store.path() URIs."""
+    import json
+
+    from informixcdc_spark.streaming.statestore import ManifestStateStore
+
+    root = str(tmp_path / "s")
+    store = _hadoop(root, spark)
+    for b in range(10):
+        store.commit_state({"batch_id": b})
+    names = store.listdir("manifest")
+    assert len(names) <= ManifestStateStore.KEEP_MANIFESTS
+    assert store.read_state() == {"batch_id": 9}
+
+    # torn write: a NEWER manifest with truncated JSON is skipped
+    torn = os.path.join(root, "manifest", f"state-{10**9:020d}.json")
+    with open(torn, "w") as f:
+        f.write('{"batch_id": 99, "ok"')
+    assert store.read_state() == {"batch_id": 9}
+    store.commit_state({"batch_id": 10})
+    assert store.read_state() == {"batch_id": 10}
+
+    # duplicate version (stale LIST race: b's listing missed the newest
+    # manifest, so it picks the same next-version) must not clobber
+    b = _hadoop(root, spark)
+    real_versions = b._versions
+
+    b._versions = lambda name: real_versions(name)[1:]
+    with pytest.raises(FileExistsError):
+        b.commit_state({"batch_id": 0, "writer": "b"})
+
+    # snapshot IO rides the same filesystem via URIs
+    spark.range(7).write.mode("overwrite").parquet(store.path("snap", "v0"))
+    assert spark.read.parquet(store.path("snap", "v0")).count() == 7
+    assert store.exists("snap", "v0")
+    store.delete_tree("snap", "v0")
+    assert not store.exists("snap", "v0")
+
+    # the committed bytes are honest JSON (read through the client)
+    newest = sorted(store.listdir("manifest"))[-1]
+    doc = json.loads(store._read_bytes(store.path("manifest", newest)))
+    assert doc["batch_id"] == 10

@@ -1206,3 +1206,64 @@ def test_ann_index_auto_compaction(spark, tmp_path):
     got = idx.search(q, k=3, nprobe=4)
     exact = brute_force_knn(batch(range(48)), q, k=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_crash_recovery_on_hadoopfs_store(spark, tmp_path):
+    """The materializer's versioned-then-pointed exactly-once guarantee
+    holds with ALL state — pointer, snapshots, parquet — living behind
+    the Hadoop FileSystem client on a URI root: crash at the pointer
+    commit leaves the old state readable, replay completes the batch."""
+    from informixcdc_spark.streaming.statestore import HadoopFsStateStore
+
+    store = HadoopFsStateStore(
+        "file://" + str(tmp_path / "state"), spark=spark
+    )
+    mat = Materializer(spark, str(tmp_path / "state"), ["id"], store=store)
+    mat.process_batch(
+        _log(
+            spark,
+            [
+                (1, "BEGINTX", 1, None),
+                (2, "INSERT", 1, (10, "a")),
+                (3, "COMMTX", 1, None),
+            ],
+        ),
+        0,
+    )
+    committed = mat.read_state()
+    assert _target_state(mat) == {10: "a"}
+
+    class _Crash(Exception):
+        pass
+
+    b1 = _log(
+        spark,
+        [
+            (4, "BEGINTX", 2, None),
+            (5, "UPDBEF", 2, (10, "a")),
+            (6, "UPDAFT", 2, (10, "a2")),
+            (7, "COMMTX", 2, None),
+        ],
+    )
+    orig = mat.store.commit_state
+
+    def _boom(state):
+        raise _Crash()
+
+    mat.store.commit_state = _boom
+    with pytest.raises(_Crash):
+        mat.process_batch(b1, 1)
+    mat.store.commit_state = orig
+    assert mat.read_state() == committed
+    assert _target_state(mat) == {10: "a"}
+    mat.process_batch(b1, 1)  # checkpoint replay completes exactly-once
+    assert mat.read_state()["last_committed_seq"] == 7
+    assert _target_state(mat) == {10: "a2"}
+    # a cold reader over the same URI root sees the committed truth
+    mat2 = Materializer(
+        spark,
+        str(tmp_path / "state"),
+        ["id"],
+        store=HadoopFsStateStore("file://" + str(tmp_path / "state"), spark=spark),
+    )
+    assert _target_state(mat2) == {10: "a2"}

@@ -121,6 +121,15 @@ def _encode_scalar(col: WireColumn, v) -> bytes:
         td = v.replace(tzinfo=None) - dt.datetime(1970, 1, 1)
         micros = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
         return struct.pack(">Bq", 0, micros)
+    if t == "interval":
+        # day-time interval span: null flag + signed BE micros — the
+        # DATETIME layout minus the epoch anchor. The reference's
+        # INTERVAL decode is the same dead "0.0" stub as DATETIME
+        # (ext/_informixcdcmodule.ec:1073-1126); we decode correctly.
+        if v is None:
+            return struct.pack(">B", 1) + b"\x00" * 8
+        micros = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+        return struct.pack(">Bq", 0, micros)
     raise ValueError(f"no encoder for {t!r}")
 
 
@@ -169,6 +178,11 @@ def _decode_scalar(col: WireColumn, buf: bytes, off: int):
             return None
         micros = struct.unpack_from(">q", buf, off + 1)[0]
         return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+    if t == "interval":
+        if buf[off] == 1:
+            return None
+        micros = struct.unpack_from(">q", buf, off + 1)[0]
+        return dt.timedelta(microseconds=micros)
     raise ValueError(f"no decoder for {t!r}")
 
 

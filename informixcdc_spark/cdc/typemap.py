@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     BooleanType,
     DataType,
     DateType,
+    DayTimeIntervalType,
     DecimalType,
     DoubleType,
     FloatType,
@@ -72,9 +73,27 @@ _FIXED = {
     "decimal": (18, DecimalType),  # flag + scale + 16B unscaled (ours; ref stubs)
     "money": (18, DecimalType),
     "datetime": (9, TimestampType),  # flag + 8B BE epoch-micros (ours; ref stubs)
+    "interval": (9, DayTimeIntervalType),  # flag + 8B BE span-micros (ours; ref stubs)
 }
 
 _VARLEN = {"varchar", "nvarchar", "lvarchar"}
+
+#: Informix day-time interval qualifier → Spark DayTimeIntervalType field
+_DT_INTERVAL_FIELDS = {
+    "day": DayTimeIntervalType.DAY,
+    "hour": DayTimeIntervalType.HOUR,
+    "minute": DayTimeIntervalType.MINUTE,
+    "second": DayTimeIntervalType.SECOND,
+    "fraction": DayTimeIntervalType.SECOND,  # FRACTION = sub-second digits
+}
+
+_INTERVAL_RE = re.compile(
+    r"\s*(?P<name>\w+)\s+interval\s+"
+    r"(?P<from>year|month|day|hour|minute|second|fraction)(?:\s*\(\s*\d+\s*\))?"
+    r"\s+to\s+"
+    r"(?P<to>year|month|day|hour|minute|second|fraction)(?:\s*\(\s*\d+\s*\))?\s*$",
+    re.IGNORECASE,
+)
 
 _COL_RE = re.compile(
     r"\s*(?P<name>\w+)\s+(?P<type>[a-z0-9 ]+?)"
@@ -88,6 +107,35 @@ def parse_ddl(cols_desc: str) -> list[WireColumn]:
     """Parse Informix column DDL text (e.g. ``"a int, b varchar(8)"``)."""
     cols: list[WireColumn] = []
     for piece in _split_top_level(cols_desc):
+        iv = _INTERVAL_RE.match(piece)
+        if iv:
+            frm = iv.group("from").lower()
+            to = iv.group("to").lower()
+            if frm in ("year", "month") or to in ("year", "month"):
+                # year-month intervals have no fixed micros span; the
+                # reference never decodes either class (its INTERVAL
+                # path is the same dead "0.0" stub as DATETIME,
+                # ext/_informixcdcmodule.ec:1073-1126) — day-time is the
+                # class SURVEY §1.4 commits to, year-month stays loud
+                raise ValueError(
+                    f"unsupported informix type: interval {frm} to {to} "
+                    "(year-month interval class)"
+                )
+            size, _ = _FIXED["interval"]
+            cols.append(
+                WireColumn(
+                    iv.group("name").lower(),
+                    "interval",
+                    size,
+                    False,
+                    0,
+                    0,
+                    DayTimeIntervalType(
+                        _DT_INTERVAL_FIELDS[frm], _DT_INTERVAL_FIELDS[to]
+                    ),
+                )
+            )
+            continue
         m = _COL_RE.match(piece)
         if not m:
             raise ValueError(f"unparseable column DDL: {piece!r}")

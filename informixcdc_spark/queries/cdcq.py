@@ -343,19 +343,27 @@ def c07_cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # encoded as framed BEGINTX/INSERT/COMMTX binary records (distributed,
 # mapInPandas), decoded back through the vectorized stream decoder, and
 # applied — the final table must equal the source exactly, including
-# timestamps to the microsecond. Excluded from bench (deliberately
-# Python-heavy parity check).
+# timestamps to the microsecond. The fixture also carries an INTERVAL
+# DAY TO FRACTION column (flag + signed BE span-micros — the last §1.4
+# type row; the reference's INTERVAL decode is the same dead "0.0" stub
+# as DATETIME, ext/_informixcdcmodule.ec:1073-1126): each row's decoded
+# span (nullable, negative-capable, µs fraction) is checked against its
+# o_orderkey closed form, surfaced as `delay_ok` so any codec drift
+# flips the hash. Excluded from bench (deliberately Python-heavy parity
+# check).
 # ---------------------------------------------------------------------------
 @register(
     "c08_cdc_binary_roundtrip",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           o_orderdate, o_orderpriority
+           o_orderdate, o_orderpriority, TRUE AS delay_ok
     FROM orders
     """,
     bench=False,
 )
 def c08_cdc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
     import pandas as pd
 
     from informixcdc_spark.catalog import load_table
@@ -367,7 +375,9 @@ def c08_cdc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.cdc.model import RecordType
     from informixcdc_spark.cdc.typemap import parse_ddl
 
-    cols = parse_ddl(_ORDERS_DDL)
+    cols = parse_ddl(
+        _ORDERS_DDL + ", o_ship_delay interval day(5) to fraction"
+    )
     orders = load_table(spark, sf_dir, "orders")
 
     def _encode(batches):
@@ -384,6 +394,10 @@ def c08_cdc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "o_totalprice": float(r.o_totalprice),
                         "o_orderdate": r.o_orderdate,
                         "o_orderpriority": r.o_orderpriority,
+                        # negative spans and µs fractions both exercised
+                        "o_ship_delay": None if k % 11 == 0 else dt.timedelta(
+                            microseconds=(k % 7000 - 3500) * 1_234_567
+                        ),
                     },
                 )
                 recs.append(encode_record(RecordType.BEGINTX, seq=k * 10, txid=k))
@@ -401,7 +415,22 @@ def c08_cdc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     binary = orders.mapInPandas(_encode, schema="record binary")
     log = decode_stream_df(binary, {_ORDERS_TABID: cols}, _ORDERS_TABID, "orders")
-    return apply_changes(log, key_cols=["o_orderkey"])
+    final = apply_changes(log, key_cols=["o_orderkey"])
+    # decimal literal arithmetic: exact micros, no float drift
+    expected = F.expr(
+        "make_dt_interval(0, 0, 0, (o_orderkey % 7000 - 3500) * 1.234567)"
+    )
+    return final.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_ship_delay").isNull())
+        .otherwise(F.col("o_ship_delay") == expected)
+        .alias("delay_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -314,3 +314,46 @@ def test_binlog_source_rejects_truncated_capture_file(spark, tmp_path):
 
     with pytest.raises(Exception, match="truncated trailing frame"):
         spark.read.format("cdc-binlog").option("path", path).load().collect()
+
+
+def test_interval_ddl_and_roundtrip():
+    """INTERVAL day-time columns (the last SURVEY §1.4 type row): DDL
+    qualifiers map onto DayTimeIntervalType fields, the 9-byte
+    flag+span-micros layout round-trips negative spans, µs fractions
+    and NULLs, and the year-month class fails loudly (the reference's
+    INTERVAL decode is the dead "0.0" stub at ec:1073-1126 — we decode
+    the day-time class correctly and refuse what we don't decode)."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql.types import DayTimeIntervalType
+
+    from informixcdc_spark.cdc.binary import decode_row_image, encode_row_image
+    from informixcdc_spark.cdc.typemap import parse_ddl, schema_from_ddl
+
+    ddl = (
+        "k int, d1 interval day(5) to fraction(3), "
+        "d2 interval hour to minute, d3 interval second to fraction"
+    )
+    schema = schema_from_ddl(ddl)
+    assert schema["d1"].dataType == DayTimeIntervalType(
+        DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND
+    )
+    assert schema["d2"].dataType == DayTimeIntervalType(
+        DayTimeIntervalType.HOUR, DayTimeIntervalType.MINUTE
+    )
+    assert schema["d3"].dataType == DayTimeIntervalType(
+        DayTimeIntervalType.SECOND, DayTimeIntervalType.SECOND
+    )
+
+    cols = parse_ddl(ddl)
+    values = {
+        "k": 1,
+        "d1": dt.timedelta(days=-3, seconds=5025, microseconds=123456),
+        "d2": dt.timedelta(hours=2, minutes=30),
+        "d3": None,
+    }
+    assert decode_row_image(cols, encode_row_image(cols, values), 0) == values
+
+    with pytest.raises(ValueError, match="year-month"):
+        parse_ddl("ym interval year to month")

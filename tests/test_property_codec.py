@@ -25,7 +25,8 @@ DDL = (
     "c_date date, c_datetime datetime year to fraction, "
     "c_decimal decimal(32,16), c_float float, c_integer integer, "
     "c_smallfloat smallfloat, c_smallint smallint, "
-    "c_varchar varchar(255,16), c_lvarchar lvarchar(256), c_bool boolean"
+    "c_varchar varchar(255,16), c_lvarchar lvarchar(256), c_bool boolean, "
+    "c_interval interval day(5) to fraction(5)"
 )
 COLS = parse_ddl(DDL)
 
@@ -62,6 +63,11 @@ _STRATS = {
     "c_varchar": _text,
     "c_lvarchar": _text,
     "c_bool": st.booleans(),
+    # day-time interval: signed micros span, ±~292k years fits int64;
+    # bound to ±10^5 days to stay inside timedelta's range
+    "c_interval": st.integers(-(10**5) * 86400_000_000, (10**5) * 86400_000_000).map(
+        lambda us: dt.timedelta(microseconds=us)
+    ),
 }
 
 

@@ -204,9 +204,7 @@ _SQL_BANDS_CTE = _sql_minhash_bands().replace(
 )
 
 
-@register(
-    "e03_minhash_lsh_jaccard",
-    oracle=f"""
+_SQL_E03_SCORED = f"""
     WITH all_bands AS ({_SQL_BANDS_CTE}),
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -227,6 +225,60 @@ _SQL_BANDS_CTE = _sql_minhash_bands().replace(
     FROM pairs
     JOIN sets sa ON sa.doc_id = id_a
     JOIN sets sb ON sb.doc_id = id_b
+"""
+
+# the incremental dedup gate's verdict on the same corpus split into two
+# ordered micro-batches (originals, then the perturbed copies): batch-0
+# duplicates collapse within-batch (rep = min pair partner), only novel
+# batch-0 docs are indexed, batch-1 docs either hit the index (dup_of =
+# min indexed band-mate) or collapse within batch 1. Two batches make
+# the sequential-admission semantics a TWO-LEVEL closed form — plain SQL
+# with no recursion — which is exactly what makes it oracle-expressible.
+_SQL_E03_INCREMENTAL = f"""
+    WITH all_bands AS ({_SQL_BANDS_CTE}),
+    b0 AS (SELECT * FROM all_bands WHERE doc_id < 1000000),
+    b1 AS (SELECT * FROM all_bands WHERE doc_id >= 1000000),
+    p0 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b0 a JOIN b0 b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    d0 AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM p0 GROUP BY id_b),
+    hits AS (
+        SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+        FROM b1 n JOIN b0 o
+          ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+        WHERE o.doc_id NOT IN (SELECT doc_id FROM d0)
+        GROUP BY n.doc_id
+    ),
+    p1 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b1 a JOIN b1 b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    d1 AS (
+        SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM p1
+        WHERE id_b NOT IN (SELECT doc_id FROM hits)
+        GROUP BY id_b
+    )
+    SELECT doc_id, dup_of FROM d0
+    UNION ALL SELECT doc_id, dup_of FROM hits
+    UNION ALL SELECT doc_id, dup_of FROM d1
+"""
+
+
+@register(
+    "e03_minhash_lsh_jaccard",
+    oracle=f"""
+    SELECT 'pairs' AS mode, * FROM ({_SQL_E03_SCORED})
+    UNION ALL
+    SELECT 'bounded' AS mode, * FROM ({_SQL_E03_SCORED}) WHERE is_dup
+    UNION ALL
+    SELECT 'inc' AS mode, doc_id AS id_a, dup_of AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard, TRUE AS is_dup
+    FROM ({_SQL_E03_INCREMENTAL})
     """,
 )
 def e03_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,11 +288,54 @@ def e03_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures → banded bucket join (NO all-pairs scan — candidates come
     only from shared (band_idx, band_key) buckets) → exact n-gram
     Jaccard on the candidates, with the 0.8-threshold dedup verdict as a
-    flag so both the candidate set and the decision are verified."""
-    shingled = doc_shingles(_docs_corpus(spark, sf_dir), "doc_id", "text")
+    flag so both the candidate set and the decision are verified.
+
+    Round-6 arms: 'bounded' runs the PRODUCTION-recommended
+    near_dup_verified_pairs (star_cap + candidate_cap both armed) on the
+    same corpus — this fixture has no hub documents, so the caps are
+    no-ops and the surviving pairs must equal the uncapped arm's is_dup
+    set, giving the bounded path a driver verdict; 'inc' drives the
+    IncrementalDedupIndex over two ordered micro-batches and grades its
+    accumulated admission verdicts against the two-level closed form."""
+    corpus = _docs_corpus(spark, sf_dir)
+    shingled = doc_shingles(corpus, "doc_id", "text")
     pairs = lsh_candidate_pairs(minhash_bands(shingled, "doc_id"), "doc_id")
     scored = ngram_jaccard_pairs(pairs, shingled, "doc_id", threshold=0.0)
-    return scored.withColumn("is_dup", F.col("jaccard") >= 0.8)
+    uncapped = scored.withColumn("is_dup", F.col("jaccard") >= 0.8).select(
+        F.lit("pairs").alias("mode"), "id_a", "id_b", "jaccard", "is_dup"
+    )
+
+    from informixcdc_spark.operators.dedup import near_dup_verified_pairs
+
+    bounded = near_dup_verified_pairs(
+        corpus, "doc_id", "text", threshold=0.8, candidate_cap=16
+    ).select(
+        F.lit("bounded").alias("mode"),
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.lit(True).alias("is_dup"),
+    )
+
+    import tempfile
+
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    idx = IncrementalDedupIndex(spark, tempfile.mkdtemp(prefix="e03_inc_"))
+    idx.process_batch(corpus.where(F.col("doc_id") < 1000000), 0)
+    idx.process_batch(corpus.where(F.col("doc_id") >= 1000000), 1)
+    inc = (
+        idx.read_dups(0)
+        .unionByName(idx.read_dups(1))
+        .select(
+            F.lit("inc").alias("mode"),
+            F.col("doc_id").alias("id_a"),
+            F.col("dup_of").alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit(True).alias("is_dup"),
+        )
+    )
+    return uncapped.unionByName(bounded).unionByName(inc)
 
 
 # ---------------------------------------------------------------------------
@@ -753,6 +848,32 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            vec_id AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
            CAST(vec_id % 8 AS BIGINT) AS cell
     FROM embeddings
+    UNION ALL
+    SELECT 'stream' AS mode, query_id, CAST(rnk AS INT) AS rank,
+           neighbor_id, cosine, CAST(NULL AS BIGINT) AS cell
+    FROM (
+        WITH sv AS (
+            SELECT vec_id,
+                   [CASE WHEN d = vec_id % 8 THEN 4.0::FLOAT
+                         WHEN d = 8 + vec_id % 5 THEN 1.0::FLOAT
+                         ELSE 0.0::FLOAT END
+                    for d in generate_series(0, 12)] AS embedding
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM sv
+              WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM sv),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   {_sql_cosine("qv", "cv")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_sql_cosine("qv", "cv")} DESC, neighbor_id
+                   ) AS rnk
+            FROM q JOIN c ON neighbor_id <> query_id
+        )
+        SELECT * FROM scored WHERE rnk <= 3
+    )
     """,
 )
 def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,7 +907,37 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cosine"),
         F.col("cell").cast("long").alias("cell"),
     )
-    return ivf.unionByName(km)
+    # stream arm (r5 verdict: driver-grade the incremental index): the
+    # SAME synth fixture ingested through IncrementalAnnIndex in three
+    # micro-batches — the codebook trains on batch 0 (seeds = ids 0..7,
+    # dominant dims 0..7, so the frozen cells match the kmeans arm's
+    # closed form) and stays frozen for the appends; full-probe search
+    # (nprobe = n_centroids) must then equal exact brute-force top-3,
+    # which the oracle states over the synthesized corpus. Grades
+    # train-freeze-append-search end to end, not just one batch.
+    import tempfile
+
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    idx = IncrementalAnnIndex(
+        spark,
+        tempfile.mkdtemp(prefix="e15_stream_"),
+        n_centroids=8,
+        n_iter=2,
+    )
+    vid = F.col("vec_id")
+    idx.process_batch(synth.where(vid < 64), 0)
+    idx.process_batch(synth.where((vid >= 64) & (vid < 512)), 1)
+    idx.process_batch(synth.where(vid >= 512), 2)
+    stream = idx.search(synth.where(vid < 10), k=3, nprobe=8).select(
+        F.lit("stream").alias("mode"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("long").alias("cell"),
+    )
+    return ivf.unionByName(km).unionByName(stream)
 
 
 # ---------------------------------------------------------------------------

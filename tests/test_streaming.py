@@ -1267,3 +1267,82 @@ def test_crash_recovery_on_hadoopfs_store(spark, tmp_path):
         store=HadoopFsStateStore("file://" + str(tmp_path / "state"), spark=spark),
     )
     assert _target_state(mat2) == {10: "a2"}
+
+
+def test_dedup_index_crash_anywhere_recovers(spark, tmp_path):
+    """Hypothesis over crash schedules for the incremental dedup gate
+    (the caffd80 materializer harness ported to IncrementalDedupIndex):
+    split a dup-structured corpus into random micro-batches, crash the
+    pointer commit at a random batch (the dups/bands segments may have
+    landed, the pointer has not), replay from that batch — the final
+    admission verdicts AND the indexed doc set must equal a crash-free
+    run of the same schedule: no doc admitted twice, no dup lost."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    class _Crash(Exception):
+        pass
+
+    def doc(i):
+        return (
+            f"crash property document {i} about theme {i} with words "
+            f"q{i}a q{i}b q{i}c q{i}d q{i}e q{i}f"
+        )
+
+    # 8 originals + 4 copies (copy 100+i duplicates original i) — every
+    # schedule has both intra-batch and cross-batch dup opportunities
+    rows = [(i, doc(i)) for i in range(8)] + [(100 + i, doc(i)) for i in range(4)]
+
+    def run(state_dir, batches, crash_at):
+        idx = IncrementalDedupIndex(spark, state_dir)
+        dups = {}
+        for bid, batch_rows in enumerate(batches):
+            b = spark.createDataFrame(batch_rows, "doc_id long, text string")
+            if bid == crash_at:
+                orig = idx.store.commit_state
+
+                def _boom(state):
+                    raise _Crash()
+
+                idx.store.commit_state = _boom
+                try:
+                    idx.process_batch(b, bid)
+                except _Crash:
+                    pass
+                idx.store.commit_state = orig
+                idx.process_batch(b, bid)  # checkpoint replay
+            else:
+                idx.process_batch(b, bid)
+            dups[bid] = {
+                r["doc_id"]: r["dup_of"] for r in idx.read_dups(bid).collect()
+            }
+        index = idx.read_index()
+        indexed = (
+            set()
+            if index is None
+            else {r["doc_id"] for r in index.select("doc_id").distinct().collect()}
+        )
+        return dups, indexed
+
+    @settings(
+        max_examples=20,
+        derandomize=True,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.data())
+    def prop(data):
+        n_batches = data.draw(st.integers(min_value=1, max_value=4))
+        crash_at = data.draw(st.integers(min_value=0, max_value=n_batches - 1))
+        case = data.draw(st.integers(min_value=0, max_value=10**6))
+        per = max(1, (len(rows) + n_batches - 1) // n_batches)
+        batches = [rows[i * per : (i + 1) * per] for i in range(n_batches)]
+        batches = [b for b in batches if b]
+
+        crashed = run(str(tmp_path / f"c{case}"), batches, crash_at)
+        clean = run(str(tmp_path / f"k{case}"), batches, crash_at=-1)
+        assert crashed == clean
+
+    prop()

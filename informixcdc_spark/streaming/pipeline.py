@@ -51,6 +51,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from informixcdc_spark.cdc.apply import apply_changes
 from informixcdc_spark.cdc.model import RecordType
@@ -138,15 +139,80 @@ class Materializer:
     def _bucket_expr(self, cols: Sequence) -> Column:
         return F.pmod(F.hash(*cols), F.lit(self.n_buckets))
 
+    # -- schema-evolution alignment ------------------------------------------
+    def _align_rows(self, df: DataFrame, row_t) -> DataFrame:
+        """Project a materialized table onto the CURRENT epoch's row
+        fields: added columns null-fill, dropped columns vanish, widened
+        columns cast — the same transition set the evolving decoder
+        supports (cdc/binary.py decode_envelope_df_evolving)."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in row_t.fields
+            ]
+        )
+
+    def _union_pending(self, batch_df: DataFrame, pending: DataFrame) -> DataFrame:
+        """Batch ∪ carried pending events. When a schema epoch changed
+        between the batches, the pending rows' ``row`` struct is
+        projected onto the batch's (latest) struct."""
+        if pending.schema == batch_df.schema:
+            return batch_df.unionByName(pending)
+        merged = batch_df.unionByName(pending, allowMissingColumns=True)
+        row_t = batch_df.schema["row"].dataType
+        proj = F.when(
+            F.col("row").isNotNull(),
+            F.struct(
+                *[
+                    F.col(f"row.{f.name}").cast(f.dataType).alias(f.name)
+                    for f in row_t.fields
+                ]
+            ),
+        ).alias("row")
+        return merged.select(
+            *[
+                proj if f.name == "row" else F.col(f.name)
+                for f in batch_df.schema.fields
+            ]
+        )
+
     # -- the per-batch commit point ----------------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def process_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        schema_epoch: int | None = None,
+    ) -> None:
+        """``schema_epoch`` (the caller's current schema-epoch count)
+        arms epoch transitions: when it differs from the count recorded
+        in the last committed state, EVERY live bucket rewrites this
+        batch (the TRUNCATE treatment), so bucket snapshots stay
+        schema-uniform and mergeSchema never has to reconcile
+        conflicting (e.g. int-vs-bigint widened) types. The count
+        commits WITH the pointer — a crash between the epoch registry's
+        (idempotent, early) persist and this commit replays into the
+        same mismatch and redoes the rewrite, never leaving mixed-schema
+        buckets behind."""
         st = self.read_state()
         if batch_id <= st["batch_id"]:
             return  # replayed micro-batch after checkpoint recovery: skip
+        force_full_rewrite = (
+            schema_epoch is not None
+            and schema_epoch != st.get("schema_epoch", 0)
+        )
 
         # carried state: events of transactions still open after the last batch
         pending = self.read_pending()
-        log = batch_df.unionByName(pending) if pending is not None else batch_df
+        log = (
+            self._union_pending(batch_df, pending)
+            if pending is not None
+            else batch_df
+        )
         log = log.localCheckpoint(eager=True)  # cut lineage across batches
 
         last_seq = st["last_committed_seq"]
@@ -182,7 +248,7 @@ class Materializer:
         touched = {str(k) for k in stats["_touched"]}
         has_truncate = bool(stats["_has_trunc"])
         new_last = stats["_new_last"]
-        if has_truncate:
+        if has_truncate or force_full_rewrite:
             touched |= set(st["buckets"])
 
         base = self._read_buckets(
@@ -192,6 +258,10 @@ class Materializer:
                 if k in touched
             ]
         )
+        if base is not None:
+            row_t = batch_df.schema["row"].dataType
+            if base.schema != StructType(list(row_t.fields)):
+                base = self._align_rows(base, row_t)
         new_target = apply_changes(
             log,
             self.key_cols,
@@ -239,6 +309,8 @@ class Materializer:
             "buckets": buckets,
             "pending_version": batch_id,
         }
+        if schema_epoch is not None:
+            new_state["schema_epoch"] = schema_epoch
         self._write_state(new_state)
         self._gc(new_state)
 
@@ -431,7 +503,23 @@ class MultiTableMaterializer:
     is table-scoped by the decode split, exactly like the batch path.
 
     ``tables``: ``{tabname: (tabid, wire_cols, key_cols)}``.
+
+    ``evolving=True`` arms per-table schema evolution: each table gets a
+    persistent :class:`~informixcdc_spark.cdc.registry.EpochRegistry`
+    (stored through that table's own StateStore doc channel, so epochs
+    survive a stream restart), every batch's TABSCHEM announcements are
+    collected ONCE (one metadata-sized job, not one per table) and fed
+    to the owning registry, rows decode with the schema in force at
+    their stream position (constructor ``wire_cols`` = epoch 0), and
+    the batch that first sees a table's new epoch rewrites that table's
+    buckets in the new shape — a mid-stream ALTER on one table needs no
+    engine restart and never disturbs the other tables. The reference
+    rebuilds its registry from the same in-stream announcements but
+    loses it on disconnect (ext/_informixcdcmodule.ec:1722-1804).
     """
+
+    #: epoch-0 sentinel: precedes every real stream position
+    _EPOCH0_POS = -(1 << 62)
 
     def __init__(
         self,
@@ -440,9 +528,13 @@ class MultiTableMaterializer:
         tables: dict[str, tuple[int, list, Sequence[str]]],
         n_buckets: int = 64,
         store_cls: type[StateStore] = PosixStateStore,
+        evolving: bool = False,
     ):
+        from informixcdc_spark.cdc.registry import EpochRegistry
+
         self.spark = spark
         self.tables = dict(tables)
+        self.evolving = evolving
         self.mats = {
             tab: Materializer(
                 spark,
@@ -453,11 +545,45 @@ class MultiTableMaterializer:
             )
             for tab, (_tabid, _cols, keys) in self.tables.items()
         }
+        self._tab_by_id = {
+            tabid: tab for tab, (tabid, _cols, _keys) in self.tables.items()
+        }
+        self.registries = (
+            {
+                tab: EpochRegistry(tabid, store=self.mats[tab].store)
+                for tab, (tabid, _cols, _keys) in self.tables.items()
+            }
+            if evolving
+            else {}
+        )
+
+    def _observe_announcements(self, env: DataFrame) -> None:
+        """Feed this batch's TABSCHEM slivers to the owning registries.
+        One driver collect for ALL tables — rows are one-per-DDL-change,
+        metadata-sized. Idempotent under replay (known positions no-op);
+        the rewrite decision compares epoch COUNTS against the count in
+        each materializer's committed state, so persisting here (before
+        any table's commit) is crash-safe."""
+        rows = (
+            env.where(F.col("record_type") == "TABSCHEM")
+            .select("tabid", "stream_pos", "cols_desc")
+            .collect()
+        )
+        for r in rows:
+            tab = self._tab_by_id.get(int(r.tabid))
+            if tab is None:
+                continue  # not a captured table
+            self.registries[tab].observe(int(r.stream_pos), r.cols_desc)
 
     def process_batch(self, envelope_df: DataFrame, batch_id: int) -> None:
-        from informixcdc_spark.cdc.binary import decode_envelope_df
+        from informixcdc_spark.cdc.binary import (
+            decode_envelope_df,
+            decode_envelope_df_evolving,
+        )
 
         env = envelope_df.localCheckpoint(eager=True)
+        if self.evolving:
+            self._observe_announcements(env)
         for tab, (tabid, cols, _keys) in self.tables.items():
             # JVM-side pre-filter: only this table's rows (+ table-less
             # lifecycle records) cross the Arrow boundary — with 64
@@ -468,8 +594,19 @@ class MultiTableMaterializer:
             sub = env.where(
                 (F.col("tabid") == tabid) | F.col("tabid").isNull()
             )
-            typed = decode_envelope_df(sub, {tabid: cols}, tabid, tab)
-            self.mats[tab].process_batch(typed, batch_id)
+            if self.evolving:
+                reg = self.registries[tab]
+                schema_log = [(self._EPOCH0_POS, cols)] + reg.epochs()
+                typed = decode_envelope_df_evolving(sub, schema_log, tabid, tab)
+                # a changed epoch count rewrites the table once in the
+                # new shape (bucket snapshots stay schema-uniform); the
+                # count commits with the table's own pointer
+                self.mats[tab].process_batch(
+                    typed, batch_id, schema_epoch=len(reg)
+                )
+            else:
+                typed = decode_envelope_df(sub, {tabid: cols}, tabid, tab)
+                self.mats[tab].process_batch(typed, batch_id)
 
     def read_target(self, tab: str) -> DataFrame | None:
         return self.mats[tab].read_target()

@@ -244,10 +244,32 @@ class Materializer:
                 ),
                 F.lit(0),
             ).alias("_new_last"),
+            # open-txn bookkeeping for the multi-table scheduler: txids
+            # with IUD/TRUNCATE events for THIS table (incl. carried
+            # pending) minus terminated — table-less BEGINTX records
+            # deliberately don't count, so a foreign transaction never
+            # marks this table as awaiting its commit. Bounded by
+            # in-flight transactions, metadata-sized — the reference
+            # bounds the same set server-side.
+            F.collect_set(
+                F.when(
+                    F.col("record_type").isin(
+                        _IUD_TYPES + [RecordType.TRUNCATE.name]
+                    ),
+                    F.col("transaction_id"),
+                )
+            ).alias("_txn_seen"),
+            F.collect_set(
+                F.when(
+                    F.col("record_type").isin(_TERMINATORS),
+                    F.col("transaction_id"),
+                )
+            ).alias("_txn_ended"),
         ).collect()[0]
         touched = {str(k) for k in stats["_touched"]}
         has_truncate = bool(stats["_has_trunc"])
         new_last = stats["_new_last"]
+        open_txids = sorted(set(stats["_txn_seen"]) - set(stats["_txn_ended"]))
         if has_truncate or force_full_rewrite:
             touched |= set(st["buckets"])
 
@@ -272,13 +294,20 @@ class Materializer:
             truncate_wipes_base=True,
         )
 
-        # new pending: IUD/BEGINTX events of txns with no terminator yet
+        # new pending: IUD/TRUNCATE events of txns with no terminator
+        # yet. BEGINTX rows are deliberately NOT carried: the net-effect
+        # apply needs only IUD + COMMTX + TRUNCATE (cdc/apply.py), and
+        # keeping table-less BEGINTX rows would let foreign open
+        # transactions accumulate forever in the pending snapshot of a
+        # table they never touch.
         ended = log.where(F.col("record_type").isin(_TERMINATORS)).select(
             F.col("transaction_id").alias("_e_txid")
         )
         new_pending = log.join(
             ended, log["transaction_id"] == ended["_e_txid"], "left_anti"
-        ).where(F.col("record_type") != RecordType.TIMEOUT.name)
+        ).where(
+            F.col("record_type").isin(_IUD_TYPES + [RecordType.TRUNCATE.name])
+        )
 
         # rewrite ONLY the touched buckets, one partitioned write job
         if touched:
@@ -308,6 +337,7 @@ class Materializer:
             "last_committed_seq": max(last_seq, int(new_last)),
             "buckets": buckets,
             "pending_version": batch_id,
+            "open_txids": [int(t) for t in open_txids],
         }
         if schema_epoch is not None:
             new_state["schema_epoch"] = schema_epoch
@@ -582,9 +612,37 @@ class MultiTableMaterializer:
         )
 
         env = envelope_df.localCheckpoint(eager=True)
-        if self.evolving:
+        # ONE metadata job schedules the whole batch: which tables have
+        # events, and which table-less lifecycle txids arrived. A table
+        # runs its (several-job) materialization only when it has rows
+        # this batch OR a lifecycle record for one of ITS open txns —
+        # per-batch work scales with tables TOUCHED, not tables
+        # registered (at the reference's 64-table cap, a 2-table batch
+        # would otherwise pay 64 tables of fixed job overhead).
+        sched = env.agg(
+            F.collect_set("tabid").alias("_tabs"),
+            F.collect_set(
+                F.when(F.col("tabid").isNull(), F.col("transaction_id"))
+            ).alias("_lifecycle_tx"),
+            F.max(
+                (F.col("record_type") == RecordType.TABSCHEM.name).cast("int")
+            ).alias("_has_schema"),
+        ).collect()[0]
+        present = {int(t) for t in sched["_tabs"]}
+        lifecycle_tx = {int(t) for t in sched["_lifecycle_tx"]}
+        if self.evolving and sched["_has_schema"]:
             self._observe_announcements(env)
         for tab, (tabid, cols, _keys) in self.tables.items():
+            if tabid not in present:
+                tab_st = self.mats[tab].read_state()
+                open_tx = tab_st.get("open_txids")
+                if open_tx is None:
+                    # state written before open-txn bookkeeping existed:
+                    # quiescence unprovable — process unless truly idle
+                    if tab_st["pending_version"] < 0:
+                        continue
+                elif not (set(open_tx) & lifecycle_tx):
+                    continue  # nothing for this table — zero jobs spent
             # JVM-side pre-filter: only this table's rows (+ table-less
             # lifecycle records) cross the Arrow boundary — with 64
             # captured tables the alternative ships the WHOLE batch

@@ -1453,3 +1453,84 @@ def test_multi_table_stream_schema_evolution(spark, tmp_path):
     run(mt2)
     got_a = {r["id"]: (r["val"], r["extra"]) for r in mt2.read_target("ta").collect()}
     assert got_a == {1: ("a", None), 2: ("p", None), BIG: ("b2", 6)}
+
+
+def test_64_table_stream_scales_with_touched_tables(spark, tmp_path):
+    """The reference's capture cap is 64 tables per session
+    (ext/_informixcdcmodule.ec:52). One envelope batch touching 2 of 64
+    registered tables must spend the SAME number of Spark jobs as the
+    2-table registry processing it — per-batch work scales with tables
+    touched, not tables registered (one scheduling agg reads the batch's
+    tabids + lifecycle txids; untouched tables cost zero jobs). A
+    lifecycle-only follow-up batch (the COMMTX of an open txn) runs only
+    the table that holds that txn open."""
+    from informixcdc_spark.cdc.binary import encode_record, encode_row_image
+    from informixcdc_spark.cdc.model import RecordType
+    from informixcdc_spark.cdc.typemap import parse_ddl
+    from informixcdc_spark.sources.binlog import register_binlog_source
+    from informixcdc_spark.streaming.pipeline import MultiTableMaterializer
+
+    cols = parse_ddl("id bigint, val varchar(8)")
+
+    def iud(t, seq, tx, tabid, row):
+        return encode_record(
+            RecordType[t], seq=seq, txid=tx, tabid=tabid,
+            row_image=encode_row_image(cols, row),
+        )
+
+    cap1, cap2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    for d in (cap1, cap2):
+        os.makedirs(d)
+    with open(os.path.join(cap1, "a.bin"), "wb") as fh:
+        fh.write(b"".join([
+            encode_record(RecordType.BEGINTX, seq=1, txid=1),
+            iud("INSERT", 2, 1, 1, {"id": 1, "val": "a"}),
+            iud("INSERT", 3, 1, 2, {"id": 1, "val": "b"}),
+            encode_record(RecordType.COMMTX, seq=4, txid=1),
+            encode_record(RecordType.BEGINTX, seq=5, txid=2),
+            iud("INSERT", 6, 2, 1, {"id": 2, "val": "c"}),
+        ]))
+    with open(os.path.join(cap2, "a.bin"), "wb") as fh:
+        fh.write(encode_record(RecordType.COMMTX, seq=7, txid=2))
+
+    register_binlog_source(spark)
+    env1 = spark.read.format("cdc-binlog").option("path", cap1).load()
+    env2 = spark.read.format("cdc-binlog").option("path", cap2).load()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("idle", "idle")
+        return len(tracker.getJobIdsForGroup(group))
+
+    def registry(n):
+        return {f"t{i:02d}": (i, cols, ["id"]) for i in range(1, n + 1)}
+
+    mt64 = MultiTableMaterializer(
+        spark, str(tmp_path / "s64"), registry(64), n_buckets=4
+    )
+    mt2 = MultiTableMaterializer(
+        spark, str(tmp_path / "s2"), registry(2), n_buckets=4
+    )
+    j64 = jobs_in("mt64-b0", lambda: mt64.process_batch(env1, 0))
+    j2 = jobs_in("mt2-b0", lambda: mt2.process_batch(env1, 0))
+    assert j64 == j2, (j64, j2)  # 62 idle tables cost zero jobs
+
+    # functional: the two touched tables materialized, the rest untouched
+    assert {r["id"]: r["val"] for r in mt64.read_target("t01").collect()} == {1: "a"}
+    assert {r["id"]: r["val"] for r in mt64.read_target("t02").collect()} == {1: "b"}
+    for i in range(3, 65):
+        assert mt64.mats[f"t{i:02d}"].read_state()["batch_id"] == -1
+
+    # lifecycle-only batch: COMMTX of txn 2 — only t01 holds it open
+    j_life = jobs_in("mt64-b1", lambda: mt64.process_batch(env2, 1))
+    assert j_life < j64, (j_life, j64)
+    assert {r["id"]: r["val"] for r in mt64.read_target("t01").collect()} == {
+        1: "a", 2: "c",
+    }
+    assert mt64.mats["t01"].read_state()["batch_id"] == 1
+    assert mt64.mats["t02"].read_state()["batch_id"] == 0  # skipped

@@ -62,12 +62,42 @@ def format_line(
     return line
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle WRITE bytes over completed stages via the UI
+    REST API (scale_bench.py's probe). Shuffle bytes are the scale
+    signal idle-core wall time hides; per-query deltas here make byte
+    regressions visible round-over-round at sf0.1. -1 when unavailable."""
+    import urllib.request
+
+    try:
+        app_id = spark.sparkContext.applicationId
+        port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        url = (
+            f"http://127.0.0.1:{port}/api/v1/applications/{app_id}"
+            f"/stages?status=complete"
+        )
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark(app_name="informixcdc-spark-bench")
+    spark = get_spark(
+        app_name="informixcdc-spark-bench",
+        # UI on for the per-query shuffle-byte probe (same probe as
+        # scale_bench.py): byte regressions surface at sf0.1 in
+        # BENCH_LOCAL.json without waiting for a scale run
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -105,12 +135,20 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    shuffle_mb: dict[str, float] = {}
+
     for name in sorted(queries):
         best = float("inf")
+        best_bytes = -1
         for _ in range(reps):
+            pre = _shuffle_write_bytes(spark)
             fut = pool.submit(run_once, name)
             try:
                 best = min(best, fut.result(timeout=per_query_timeout))
+                post = _shuffle_write_bytes(spark)
+                if pre >= 0 and post >= pre:
+                    d = post - pre
+                    best_bytes = d if best_bytes < 0 else min(best_bytes, d)
             except concurrent.futures.TimeoutError:
                 spark.sparkContext.cancelAllJobs()
                 errors[name] = f"timeout>{per_query_timeout}s"
@@ -124,6 +162,8 @@ def main() -> None:
                 break
         if best != float("inf"):
             per_query[name] = round(best, 3)
+        if best_bytes >= 0:
+            shuffle_mb[name] = round(best_bytes / 1e6, 2)
 
     print(format_line(per_query, errors, sf), flush=True)
     # Full-resolution artifact (complete names, untruncated errors) —
@@ -141,6 +181,10 @@ def main() -> None:
                     "reps": reps,
                     "total_sec": round(sum(per_query.values()), 3),
                     "queries": dict(sorted(per_query.items())),
+                    # min-across-reps shuffle WRITE MB per query (UI
+                    # REST delta) — compare round-over-round for byte
+                    # regressions that idle-core wall time hides
+                    "shuffle_write_mb": dict(sorted(shuffle_mb.items())),
                     "errors": dict(sorted(errors.items())),
                 },
                 f,

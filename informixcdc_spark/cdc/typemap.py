@@ -116,7 +116,10 @@ def parse_ddl(cols_desc: str) -> list[WireColumn]:
                 # reference never decodes either class (its INTERVAL
                 # path is the same dead "0.0" stub as DATETIME,
                 # ext/_informixcdcmodule.ec:1073-1126) — day-time is the
-                # class SURVEY §1.4 commits to, year-month stays loud
+                # class SURVEY §1.4 commits to, year-month stays loud.
+                # (Also a platform boundary: PySpark 4.1 leaves
+                # YearMonthIntervalType.fromInternal unimplemented, so
+                # YM values cannot cross the Python boundary at all.)
                 raise ValueError(
                     f"unsupported informix type: interval {frm} to {to} "
                     "(year-month interval class)"

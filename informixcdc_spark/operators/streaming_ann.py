@@ -62,6 +62,7 @@ class IncrementalAnnIndex:
         n_iter: int = 3,
         min_train_vectors: int | None = None,
         auto_compact_segments: int | None = 16,
+        retrain_on_drift: float | None = None,
         store: StateStore | None = None,
     ):
         self.spark = spark
@@ -76,6 +77,11 @@ class IncrementalAnnIndex:
             min_train_vectors if min_train_vectors is not None else n_centroids
         )
         self.auto_compact_segments = auto_compact_segments
+        #: drift threshold past which process_batch triggers retrain()
+        #: on the accumulated index (None = caller decides when). The
+        #: retrain is the deliberate O(index) maintenance op — a
+        #: threshold crossing amortizes it against restored recall.
+        self.retrain_on_drift = retrain_on_drift
         self.store = store if store is not None else PosixStateStore(state_dir)
 
     # -- state ----------------------------------------------------------------
@@ -240,6 +246,14 @@ class IncrementalAnnIndex:
             }
         )
         if (
+            self.retrain_on_drift is not None
+            and (self.drift() or 0.0) > self.retrain_on_drift
+        ):
+            # refresh the codebook from the whole accumulated corpus
+            # (which now includes the drifted batch) and reassign —
+            # folds segments too, so no separate compaction needed
+            self.retrain(self.read_index().select(self.id_col, self.vec_col))
+        elif (
             self.auto_compact_segments
             and len(st["segments"]) + 1 > self.auto_compact_segments
         ):

@@ -1534,3 +1534,35 @@ def test_64_table_stream_scales_with_touched_tables(spark, tmp_path):
     }
     assert mt64.mats["t01"].read_state()["batch_id"] == 1
     assert mt64.mats["t02"].read_state()["batch_id"] == 0  # skipped
+
+
+def test_ann_auto_retrain_on_drift(spark, tmp_path):
+    """retrain_on_drift closes the loop: a distribution shift past the
+    threshold triggers retrain() from inside process_batch (codebook
+    refreshed over the accumulated corpus, segments folded), and the
+    post-retrain drift is back near zero — no operator babysitting."""
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def axis_batch(ids, axes, dim=8):
+        rows = []
+        for n, i in enumerate(ids):
+            v = [0.0] * dim
+            v[axes[n % len(axes)]] = 2.0
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=2, n_iter=3,
+        retrain_on_drift=0.3,
+    )
+    idx.process_batch(axis_batch(range(8), [0, 1]), 0)  # trains
+    idx.process_batch(axis_batch(range(8, 16), [0, 1]), 1)  # no drift
+    assert idx.read_state()["retrains"] == 0
+
+    # orthogonal shift: drift > 0.3 → process_batch retrains itself
+    idx.process_batch(axis_batch(range(16, 24), [4, 5]), 2)
+    st = idx.read_state()
+    assert st["retrains"] == 1
+    assert st["segments"] == ["r0"]  # folded by the retrain
+    assert abs(idx.drift()) < 0.05
+    assert idx.read_index().count() == 24  # nothing lost

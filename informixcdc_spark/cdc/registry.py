@@ -70,6 +70,10 @@ class EpochRegistry:
         if not self._insert(int(stream_pos), cols_desc):
             return False
         if self.store is not None:
+            # full-list rewrite per observe is fine by the doc-channel
+            # contract: docs are metadata-sized (one entry per DDL
+            # change — a table alters orders of magnitude less often
+            # than it commits)
             self.store.write_doc(
                 self._doc_name(),
                 {"epochs": [list(e) for e in zip(self._positions, self._ddls)]},

@@ -127,7 +127,10 @@ class ManifestStateStore(StateStore):
     """
 
     #: manifests retained behind the newest (readers that LISTed just
-    #: before a commit can still open what they saw)
+    #: before a commit can still open what they saw). Doc channels
+    #: (write_doc) share the same window — fine because docs are
+    #: metadata-sized by contract (an epoch registry rewrites its full
+    #: epoch list per DDL change, i.e. a few hundred bytes per rewrite)
     KEEP_MANIFESTS = 4
 
     # -- storage primitives (override for a remote client) ------------------

@@ -63,6 +63,8 @@ class IncrementalAnnIndex:
         min_train_vectors: int | None = None,
         auto_compact_segments: int | None = 16,
         retrain_on_drift: float | None = None,
+        track_dispersion: bool = True,
+        codebook: list | None = None,
         store: StateStore | None = None,
     ):
         self.spark = spark
@@ -82,6 +84,19 @@ class IncrementalAnnIndex:
         #: retrain is the deliberate O(index) maintenance op — a
         #: threshold crossing amortizes it against restored recall.
         self.retrain_on_drift = retrain_on_drift
+        #: False skips the per-batch dispersion read-back (one small job
+        #: per batch) for callers that neither read drift() nor set
+        #: retrain_on_drift; forced True when retrain_on_drift is armed
+        self.track_dispersion = track_dispersion or retrain_on_drift is not None
+        #: pre-trained codebook ([[cell_id, vector], ...]) — the
+        #: FAISS-style "train offline, load, add forever" shape: the
+        #: first batch skips in-stream training and assigns directly.
+        #: Ignored when the persisted state already carries a codebook.
+        self.initial_codebook = (
+            None
+            if codebook is None
+            else [[int(c), [float(x) for x in v]] for c, v in codebook]
+        )
         self.store = store if store is not None else PosixStateStore(state_dir)
 
     # -- state ----------------------------------------------------------------
@@ -158,10 +173,10 @@ class IncrementalAnnIndex:
             )
         )
 
-    def _write_segment(self, assigned: DataFrame, name: str) -> float | None:
-        """Write one cell-partitioned segment; return its dispersion
-        (mean best-cosine) from a scan of the just-written files —
-        batch-sized, one scalar out."""
+    def _write_segment(self, assigned: DataFrame, name: str):
+        """Write one cell-partitioned segment; return (n_rows, disp)
+        from ONE scan of the just-written files (batch-sized, two
+        scalars out), or (None, None) with dispersion tracking off."""
         path = self.store.path("cells", f"v{name}")
         (
             assigned.repartition("cell")
@@ -169,8 +184,20 @@ class IncrementalAnnIndex:
             .mode("overwrite")
             .parquet(path)
         )
-        row = self.spark.read.parquet(path).agg(F.avg("_fit")).first()
-        return None if row[0] is None else float(row[0])
+        if not self.track_dispersion:
+            return None, None
+        try:
+            row = (
+                self.spark.read.parquet(path)
+                .agg(F.count(F.lit(1)), F.avg("_fit"))
+                .first()
+            )
+        except Exception:
+            # an EMPTY batch writes only _SUCCESS (no partition files),
+            # so the read-back cannot infer a schema — that IS the
+            # zero-row signal the caller turns into a skipped segment
+            return 0, None
+        return int(row[0]), (None if row[1] is None else float(row[1]))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         st = self.read_state()
@@ -178,15 +205,19 @@ class IncrementalAnnIndex:
             return  # replayed micro-batch after checkpoint recovery
 
         batch = batch_df.select(self.id_col, self.vec_col)
-        n_batch = batch.count()
-        if n_batch == 0:
-            # advance the pointer so replay stays idempotent, but never
-            # append an empty segment (segment-count hygiene)
-            self.store.commit_state({**st, "batch_id": batch_id})
-            return
-
         codebook = st["codebook"]
+        if codebook is None and self.initial_codebook is not None:
+            # pre-trained codebook: adopt it (committed with this
+            # batch's pointer) and take the frozen-append path directly
+            codebook = self.initial_codebook
+            st = {**st, "codebook": codebook}
         if codebook is None:
+            n_batch = batch.count()
+            if n_batch == 0:
+                # advance the pointer so replay stays idempotent, but
+                # never append an empty segment (segment-count hygiene)
+                self.store.commit_state({**st, "batch_id": batch_id})
+                return
             staged = [
                 self.spark.read.parquet(self.store.path("staging", f"v{s}"))
                 for s in st["staging"]
@@ -220,7 +251,9 @@ class IncrementalAnnIndex:
                     self.n_centroids, self.n_iter,
                 )
             ]
-            disp = self._write_segment(self._assign(train_df, codebook), batch_id)
+            _, disp = self._write_segment(
+                self._assign(train_df, codebook), batch_id
+            )
             self.store.commit_state(
                 {
                     **st,
@@ -236,15 +269,35 @@ class IncrementalAnnIndex:
                 self.store.delete_tree("staging", f"v{s}")
             return
 
-        disp = self._write_segment(self._assign(batch, codebook), batch_id)
-        self.store.commit_state(
-            {
+        # frozen-codebook append: TWO jobs per batch (assign+write, then
+        # the fused count+dispersion read-back — or an isEmpty probe with
+        # dispersion tracking off). Empty batches advance the pointer
+        # without appending a segment either way.
+        if self.track_dispersion:
+            n, disp = self._write_segment(
+                self._assign(batch, codebook), batch_id
+            )
+            if not n:
+                self.store.delete_tree("cells", f"v{batch_id}")
+                self.store.commit_state({**st, "batch_id": batch_id})
+                return
+            new_st = {
                 **st,
                 "batch_id": batch_id,
                 "segments": st["segments"] + [batch_id],
                 "last_disp": disp,
             }
-        )
+        else:
+            if batch.isEmpty():
+                self.store.commit_state({**st, "batch_id": batch_id})
+                return
+            self._write_segment(self._assign(batch, codebook), batch_id)
+            new_st = {
+                **st,
+                "batch_id": batch_id,
+                "segments": st["segments"] + [batch_id],
+            }
+        self.store.commit_state(new_st)
         if (
             self.retrain_on_drift is not None
             and (self.drift() or 0.0) > self.retrain_on_drift
@@ -314,7 +367,7 @@ class IncrementalAnnIndex:
             reassigned = self._assign(
                 index.select(self.id_col, self.vec_col), codebook
             )
-            disp = self._write_segment(reassigned, merged)
+            _, disp = self._write_segment(reassigned, merged)
             segments = [merged]
         else:
             segments = []

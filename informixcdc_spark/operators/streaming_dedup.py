@@ -125,7 +125,11 @@ class IncrementalDedupIndex:
             self.text_col,
             k=self.k,
         )
-        bands = minhash_bands(shingled, self.id_col).localCheckpoint(eager=True)
+        # persist, not eager localCheckpoint: the batch's bands are
+        # computed inside the first consuming action and cached for the
+        # rest of the admission (one fewer job per micro-batch);
+        # unpersisted before return so state stays O(1) across batches
+        bands = minhash_bands(shingled, self.id_col).persist()
 
         # within-batch collapse: star-capped candidate pairs; every doc
         # that appears as the GREATER id of a pair is a duplicate of a
@@ -173,6 +177,7 @@ class IncrementalDedupIndex:
             self.store.commit_state(
                 {"batch_id": batch_id, "segments": st["segments"]}
             )
+            bands.unpersist()
             return
         novel_bands.write.mode("overwrite").parquet(
             self.store.path("bands", f"v{batch_id}")
@@ -180,6 +185,7 @@ class IncrementalDedupIndex:
         self.store.commit_state(
             {"batch_id": batch_id, "segments": st["segments"] + [batch_id]}
         )
+        bands.unpersist()
         if (
             self.auto_compact_segments
             and len(st["segments"]) + 1 > self.auto_compact_segments

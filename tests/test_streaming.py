@@ -1566,3 +1566,46 @@ def test_ann_auto_retrain_on_drift(spark, tmp_path):
     assert st["segments"] == ["r0"]  # folded by the retrain
     assert abs(idx.drift()) < 0.05
     assert idx.read_index().count() == 24  # nothing lost
+
+
+def test_ann_pretrained_codebook(spark, tmp_path):
+    """The FAISS-style 'train offline, load, add forever' shape: an
+    explicit codebook at construction skips in-stream training entirely
+    — the first batch takes the frozen-append path, the codebook commits
+    with that batch's pointer, and full-probe search equals brute
+    force. A persisted state's codebook wins over the constructor's."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, [3.0 if d == i % 4 else 0.0 for d in range(4)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    cb = [[c, [1.0 if d == c else 0.0 for d in range(4)]] for c in range(4)]
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=4, codebook=cb,
+        track_dispersion=False,
+    )
+    idx.process_batch(batch(range(8)), 0)
+    st = idx.read_state()
+    assert st["codebook"] == cb and st["segments"] == [0]
+    idx.process_batch(batch(range(8, 16)), 1)
+    cells = {r["vec_id"]: r["cell"] for r in idx.read_index().collect()}
+    assert cells == {i: i % 4 for i in range(16)}
+
+    q = batch(range(2))
+    got = idx.search(q, k=2, nprobe=4)
+    exact = brute_force_knn(batch(range(16)), q, k=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+    # a NEW handle with a DIFFERENT constructor codebook must keep the
+    # committed one (state wins — constructor is only the cold-start)
+    other = [[c, [0.5] * 4] for c in range(4)]
+    idx2 = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=4, codebook=other,
+        track_dispersion=False,
+    )
+    idx2.process_batch(batch(range(16, 20)), 2)
+    assert idx2.read_state()["codebook"] == cb

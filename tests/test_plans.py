@@ -240,3 +240,73 @@ def test_bounded_verify_has_no_cartesian(spark, sf_dir):
     plan = formatted_plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_ann_search_broadcasts_probes(spark, sf_dir, tmp_path):
+    """The incremental index's search must broadcast the (small) probe
+    side into the cell equi-join and never shuffle the stored corpus on
+    anything query-derived — the same 100 TB rule the batch IVF path
+    pins, applied to the streaming index."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=4,
+        track_dispersion=False,
+        codebook=[
+            [c, [1.0 if d == c else 0.0 for d in range(8)]] for c in range(4)
+        ],
+    )
+    idx.process_batch(emb.where(F.col("vec_id") < 64), 0)
+    plan = formatted_plan(idx.search(emb.where(F.col("vec_id") < 4), k=2))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the probe-side join must be broadcast — a sort-merge join here
+    # would shuffle the stored corpus on the cell key per query
+    assert "SortMergeJoin" not in plan, plan
+    # (the post-join per-query top-k window hashes on query_id — that
+    # exchange is candidates-sized under nprobe pruning, not corpus-sized)
+
+
+def test_incremental_dedup_admission_is_equijoin(spark, sf_dir, tmp_path):
+    """The dedup gate's cross-index check must be a band-bucket
+    equi-join: no cartesian/nested-loop anywhere in an admission batch's
+    dups plan (the index side prunes to the batch's band keys)."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "dd"))
+    idx.process_batch(docs.where(F.col("doc_id") < 64), 0)
+    # reproduce the batch-1 admission plan shape: batch bands vs index
+    bands = minhash_bands(
+        doc_shingles(
+            docs.where((F.col("doc_id") >= 64) & (F.col("doc_id") < 128)),
+            "doc_id",
+            "text",
+        ),
+        "doc_id",
+    )
+    intra = lsh_candidate_pairs(bands, "doc_id", star_cap=64)
+    hits = (
+        bands.join(
+            idx.read_index().select(
+                F.col("doc_id").alias("_old"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_old").alias("dup_of"))
+    )
+    for df in (intra, hits):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -8,6 +8,7 @@ sets, explode-then-aggregate instead of driver loops).
 """
 
 from informixcdc_spark.operators.dedup import (
+    duplicate_spans,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_bands,
@@ -20,6 +21,7 @@ from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
 
 __all__ = [
+    "duplicate_spans",
     "exact_dedup",
     "minhash_bands",
     "lsh_candidate_pairs",

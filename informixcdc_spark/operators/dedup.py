@@ -559,3 +559,65 @@ def decontaminate(
         "n_hits",
         (F.col("n_hits").cast("double") / F.col("n_shingles")).alias("contamination"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the suffix-array exact-substring
+    dedup of Lee et al. (ACL'22, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed Spark-first as rolling window
+    hashes: any ``window``-token span occurring in more than one
+    document is a duplicated span, and each document reports how many
+    of its window positions are covered by such spans
+    (``dup_windows`` / ``total_windows`` — the coverage fraction a
+    curation pipeline thresholds on, the per-doc aggregate of the span
+    REMOVAL the paper performs).
+
+    Scale shape: one narrow map emits each doc's window hashes (md5 of
+    the space-joined token slice — engine-exact, so a SQL oracle can
+    recompute it), then ONE combineable groupBy on the hash (partial
+    count_distinct capped at 2 semantics via >1 filter), one equi-join
+    back, one per-doc count. The window-hash table is O(total tokens) —
+    the inherent cost of substring-level dedup; nothing is quadratic
+    and nothing collects. Documents shorter than ``window`` tokens
+    surface with ``total_windows = 0``.
+
+    Columns: (id, dup_windows, total_windows).
+    """
+    n_win = F.size("_tok") - F.lit(window - 1)
+    wins = (
+        rebalance(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .select(
+            F.col(id_col),
+            F.when(
+                n_win > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("_tok", i, window))
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_wh"),
+        )
+        .persist()  # feeds both the span census and the per-doc totals
+    )
+    exploded = wins.select(F.col(id_col), F.explode("_wh").alias("_h"))
+    dup_hashes = (
+        exploded.groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .where(F.col("_docs") > 1)
+        .select("_h")
+    )
+    per_doc = exploded.join(dup_hashes, "_h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    totals = wins.select(F.col(id_col), F.size("_wh").alias("total_windows"))
+    return totals.join(per_doc, [id_col], "left").select(
+        F.col(id_col),
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.col("total_windows").cast("long").alias("total_windows"),
+    )

@@ -78,24 +78,77 @@ def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # e01 — exact deduplication (hash-groupBy): duplicate corpus collapses to
-# one representative per distinct content.
+# one representative per distinct content. Round-6 'spans' arm: exact
+# duplicate-SPAN detection (Lee et al. ACL'22 suffix-array substring
+# dedup, Spark-first as rolling window hashes) — per doc, how many of
+# its 8-token windows also occur in another document of the perturbed
+# corpus; the oracle recomputes the window census in SQL (md5 of the
+# space-joined slice — engine-exact).
 # ---------------------------------------------------------------------------
+_SPAN_W = 8
+
+
 @register(
     "e01_dedup_exact",
-    oracle="""
-    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-    FROM (SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text FROM documents)
-    GROUP BY text
+    oracle=f"""
+    SELECT 'exact' AS mode, doc_id, n_copies,
+           CAST(NULL AS BIGINT) AS dup_windows,
+           CAST(NULL AS BIGINT) AS total_windows
+    FROM (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents)
+        GROUP BY text
+    )
+    UNION ALL
+    SELECT 'spans' AS mode, doc_id, CAST(NULL AS BIGINT) AS n_copies,
+           dup_windows, total_windows
+    FROM (
+        WITH corpus AS ({_SQL_CORPUS}),
+        tk AS (SELECT doc_id, {_SQL_TOK} AS tok FROM corpus),
+        w AS (SELECT doc_id,
+                     md5(array_to_string(tok[i:i+{_SPAN_W - 1}], ' ')) AS h
+              FROM tk,
+                   unnest(generate_series(1, len(tok) - {_SPAN_W - 1})) AS g(i)
+              WHERE len(tok) >= {_SPAN_W}),
+        dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        dupd AS (SELECT doc_id, COUNT(*) AS dup_windows
+                 FROM w JOIN dh USING (h) GROUP BY doc_id),
+        tot AS (SELECT doc_id,
+                       GREATEST(len(tok) - {_SPAN_W - 1}, 0) AS total_windows
+                FROM tk)
+        SELECT tot.doc_id, CAST(COALESCE(dup_windows, 0) AS BIGINT)
+                   AS dup_windows,
+               CAST(total_windows AS BIGINT) AS total_windows
+        FROM tot LEFT JOIN dupd ON tot.doc_id = dupd.doc_id
+    )
     """,
 )
 def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.dedup import duplicate_spans
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup_corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return exact_dedup(dup_corpus, ["text"], "doc_id").select("doc_id", "n_copies")
+    exact = exact_dedup(dup_corpus, ["text"], "doc_id").select(
+        F.lit("exact").alias("mode"),
+        "doc_id",
+        "n_copies",
+        F.lit(None).cast("long").alias("dup_windows"),
+        F.lit(None).cast("long").alias("total_windows"),
+    )
+    spans = duplicate_spans(
+        _docs_corpus(spark, sf_dir), "doc_id", "text", window=_SPAN_W
+    ).select(
+        F.lit("spans").alias("mode"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_copies"),
+        "dup_windows",
+        "total_windows",
+    )
+    return exact.unionByName(spans)
 
 
 # ---------------------------------------------------------------------------

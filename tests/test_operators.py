@@ -1078,3 +1078,43 @@ def test_decode_png_adam7_roundtrip():
             encode_png(w, h, px, color_type=ct, bit_depth=depth)
         )
         assert np.array_equal(arr, want), (w, h, c, ct, depth)
+
+
+def test_duplicate_spans(spark):
+    """Rolling-window substring dedup (Lee et al. exact-span shape):
+    spans shared across docs count per POSITION, internal-only repeats
+    don't count, short docs surface with zero windows, and disjoint
+    docs report zero coverage."""
+    from informixcdc_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four"  # one shared 4-token span
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),        # windows: 3 (4-token, w=4)
+            (2, f"gamma {shared} delta"),       # windows: 3
+            (3, "p q r s t u"),                 # disjoint: 3 windows, 0 dup
+            (4, "x y"),                         # < window: 0 windows
+            (5, "rep rep rep rep rep rep rep"), # internal repeats only
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_windows"], r["total_windows"])
+        for r in duplicate_spans(df, "doc_id", "text", window=4).collect()
+    }
+    assert got[1] == (1, 3)   # exactly the shared span's position
+    assert got[2] == (1, 3)
+    assert got[3] == (0, 3)
+    assert got[4] == (0, 0)
+    assert got[5] == (0, 4)   # repeats within ONE doc are not cross-doc dups
+
+    # two docs sharing an internally-repeated span: every position of
+    # the shared hash counts (positional coverage, not distinct hashes)
+    df2 = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b")], "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: (r["dup_windows"], r["total_windows"])
+        for r in duplicate_spans(df2, "doc_id", "text", window=2).collect()
+    }
+    assert got2[1] == (5, 5) and got2[2] == (3, 3)

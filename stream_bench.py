@@ -199,6 +199,62 @@ def main() -> None:
         dedup_idx.read_dups(b).count() for b in range(6)
     )
 
+    # fifth axis: multi-table scheduling at the reference's 64-table cap
+    # (ext/_informixcdcmodule.ec:52). One envelope batch whose events
+    # touch TWO tables, processed by a 64-table registry and by a
+    # 2-table registry — the wall ratio is the scheduling overhead of 62
+    # idle registrations (should be ~1.0: the touched-table scheduler
+    # spends zero jobs on them; a regression here means per-batch work
+    # scales with tables REGISTERED again).
+    from informixcdc_spark.cdc.typemap import parse_ddl
+    from informixcdc_spark.queries.cdcq import _ORDERS_DDL
+    from informixcdc_spark.sources.binlog import (
+        register_binlog_source,
+        write_capture_from_changelog,
+    )
+    from informixcdc_spark.streaming.pipeline import MultiTableMaterializer
+
+    wire = parse_ddl(_ORDERS_DDL)
+    quarter = log.where(F.col("transaction_id") < (max_txid // 4) + 1)
+    cap_dir = f"{workdir}/mt_cap"
+    write_capture_from_changelog(
+        quarter.where(F.col("transaction_id") % 2 == 0), wire, 1, cap_dir,
+        prefix="a",
+    )
+    write_capture_from_changelog(
+        quarter.where(F.col("transaction_id") % 2 == 1), wire, 2, cap_dir,
+        prefix="b",
+    )
+    register_binlog_source(spark)
+    env = spark.read.format("cdc-binlog").option("path", cap_dir).load()
+    env_rows = env.count()  # warm the capture scan out of the timings
+
+    def _registry(n):
+        return {
+            f"t{i:02d}": (i, wire, ["o_orderkey"]) for i in range(1, n + 1)
+        }
+
+    # warmup: the first multi-table batch pays cold Arrow decode +
+    # codegen for this envelope shape — burn it on a throwaway registry
+    # so the 64-vs-2 ratio compares scheduling, not cache state
+    MultiTableMaterializer(
+        spark, f"{workdir}/mtwarm", _registry(2), n_buckets=16
+    ).process_batch(env, 0)
+
+    mt64 = MultiTableMaterializer(
+        spark, f"{workdir}/mt64", _registry(64), n_buckets=16
+    )
+    t4 = time.perf_counter()
+    mt64.process_batch(env, 0)
+    t64_sec = time.perf_counter() - t4
+    mt2 = MultiTableMaterializer(
+        spark, f"{workdir}/mt2", _registry(2), n_buckets=16
+    )
+    t5 = time.perf_counter()
+    mt2.process_batch(env, 0)
+    t2_sec = time.perf_counter() - t5
+    mt_ratio = round(t64_sec / t2_sec, 3) if t2_sec else None
+
     progress = [json.loads(str(p)) for p in q.recentProgress]
     batches = [
         {
@@ -249,6 +305,13 @@ def main() -> None:
             "dups_found": dups_found,
             "per_batch": dedup_batches,
         },
+        "multi_table": {
+            "metric": "mt_64_vs_2_registry_wall_ratio",
+            "value": mt_ratio,
+            "envelope_rows": env_rows,
+            "t64_sec": round(t64_sec, 2),
+            "t2_sec": round(t2_sec, 2),
+        },
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "STREAMBENCH.json"),
@@ -259,6 +322,7 @@ def main() -> None:
     line["stateful_rows_per_sec"] = state_rows_per_sec
     line["view_rows_per_sec"] = view_rows_per_sec
     line["dedup_docs_per_sec"] = dedup_rows_per_sec
+    line["mt64_ratio"] = mt_ratio
     print(json.dumps(line), flush=True)
     shutil.rmtree(workdir, ignore_errors=True)
     os._exit(0)

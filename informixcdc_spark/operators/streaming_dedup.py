@@ -97,8 +97,18 @@ class IncrementalDedupIndex:
 
     # -- state ----------------------------------------------------------------
     def read_state(self) -> dict:
+        defaults = {
+            "batch_id": -1,
+            "segments": [],
+            # band rows per segment (str(name) -> rows): the size-tiered
+            # compaction signal; absent for pre-r6 states (those
+            # segments sort as largest, i.e. merged only by a manual
+            # full compact)
+            "segment_rows": {},
+            "compactions": 0,  # monotonic counter naming merged segments
+        }
         st = self.store.read_state()
-        return st if st is not None else {"batch_id": -1, "segments": []}
+        return defaults if st is None else {**defaults, **st}
 
     def read_index(self) -> DataFrame | None:
         """The accumulated band index (union of segments)."""
@@ -170,42 +180,81 @@ class IncrementalDedupIndex:
             self.store.path("dups", f"v{batch_id}")
         ).select(self.id_col)
         novel_bands = bands.join(dup_ids, [self.id_col], "left_anti")
-        if novel_bands.isEmpty():
+        n_novel = novel_bands.count()  # cached bands: one cheap agg
+        if n_novel == 0:
             # every doc was a dup (or the batch was empty): advance the
             # pointer but never append an empty segment — segment-count
             # hygiene exactly where compaction pressure matters
-            self.store.commit_state(
-                {"batch_id": batch_id, "segments": st["segments"]}
-            )
+            self.store.commit_state({**st, "batch_id": batch_id})
             bands.unpersist()
             return
         novel_bands.write.mode("overwrite").parquet(
             self.store.path("bands", f"v{batch_id}")
         )
         self.store.commit_state(
-            {"batch_id": batch_id, "segments": st["segments"] + [batch_id]}
+            {
+                **st,
+                "batch_id": batch_id,
+                "segments": st["segments"] + [batch_id],
+                "segment_rows": {
+                    **st["segment_rows"], str(batch_id): n_novel
+                },
+            }
         )
         bands.unpersist()
         if (
             self.auto_compact_segments
             and len(st["segments"]) + 1 > self.auto_compact_segments
         ):
-            self.compact()
+            self.compact(tiered=True)
 
-    def compact(self) -> None:
-        """Fold all segments into one (read-amplification maintenance).
-        Versioned-then-pointed like every other rewrite: the merged
-        segment is written under a fresh name before the pointer moves,
-        and old segments are deleted only after the commit."""
+    def compact(self, tiered: bool = False) -> None:
+        """Fold segments (read-amplification maintenance), versioned-
+        then-pointed like every other rewrite: the merged segment is
+        written under a fresh name before the pointer moves, and old
+        segments are deleted only after the commit.
+
+        ``tiered=False`` (manual) folds EVERYTHING into one — an
+        O(index) pass. ``tiered=True`` (what auto-compaction fires) is
+        size-tiered: only the SMALLEST half of the segments merge, so
+        merged runs grow geometrically and each band row is rewritten
+        O(log n) times over the stream's life instead of O(n/threshold)
+        — the LSM amortization argument. Pre-r6 segments with unknown
+        row counts sort as largest (merged only by a manual full fold).
+        """
         st = self.read_state()
-        if len(st["segments"]) <= 1:
+        segs = st["segments"]
+        if len(segs) <= 1:
             return
-        index = self.read_index()
-        merged = st["batch_id"]  # reuse the latest id as the merged name
-        tmp = f"{merged}-compact"
-        index.write.mode("overwrite").parquet(self.store.path("bands", f"v{tmp}"))
-        self.store.commit_state({"batch_id": st["batch_id"], "segments": [tmp]})
-        for s in st["segments"]:
+        rows = st["segment_rows"]
+        if tiered:
+            by_size = sorted(
+                segs, key=lambda s: rows.get(str(s), float("inf"))
+            )
+            victims = by_size[: max(2, (len(segs) + 1) // 2)]
+            survivors = [s for s in segs if s not in victims]
+        else:
+            victims, survivors = list(segs), []
+        merged_df = self.spark.read.parquet(
+            *[self.store.path("bands", f"v{s}") for s in victims]
+        )
+        tmp = f"c{st['compactions']}"  # monotonic: never collides with a live name
+        merged_df.write.mode("overwrite").parquet(
+            self.store.path("bands", f"v{tmp}")
+        )
+        known = [rows[str(s)] for s in victims if str(s) in rows]
+        new_rows = {str(s): r for s, r in rows.items() if s in map(str, survivors)}
+        if len(known) == len(victims):
+            new_rows[tmp] = sum(known)  # unknown victims leave tmp unknown too
+        self.store.commit_state(
+            {
+                **st,
+                "segments": survivors + [tmp],
+                "segment_rows": new_rows,
+                "compactions": st["compactions"] + 1,
+            }
+        )
+        for s in victims:
             if str(s) != tmp:
                 self.store.delete_tree("bands", f"v{s}")
 

@@ -1609,3 +1609,47 @@ def test_ann_pretrained_codebook(spark, tmp_path):
     )
     idx2.process_batch(batch(range(16, 20)), 2)
     assert idx2.read_state()["codebook"] == cb
+
+
+def test_dedup_auto_compaction_is_tiered(spark, tmp_path):
+    """Auto-compaction is size-TIERED: only the smallest half of the
+    segments merge per fire, so earlier merged runs survive later
+    compactions (each band row is rewritten O(log n) times over the
+    stream's life, not once per threshold crossing — the LSM
+    amortization), while the manual compact() still folds everything."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(i):
+        return (
+            f"tiered compaction doc {i} topic {i} tokens "
+            f"t{i}a t{i}b t{i}c t{i}d t{i}e t{i}f"
+        )
+
+    idx = IncrementalDedupIndex(
+        spark, str(tmp_path / "idx"), auto_compact_segments=6
+    )
+    history = []
+    for b in range(16):
+        idx.process_batch(
+            spark.createDataFrame([(b, doc(b))], "doc_id long, text string"), b
+        )
+        history.append([str(s) for s in idx.read_state()["segments"]])
+
+    st = idx.read_state()
+    assert st["compactions"] >= 3
+    # the first merged run (c0) outlives at least one later compaction —
+    # proof the big segment is NOT rewritten every fire
+    assert any("c0" in h and "c1" in h for h in history), history
+    # sizes bookkeeping matches reality
+    assert sum(st["segment_rows"].values()) == idx.read_index().count()
+    assert idx.read_index().select("doc_id").distinct().count() == 16
+    # a later dup is still caught against the tier-compacted index
+    idx.process_batch(
+        spark.createDataFrame([(99, doc(3))], "doc_id long, text string"), 16
+    )
+    assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(16).collect()} == {
+        99: 3
+    }
+    # manual full fold still collapses to one segment
+    idx.compact()
+    assert len(idx.read_state()["segments"]) == 1

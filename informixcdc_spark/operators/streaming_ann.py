@@ -109,6 +109,11 @@ class IncrementalAnnIndex:
             "retrains": 0,  # monotonic counter naming retrain segments
             "train_disp": None,  # mean best-cosine at (re)train time
             "last_disp": None,  # mean best-cosine of the latest batch
+            # vectors per segment (str(name) -> rows) where known (the
+            # dispersion read-back supplies it); size-tiered compaction's
+            # signal — unknown segments sort as largest
+            "segment_rows": {},
+            "compactions": 0,  # monotonic counter naming merged segments
         }
         st = self.store.read_state()
         # merge over defaults so a pointer written by an older engine
@@ -251,14 +256,18 @@ class IncrementalAnnIndex:
                     self.n_centroids, self.n_iter,
                 )
             ]
-            _, disp = self._write_segment(
+            n, disp = self._write_segment(
                 self._assign(train_df, codebook), batch_id
             )
+            rows = {**st["segment_rows"]}
+            if n is not None:
+                rows[str(batch_id)] = n
             self.store.commit_state(
                 {
                     **st,
                     "batch_id": batch_id,
                     "segments": st["segments"] + [batch_id],
+                    "segment_rows": rows,
                     "staging": [],
                     "codebook": codebook,
                     "train_disp": disp,
@@ -285,6 +294,7 @@ class IncrementalAnnIndex:
                 **st,
                 "batch_id": batch_id,
                 "segments": st["segments"] + [batch_id],
+                "segment_rows": {**st["segment_rows"], str(batch_id): n},
                 "last_disp": disp,
             }
         else:
@@ -310,7 +320,7 @@ class IncrementalAnnIndex:
             self.auto_compact_segments
             and len(st["segments"]) + 1 > self.auto_compact_segments
         ):
-            self.compact()
+            self.compact(tiered=True)
 
     # -- maintenance --------------------------------------------------------------
     def drift(self) -> float | None:
@@ -323,24 +333,60 @@ class IncrementalAnnIndex:
             return None
         return float(st["train_disp"]) - float(st["last_disp"])
 
-    def compact(self) -> None:
-        """Fold all segments into one with the codebook UNCHANGED (pure
-        re-layout — no reassignment, no training). Versioned-then-
-        pointed: the merged segment gets a fresh name, the pointer
-        moves, old segments are deleted only after the commit."""
+    def compact(self, tiered: bool = False) -> None:
+        """Fold segments with the codebook UNCHANGED (pure re-layout —
+        no reassignment, no training). Versioned-then-pointed: the
+        merged segment gets a fresh monotonic name, the pointer moves,
+        old segments are deleted only after the commit.
+
+        ``tiered=False`` (manual) folds everything — O(index).
+        ``tiered=True`` (what auto-compaction fires) merges only the
+        SMALLEST half by known row counts, so merged runs grow
+        geometrically and each vector is rewritten O(log n) times over
+        the stream's life (the LSM amortization); segments with unknown
+        counts (dispersion tracking off) sort as largest."""
+        from functools import reduce
+
         st = self.read_state()
-        if len(st["segments"]) <= 1:
+        segs = st["segments"]
+        if len(segs) <= 1:
             return
-        merged = f"{st['batch_id']}-compact"
-        index = self.read_index()
+        rows = st["segment_rows"]
+        if tiered:
+            by_size = sorted(segs, key=lambda s: rows.get(str(s), float("inf")))
+            victims = by_size[: max(2, (len(segs) + 1) // 2)]
+            survivors = [s for s in segs if s not in victims]
+        else:
+            victims, survivors = list(segs), []
+        merged_df = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                self.spark.read.parquet(self.store.path("cells", f"v{s}"))
+                for s in victims
+            ],
+        )
+        merged = f"c{st['compactions']}"  # monotonic: never a live name
         (
-            index.repartition("cell")
+            merged_df.repartition("cell")
             .write.partitionBy("cell")
             .mode("overwrite")
             .parquet(self.store.path("cells", f"v{merged}"))
         )
-        self.store.commit_state({**st, "segments": [merged]})
-        for s in st["segments"]:
+        known = [rows[str(s)] for s in victims if str(s) in rows]
+        new_rows = {
+            str(s): r for s, r in rows.items() if s in map(str, survivors)
+        }
+        if len(known) == len(victims):
+            new_rows[merged] = sum(known)
+        self.store.commit_state(
+            {
+                **st,
+                "segments": survivors + [merged],
+                "segment_rows": new_rows,
+                "compactions": st["compactions"] + 1,
+            }
+        )
+        for s in victims:
             if str(s) != merged:
                 self.store.delete_tree("cells", f"v{s}")
 
@@ -363,11 +409,12 @@ class IncrementalAnnIndex:
         index = self.read_index()
         merged = f"r{st['retrains']}"
         disp = None
+        n = None
         if index is not None:
             reassigned = self._assign(
                 index.select(self.id_col, self.vec_col), codebook
             )
-            _, disp = self._write_segment(reassigned, merged)
+            n, disp = self._write_segment(reassigned, merged)
             segments = [merged]
         else:
             segments = []
@@ -376,6 +423,7 @@ class IncrementalAnnIndex:
             {
                 **st,
                 "segments": segments,
+                "segment_rows": {} if n is None else {merged: n},
                 "codebook": codebook,
                 "retrains": st["retrains"] + 1,
                 "train_disp": disp,

@@ -59,3 +59,61 @@ def test_star_cc_matches_union_find(spark, edges):
         for r in dedup_clusters_star(pairs, nodes, "doc_id").collect()
     }
     assert got == want
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """Hypothesis: duplicate_spans over random small corpora equals a
+    pure-Python window census — positional counts, cross-doc-only
+    semantics, and short-doc zeroes all hold for arbitrary token
+    layouts (derandomized)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from informixcdc_spark.operators.dedup import duplicate_spans
+
+    W = 3
+    token = st.sampled_from(["a", "b", "c", "d"])
+
+    @settings(
+        max_examples=6,
+        derandomize=True,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(token, min_size=0, max_size=9), min_size=1, max_size=6
+        )
+    )
+    def prop(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        got = {
+            r["doc_id"]: (r["dup_windows"], r["total_windows"])
+            for r in duplicate_spans(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id",
+                "text",
+                window=W,
+            ).collect()
+        }
+        # brute force: window -> set of docs containing it; a doc's dup
+        # count = its positions whose window appears in ANOTHER doc
+        owners: dict[tuple, set] = {}
+        wins = []
+        for i, toks in enumerate(docs):
+            ws = [tuple(toks[j : j + W]) for j in range(max(0, len(toks) - W + 1))]
+            wins.append(ws)
+            for w in ws:
+                owners.setdefault(w, set()).add(i)
+        want = {
+            i: (
+                sum(1 for w in ws if len(owners[w]) > 1),
+                len(ws),
+            )
+            for i, ws in enumerate(wins)
+        }
+        assert got == want, (docs, got, want)
+
+    prop()

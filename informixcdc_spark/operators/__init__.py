@@ -8,6 +8,7 @@ sets, explode-then-aggregate instead of driver loops).
 """
 
 from informixcdc_spark.operators.dedup import (
+    duplicate_span_ranges,
     duplicate_spans,
     exact_dedup,
     lsh_candidate_pairs,
@@ -21,6 +22,7 @@ from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
 
 __all__ = [
+    "duplicate_span_ranges",
     "duplicate_spans",
     "exact_dedup",
     "minhash_bands",

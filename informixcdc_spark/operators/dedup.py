@@ -621,3 +621,76 @@ def duplicate_spans(
         F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
         F.col("total_windows").cast("long").alias("total_windows"),
     )
+
+
+def duplicate_span_ranges(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """The actionable form of :func:`duplicate_spans`: per document, the
+    MERGED token ranges covered by cross-document duplicated windows —
+    exactly what the Lee et al. exact-substring pipeline REMOVES. Two
+    flagged windows at positions p ≤ q merge when ``q <= p + window``
+    (their token coverage overlaps or adjoins), so each output row is
+    one maximal removable span ``[span_start, span_end]`` (1-based
+    token indices, inclusive).
+
+    Scale shape: the window census of :func:`duplicate_spans` plus one
+    per-doc ordered window pass for island grouping (flagged positions
+    only — a subset of the doc's windows), all JVM-side.
+
+    Columns: (id, span_start, span_end, span_tokens).
+    """
+    from pyspark.sql import Window as W
+
+    n_win = F.size("_tok") - F.lit(window - 1)
+    wins = (
+        rebalance(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .where(n_win > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("_tok", i, window))
+                    ),
+                )
+            ).alias("_p0", "_h"),
+        )
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"), "_h")
+    )
+    dup_hashes = (
+        wins.groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .where(F.col("_docs") > 1)
+        .select("_h")
+    )
+    flagged = wins.join(dup_hashes, "_h").select(F.col(id_col), "_pos")
+    w_ord = W.partitionBy(id_col).orderBy("_pos")
+    grouped = (
+        flagged.withColumn("_prev", F.lag("_pos").over(w_ord))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_pos") - F.col("_prev") > window),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_brk").over(
+                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    return grouped.groupBy(id_col, "_grp").agg(
+        F.min("_pos").cast("long").alias("span_start"),
+        (F.max("_pos") + window - 1).cast("long").alias("span_end"),
+    ).select(
+        F.col(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )

@@ -93,7 +93,9 @@ _SPAN_W = 8
     oracle=f"""
     SELECT 'exact' AS mode, doc_id, n_copies,
            CAST(NULL AS BIGINT) AS dup_windows,
-           CAST(NULL AS BIGINT) AS total_windows
+           CAST(NULL AS BIGINT) AS total_windows,
+           CAST(NULL AS BIGINT) AS span_start,
+           CAST(NULL AS BIGINT) AS span_end
     FROM (
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM (SELECT doc_id, text FROM documents
@@ -103,7 +105,9 @@ _SPAN_W = 8
     )
     UNION ALL
     SELECT 'spans' AS mode, doc_id, CAST(NULL AS BIGINT) AS n_copies,
-           dup_windows, total_windows
+           dup_windows, total_windows,
+           CAST(NULL AS BIGINT) AS span_start,
+           CAST(NULL AS BIGINT) AS span_end
     FROM (
         WITH corpus AS ({_SQL_CORPUS}),
         tk AS (SELECT doc_id, {_SQL_TOK} AS tok FROM corpus),
@@ -123,11 +127,43 @@ _SPAN_W = 8
                CAST(total_windows AS BIGINT) AS total_windows
         FROM tot LEFT JOIN dupd ON tot.doc_id = dupd.doc_id
     )
+    UNION ALL
+    SELECT 'ranges' AS mode, doc_id, CAST(NULL AS BIGINT) AS n_copies,
+           CAST(NULL AS BIGINT) AS dup_windows,
+           CAST(NULL AS BIGINT) AS total_windows,
+           span_start, span_end
+    FROM (
+        WITH corpus AS ({_SQL_CORPUS}),
+        tk AS (SELECT doc_id, {_SQL_TOK} AS tok FROM corpus),
+        w AS (SELECT doc_id, i,
+                     md5(array_to_string(tok[i:i+{_SPAN_W - 1}], ' ')) AS h
+              FROM tk,
+                   unnest(generate_series(1, len(tok) - {_SPAN_W - 1})) AS g(i)
+              WHERE len(tok) >= {_SPAN_W}),
+        dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        flagged AS (SELECT w.doc_id, i FROM w JOIN dh USING (h)),
+        isl AS (SELECT doc_id, i,
+                       CASE WHEN i - LAG(i) OVER
+                                (PARTITION BY doc_id ORDER BY i)
+                                > {_SPAN_W} THEN 1 ELSE 0 END AS brk
+                FROM flagged),
+        grp AS (SELECT doc_id, i,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING) AS g
+                FROM isl)
+        SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+               CAST(MAX(i) + {_SPAN_W - 1} AS BIGINT) AS span_end
+        FROM grp GROUP BY doc_id, g
+    )
     """,
 )
 def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.dedup import duplicate_spans
+    from informixcdc_spark.operators.dedup import (
+        duplicate_span_ranges,
+        duplicate_spans,
+    )
 
+    null_l = F.lit(None).cast("long")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup_corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -136,19 +172,35 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("exact").alias("mode"),
         "doc_id",
         "n_copies",
-        F.lit(None).cast("long").alias("dup_windows"),
-        F.lit(None).cast("long").alias("total_windows"),
+        null_l.alias("dup_windows"),
+        null_l.alias("total_windows"),
+        null_l.alias("span_start"),
+        null_l.alias("span_end"),
     )
-    spans = duplicate_spans(
-        _docs_corpus(spark, sf_dir), "doc_id", "text", window=_SPAN_W
-    ).select(
+    corpus = _docs_corpus(spark, sf_dir)
+    spans = duplicate_spans(corpus, "doc_id", "text", window=_SPAN_W).select(
         F.lit("spans").alias("mode"),
         "doc_id",
-        F.lit(None).cast("long").alias("n_copies"),
+        null_l.alias("n_copies"),
         "dup_windows",
         "total_windows",
+        null_l.alias("span_start"),
+        null_l.alias("span_end"),
     )
-    return exact.unionByName(spans)
+    # the actionable output: merged removable token ranges (what the
+    # Lee et al. pipeline cuts); oracle restates the island grouping
+    ranges = duplicate_span_ranges(
+        corpus, "doc_id", "text", window=_SPAN_W
+    ).select(
+        F.lit("ranges").alias("mode"),
+        "doc_id",
+        null_l.alias("n_copies"),
+        null_l.alias("dup_windows"),
+        null_l.alias("total_windows"),
+        "span_start",
+        "span_end",
+    )
+    return exact.unionByName(spans).unionByName(ranges)
 
 
 # ---------------------------------------------------------------------------

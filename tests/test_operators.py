@@ -1118,3 +1118,40 @@ def test_duplicate_spans(spark):
         for r in duplicate_spans(df2, "doc_id", "text", window=2).collect()
     }
     assert got2[1] == (5, 5) and got2[2] == (3, 3)
+
+
+def test_duplicate_span_ranges(spark):
+    """Merged removable ranges: overlapping/adjacent flagged windows
+    coalesce into one maximal span (q <= p + window merges), disjoint
+    repeats stay separate, clean docs emit nothing."""
+    from informixcdc_spark.operators.dedup import duplicate_span_ranges
+
+    shared = "one two three four"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma {shared}"),
+            (2, f"x {shared} y"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_span_ranges(df, "doc_id", "text", window=4).collect()
+    }
+    # doc 1: tokens 1-4 and 8-11 (gap of 3 < window? positions 1 and 8:
+    # 8 - 1 = 7 > 4 -> separate ranges); doc 2: tokens 2-5; doc 3: none
+    assert got == {(1, 1, 4, 4), (1, 8, 11, 4), (2, 2, 5, 4)}, got
+
+    # overlapping occurrences merge: 'a b c' appears at doc-1 positions
+    # 1 and 4 (cross-doc vs doc 2); 4 <= 1 + 3, so they coalesce into
+    # ONE maximal span covering tokens 1..6. The rotations (b,c,a) /
+    # (c,a,b) repeat only WITHIN doc 1 — internal repeats never flag.
+    df2 = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got2 = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_span_ranges(df2, "doc_id", "text", window=3).collect()
+    }
+    assert got2 == {(1, 1, 6), (2, 1, 3)}, got2

@@ -434,6 +434,19 @@ class IncrementalAnnIndex:
             if str(s) != merged:
                 self.store.delete_tree("cells", f"v{s}")
 
+    # -- convenience ------------------------------------------------------------
+    def ingest_stream(self, vec_stream: DataFrame, checkpoint_dir: str):
+        """Wire the index as the stream's foreachBatch sink (the
+        :meth:`IncrementalDedupIndex.admit_stream` twin): Structured
+        Streaming's checkpoint drives batch ids, the pointer protocol
+        makes replays no-ops."""
+        return (
+            vec_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     # -- queries ------------------------------------------------------------------
     def search(
         self, queries: DataFrame, k: int = 3, nprobe: int = 1

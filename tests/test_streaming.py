@@ -1653,3 +1653,49 @@ def test_dedup_auto_compaction_is_tiered(spark, tmp_path):
     # manual full fold still collapses to one segment
     idx.compact()
     assert len(idx.read_state()["segments"]) == 1
+
+
+def test_ann_ingest_stream_kill_resume(spark, tmp_path):
+    """End-to-end streaming ingestion for the ANN index through a REAL
+    checkpointed kill/resume: run 1 consumes the first arrival file and
+    stops; more vectors arrive; run 2 resumes from the same checkpoint
+    — every vector indexed exactly once, full-probe search equals brute
+    force over the union."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def rows(ids):
+        return [(i, [2.0 if d == i % 4 else 0.0 for d in range(4)]) for i in ids]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows(range(12)), "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=4, n_iter=2
+    )
+
+    def run():
+        q = idx.ingest_stream(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            ).parquet(src),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert idx.read_index().count() == 12
+    spark.createDataFrame(rows(range(12, 20)), "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()  # resume: offset log skips the consumed file
+    assert idx.read_index().count() == 20
+    assert idx.read_index().select("vec_id").distinct().count() == 20
+
+    q = spark.createDataFrame(rows(range(2)), "vec_id long, embedding array<float>")
+    got = idx.search(q, k=2, nprobe=4)
+    exact = brute_force_knn(
+        spark.createDataFrame(rows(range(20)), "vec_id long, embedding array<float>"),
+        q, k=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))

@@ -18,6 +18,11 @@ from informixcdc_spark.operators.dedup import (
     simhash,
 )
 from informixcdc_spark.operators.similarity import brute_force_knn, lsh_bucket
+from informixcdc_spark.operators.quantization import (
+    pq_encode,
+    pq_search_adc,
+    pq_train,
+)
 from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
 
@@ -31,6 +36,9 @@ __all__ = [
     "near_dup_verified_pairs",
     "simhash",
     "brute_force_knn",
+    "pq_train",
+    "pq_encode",
+    "pq_search_adc",
     "lsh_bucket",
     "IncrementalDedupIndex",
     "IncrementalAnnIndex",

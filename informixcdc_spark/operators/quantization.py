@@ -1,0 +1,347 @@
+"""Product quantization (PQ) for embedding columns — the FAISS-shaped
+memory-compression path for vector corpora at 100 TB scale.
+
+A D-dim float vector (4·D bytes) is split into ``m`` disjoint
+dimension ranges (subspaces); each subvector is replaced by the id of
+its nearest codeword from a per-subspace k-means codebook. The stored
+representation is ``m`` small integers (1 byte each at k<=256) — a
+50×+ footprint cut — and search runs Asymmetric Distance Computation
+(ADC): per query, one tiny (m × k) table of exact
+query-subvector · codeword partial dots is precomputed, and every
+candidate scores with ``m`` table lookups instead of ``D``
+multiply-adds. Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011.
+
+Spark shapes, chosen for the 100 TB plan:
+
+- **training** (:func:`pq_train`): ALL subspaces share the same
+  distributed L2 Lloyd passes — the corpus explodes once to
+  (id, subspace, subvector) and each iteration is one broadcast-join
+  assignment + one aggregate keyed by (subspace, code), so corpus
+  passes are ``n_iter + 1`` regardless of m; only K·subdim centroid
+  floats move (driver-collected, metadata-sized). Per-subspace
+  semantics match :func:`kmeans_centroids(metric='l2')`, which stays
+  the one-space public trainer.
+- **encoding** (:func:`pq_encode`): a pure scan-fused projection —
+  the trained codebooks are driver-side literals, so the per-subspace
+  argmin is a JVM-side fold over an array of (code, dist²) structs.
+  Zero shuffles, zero joins: encoding 100 TB is one pass.
+- **search** (:func:`pq_search_adc`): the query side (small by
+  construction) precomputes its ADC tables as columns, broadcasts,
+  and candidates score via ``element_at`` chain lookups. Codeword
+  norms are literals (known at plan time), so reconstructed-norm
+  cosine needs no stored per-row norm.
+
+Exactness note: ADC sums per-subspace partial dots, i.e. a different
+float fold order than a full-vector dot. On real data PQ is an
+approximation anyway (that is the point); the driver-graded arm uses a
+fixture whose subvectors are exactly representable binary values, so
+ADC is bit-equal to brute force and the DuckDB oracle can state exact
+top-k (queries/extensions.py::e15_ann_ivf 'pq' arm).
+
+The reference engine has no vector subsystem (it delegates everything
+beyond CDC to the Informix server); this module is part of the
+LLM-data-pipeline extension surface (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from informixcdc_spark.functions.vector import dot, l2_norm
+
+#: a PQ codebook set: one entry per subspace, in dimension order
+#: {"lo": int, "hi": int, "centroids": [(code, [float, ...]), ...]}
+Codebooks = list[dict]
+
+
+def default_splits(dim: int, m: int) -> list[tuple[int, int]]:
+    """Even-as-possible half-open dimension ranges [lo, hi)."""
+    return [(s * dim // m, (s + 1) * dim // m) for s in range(m)]
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    codes: int | list[int] = 8,
+    n_iter: int = 2,
+    splits: list[tuple[int, int]] | None = None,
+) -> Codebooks:
+    """Train per-subspace L2 k-means codebooks.
+
+    ``splits`` overrides the even default when the vector has known
+    structure (e.g. concatenated feature blocks); ``codes`` may be one
+    k for all subspaces or a per-subspace list.
+
+    ALL subspaces train in the same Lloyd passes: the corpus explodes
+    once to (id, subspace, subvector) rows, seeding is one windowed
+    pass, and each iteration is one broadcast-join assignment + one
+    aggregate keyed by (subspace, code). Corpus passes are therefore
+    ``n_iter + 1`` regardless of m — at 100 TB the scan, not the
+    K·subdim centroid math, is the cost, so fusing the m trainers is
+    an m× I/O reduction over per-subspace runs. Semantics match
+    :func:`kmeans_centroids(metric='l2')` per subspace: seeds are the
+    K_s lowest ids re-keyed 0..K_s-1 in id order, empty cells keep
+    their previous codeword.
+    """
+    if splits is None:
+        first = corpus.select(F.size(vec_col).alias("_d")).limit(1).collect()
+        if not first:
+            raise ValueError("cannot train PQ codebooks on an empty corpus")
+        splits = default_splits(int(first[0]["_d"]), m)
+    ks = codes if isinstance(codes, list) else [codes] * len(splits)
+    if len(ks) != len(splits):
+        raise ValueError(f"codes list ({len(ks)}) != subspaces ({len(splits)})")
+    slices = F.array(
+        *[F.slice(F.col(vec_col), lo + 1, hi - lo) for lo, hi in splits]
+    )
+    sub = corpus.select(
+        F.col(id_col).alias("_id"), F.posexplode(slices).alias("_s", "_sv")
+    ).withColumn(
+        "_n2",
+        F.aggregate(
+            "_sv",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ),
+    ).persist()
+    # seeding: the max(K_s) lowest-id FULL vectors via orderBy+limit —
+    # Catalyst plans TakeOrdered (per-partition top-k, no shuffle; a
+    # windowed per-subspace rank here would full-sort the exploded
+    # corpus) — then slice into subvectors driver-side
+    kmax = max(ks)
+    seed = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(kmax)
+        .collect()
+    )
+    if len(seed) < kmax:
+        sub.unpersist()
+        raise ValueError(f"need >= {kmax} vectors to seed, got {len(seed)}")
+    seed = sorted(seed, key=lambda r: r["_id"])
+    cents: dict[tuple[int, int], list[float]] = {}
+    for s, ((lo, hi), k) in enumerate(zip(splits, ks)):
+        for cid in range(k):
+            cents[(s, cid)] = [float(x) for x in seed[cid]["_v"][lo:hi]]
+    spark = corpus.sparkSession
+    for _ in range(n_iter):
+        cent = spark.createDataFrame(
+            [(s, cid, vec) for (s, cid), vec in sorted(cents.items())],
+            "_s INT, _cid INT, _cvec ARRAY<FLOAT>",
+        ).withColumn(
+            "_cn2",
+            F.aggregate(
+                "_cvec",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+        )
+        d2 = (
+            F.col("_n2")
+            + F.col("_cn2")
+            - 2.0 * dot(F.col("_sv"), F.col("_cvec"))
+        )
+        w = Window.partitionBy("_id", "_s").orderBy(
+            F.col("_d2").asc(), F.col("_cid")
+        )
+        assigned = (
+            sub.join(F.broadcast(cent), "_s")
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+        )
+        # per-(subspace, code) mean without subdim-many agg columns —
+        # same array-fold reassembly as kmeans_centroids
+        sums = (
+            assigned.select("_s", "_cid", F.posexplode("_sv").alias("_p", "_x"))
+            .groupBy("_s", "_cid", "_p")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_sum"),
+                F.count(F.lit(1)).alias("_cnt"),
+            )
+            .groupBy("_s", "_cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_p", "_sum"))),
+                    lambda st: st["_sum"],
+                ).alias("_sums"),
+                F.max("_cnt").alias("_cnt"),
+            )
+        )
+        new = {
+            (int(r["_s"]), int(r["_cid"])): [
+                float(x) / r["_cnt"] for x in r["_sums"]
+            ]
+            for r in sums.collect()
+        }
+        cents = {key: new.get(key, vec) for key, vec in cents.items()}
+    sub.unpersist()
+    return [
+        {
+            "lo": lo,
+            "hi": hi,
+            "centroids": sorted(
+                (cid, vec) for (ss, cid), vec in cents.items() if ss == s
+            ),
+        }
+        for s, (lo, hi) in enumerate(splits)
+    ]
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _argmin_code(sv: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-codeword id for one subvector: a JVM-side fold over an
+    array of (code, dist²) structs — no join, no shuffle, no UDF.
+    Strict ``<`` keeps the FIRST minimum, i.e. the lowest code id on
+    ties (centroids arrive sorted by code)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("c"),
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        _lit_vec(cvec),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")
+        ),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )
+    return best["c"]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus representation.
+
+    Pure projection: codebooks are plan-time literals, so this is one
+    scan with zero exchanges (pinned in tests/test_plans.py). At k<=256
+    the codes array is castable to 1 byte/subspace downstream.
+    """
+    code_cols = [
+        _argmin_code(
+            F.slice(F.col(vec_col), b["lo"] + 1, b["hi"] - b["lo"]),
+            b["centroids"],
+        )
+        for b in books
+    ]
+    # deliberately NO rebalance/repartition: encoding preserves the
+    # corpus partitioning so it fuses into whatever scan feeds it
+    return corpus.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_search_adc(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """ADC top-k by reconstructed cosine over a PQ-encoded corpus.
+
+    Output: (query_id, rank, neighbor_id, cosine). The query side
+    precomputes its (m × k) partial-dot table as a column and is
+    broadcast; per-candidate work is m ``element_at`` lookups + one
+    literal-table reconstructed-norm fold — independent of D. Compose
+    with an IVF cell prefilter for sub-linear candidate sets (this
+    function scores whatever ``encoded`` rows it is given).
+    """
+    # per-query ADC table: _qtab[s][code] = q_subvec . codeword (exact
+    # dots of the real query vector — the "asymmetric" in ADC)
+    qtab = F.array(
+        *[
+            F.array(
+                *[
+                    dot(
+                        F.slice(
+                            F.col(vec_col), b["lo"] + 1, b["hi"] - b["lo"]
+                        ),
+                        _lit_vec(cvec),
+                    )
+                    for _cid, cvec in b["centroids"]
+                ]
+            )
+            for b in books
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qtab.alias("_qtab"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    # codeword squared norms are plan-time literals: ||v̂||² = Σ_s ||c_s||²
+    # (exact — subspaces cover disjoint dims), so no per-row stored norm
+    cn2 = F.array(
+        *[
+            _lit_vec(
+                [sum(float(x) * float(x) for x in cvec) for _cid, cvec in b["centroids"]]
+            )
+            for b in books
+        ]
+    )
+    m = len(books)
+    idx = F.sequence(F.lit(1), F.lit(m))  # 1-based subspace positions
+    codes = F.col("codes")
+    partial = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_qtab"), s), F.element_at(codes, s) + 1
+        ),
+    )
+    rn2 = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(cn2, s), F.element_at(codes, s) + 1),
+    )
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_rn2") > 0),
+        F.col("_partial") / (F.col("_qn") * F.sqrt(F.col("_rn2"))),
+    )
+    scored = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_partial", partial)
+        .withColumn("_rn2", rn2)
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine",
+        )
+    )

@@ -279,10 +279,14 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_iter: int = 5,
+    metric: str = "cosine",
 ) -> list[tuple[int, list[float]]]:
-    """Distributed spherical k-means codebook for IVF (Lloyd iterations):
-    assign every vector to its nearest current centroid by cosine, then
-    recompute each centroid as its cell's (normalized) mean.
+    """Distributed k-means codebook (Lloyd iterations): assign every
+    vector to its nearest current centroid, then recompute each centroid
+    as its cell's mean. ``metric='cosine'`` (default, spherical — the
+    IVF cell shape) or ``'l2'`` (squared Euclidean via the norm identity
+    ||v-c||^2 = ||v||^2 + ||c||^2 - 2 v.c — the PQ subspace shape, and
+    total for zero vectors where cosine would be NULL).
 
     Each iteration is one broadcast-join assignment pass plus one
     aggregate — the corpus never shuffles by cell contents, only the
@@ -315,14 +319,24 @@ def kmeans_centroids(
         cent = spark.createDataFrame(
             cent_rows, "_cid INT, _cvec ARRAY<FLOAT>"
         ).withColumn("_cn", l2_norm(F.col("_cvec")))
-        cos = F.when(
-            (F.col("_n") > 0) & (F.col("_cn") > 0),
-            dot(F.col("_vec"), F.col("_cvec")) / (F.col("_n") * F.col("_cn")),
-        )
-        w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cid"))
+        if metric == "l2":
+            score = (
+                F.col("_n") * F.col("_n")
+                + F.col("_cn") * F.col("_cn")
+                - 2.0 * dot(F.col("_vec"), F.col("_cvec"))
+            )
+            order = F.col("_score").asc()
+        else:
+            score = F.when(
+                (F.col("_n") > 0) & (F.col("_cn") > 0),
+                dot(F.col("_vec"), F.col("_cvec"))
+                / (F.col("_n") * F.col("_cn")),
+            )
+            order = F.col("_score").desc()
+        w = Window.partitionBy("_id").orderBy(order, F.col("_cid"))
         assigned = (
             v.crossJoin(F.broadcast(cent))
-            .withColumn("_cos", cos)
+            .withColumn("_score", score)
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
         )

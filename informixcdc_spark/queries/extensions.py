@@ -996,6 +996,32 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT * FROM scored WHERE rnk <= 3
     )
+    UNION ALL
+    SELECT 'pq' AS mode, query_id, CAST(rnk AS INT) AS rank,
+           neighbor_id, cosine, CAST(NULL AS BIGINT) AS cell
+    FROM (
+        WITH sv AS (
+            SELECT vec_id,
+                   [CASE WHEN d = vec_id % 8 THEN 4.0::FLOAT
+                         WHEN d = 8 + vec_id % 5 THEN 1.0::FLOAT
+                         ELSE 0.0::FLOAT END
+                    for d in generate_series(0, 12)] AS embedding
+            FROM embeddings WHERE vec_id < 1024
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM sv
+              WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM sv),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   {_sql_cosine("qv", "cv")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_sql_cosine("qv", "cv")} DESC, neighbor_id
+                   ) AS rnk
+            FROM q JOIN c ON neighbor_id <> query_id
+        )
+        SELECT * FROM scored WHERE rnk <= 3
+    )
     """,
 )
 def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,7 +1090,34 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.lit(None).cast("long").alias("cell"),
     )
-    return ivf.unionByName(km).unionByName(stream)
+    # pq arm (round 6): product quantization end-to-end — train per-
+    # subspace L2 codebooks on the SAME separable fixture (subspace
+    # [0,8) holds exactly 8 distinct subvectors, [8,13) exactly 5, so
+    # one Lloyd iteration converges the codebooks to those values and
+    # reconstruction is EXACT), encode the corpus to 2 codes/vector,
+    # then ADC top-3 must equal exact brute force — which the oracle
+    # states in closed form. Grades train→encode→search as one path;
+    # the fixture's binary-exact floats make the per-subspace partial
+    # dot fold bit-equal to the oracle's full-vector fold.
+    from informixcdc_spark.operators.quantization import (
+        pq_encode,
+        pq_search_adc,
+        pq_train,
+    )
+
+    corp = synth.where(vid < 1024)
+    books = pq_train(corp, splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1)
+    pq = pq_search_adc(
+        synth.where(vid < 10), pq_encode(corp, books), books, k=3
+    ).select(
+        F.lit("pq").alias("mode"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("long").alias("cell"),
+    )
+    return ivf.unionByName(km).unionByName(stream).unionByName(pq)
 
 
 # ---------------------------------------------------------------------------

@@ -1155,3 +1155,120 @@ def test_duplicate_span_ranges(spark):
         for r in duplicate_span_ranges(df2, "doc_id", "text", window=3).collect()
     }
     assert got2 == {(1, 1, 6), (2, 1, 3)}, got2
+
+
+def _pq_fixture(spark, n):
+    """The e15 separable fixture: dims 0..7 carry 4*e_{i%8}, dims 8..12
+    carry 1*e_{8+i%5} — subspace [0,8) has exactly 8 distinct subvectors
+    and [8,13) exactly 5, all binary-exact floats."""
+    from pyspark.sql import functions as F
+
+    i = F.col("vec_id")
+    return spark.range(n).select(F.col("id").alias("vec_id")).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(12)),
+            lambda d: F.when(d == i % 8, F.lit(4.0))
+            .when(d == F.lit(8) + i % 5, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_pq_train_converges_on_separable_fixture(spark):
+    """One L2 Lloyd iteration recovers the distinct subvectors exactly:
+    seeds (lowest ids) already cover every distinct value, so assignment
+    is 0-distance and the means reproduce the codewords."""
+    from informixcdc_spark.operators.quantization import pq_train
+
+    books = pq_train(
+        _pq_fixture(spark, 64), splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1
+    )
+    assert [(b["lo"], b["hi"]) for b in books] == [(0, 8), (8, 13)]
+    s0 = {cid: vec for cid, vec in books[0]["centroids"]}
+    assert len(s0) == 8
+    for cid, vec in s0.items():
+        want = [4.0 if d == cid else 0.0 for d in range(8)]
+        assert vec == want, (cid, vec)
+    s1 = {cid: vec for cid, vec in books[1]["centroids"]}
+    assert len(s1) == 5
+    for cid, vec in s1.items():
+        want = [1.0 if d == cid else 0.0 for d in range(5)]
+        assert vec == want, (cid, vec)
+
+
+def test_pq_encode_codes_shape(spark):
+    """codes = [i % 8, i % 5] on the fixture (codebooks re-key 0..K-1 in
+    seed-id order, and seed c's dominant dim IS c)."""
+    from informixcdc_spark.operators.quantization import pq_encode, pq_train
+
+    corpus = _pq_fixture(spark, 64)
+    books = pq_train(corpus, splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1)
+    rows = pq_encode(corpus, books).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["codes"] == [r["vec_id"] % 8, r["vec_id"] % 5], r
+
+
+def test_pq_adc_equals_brute_force_on_exact_fixture(spark):
+    """ADC over exact-reconstruction codes is bit-equal to full-vector
+    brute force: same neighbors, same ranks, identical cosine doubles."""
+    from informixcdc_spark.operators.quantization import (
+        pq_encode,
+        pq_search_adc,
+        pq_train,
+    )
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from pyspark.sql import functions as F
+
+    corpus = _pq_fixture(spark, 200)
+    books = pq_train(corpus, splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1)
+    queries = corpus.where(F.col("vec_id") < 5)
+    got = (
+        pq_search_adc(queries, pq_encode(corpus, books), books, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = brute_force_knn(corpus, queries, k=4).orderBy("query_id", "rank").collect()
+    assert len(got) == len(want) == 20
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["neighbor_id"]) == (
+            w["query_id"],
+            w["rank"],
+            w["neighbor_id"],
+        ), (g, w)
+        assert g["cosine"] == w["cosine"], (g, w)
+
+
+def test_pq_default_splits_and_scalar_codes(spark):
+    """Even default splits cover [0, D) contiguously; scalar `codes`
+    broadcasts to every subspace; zero subvectors train fine under L2
+    (cosine would NULL out)."""
+    from informixcdc_spark.operators.quantization import (
+        default_splits,
+        pq_encode,
+        pq_train,
+    )
+
+    assert default_splits(13, 2) == [(0, 6), (6, 13)]
+    assert default_splits(8, 4) == [(0, 2), (2, 4), (4, 6), (6, 8)]
+    corpus = _pq_fixture(spark, 32)
+    books = pq_train(corpus, m=2, codes=4, n_iter=1)
+    assert [len(b["centroids"]) for b in books] == [4, 4]
+    rows = pq_encode(corpus, books).collect()
+    assert all(len(r["codes"]) == 2 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r["codes"])
+
+
+def test_kmeans_l2_metric_handles_zero_vectors(spark):
+    """metric='l2' assigns zero vectors (cosine would NULL them out of
+    the window order) and converges on a separable 1-D-ish corpus."""
+    from informixcdc_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [0.0, 0.0] if i % 3 == 2 else ([5.0, 0.0] if i % 3 else [0.0, 5.0]))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = dict(kmeans_centroids(df, n_centroids=3, n_iter=3, metric="l2"))
+    got = sorted(tuple(v) for v in cents.values())
+    assert got == [(0.0, 0.0), (0.0, 5.0), (5.0, 0.0)], got

@@ -310,3 +310,39 @@ def test_incremental_dedup_admission_is_equijoin(spark, sf_dir, tmp_path):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    """PQ encoding must be a pure scan-fused projection — the codebooks
+    are plan-time literals, so compressing a 100 TB corpus is one pass
+    with zero exchanges."""
+    from informixcdc_spark.operators.quantization import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = [
+        {"lo": 0, "hi": 8, "centroids": [(c, [4.0 if d == c else 0.0 for d in range(8)]) for c in range(8)]},
+        {"lo": 8, "hi": 13, "centroids": [(c, [1.0 if d == c else 0.0 for d in range(5)]) for c in range(5)]},
+    ]
+    plan = formatted_plan(pq_encode(emb, books))
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_search_broadcasts_queries_never_shuffles_corpus(spark, sf_dir):
+    """ADC search: the (small) query side with its lookup tables is the
+    ONLY broadcast; the encoded corpus is never exchanged before
+    scoring (the one shuffle is the per-query top-k window over scored
+    pairs, same shape as brute_force_knn)."""
+    from informixcdc_spark.operators.quantization import pq_encode, pq_search_adc
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = [
+        {"lo": 0, "hi": 8, "centroids": [(c, [4.0 if d == c else 0.0 for d in range(8)]) for c in range(8)]},
+        {"lo": 8, "hi": 13, "centroids": [(c, [1.0 if d == c else 0.0 for d in range(5)]) for c in range(5)]},
+    ]
+    enc = pq_encode(emb, books)
+    df = pq_search_adc(emb.where(F.col("vec_id") < 5), enc, books, k=3)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_hash_join(df), plan
+    # corpus side reaches the join scan-direct: no shuffle before scoring
+    pre_join = plan.split("Join")[0] if "BroadcastNestedLoopJoin" in plan else plan
+    assert "Exchange hashpartitioning" not in pre_join, plan

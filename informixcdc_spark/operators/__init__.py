@@ -19,6 +19,7 @@ from informixcdc_spark.operators.dedup import (
 )
 from informixcdc_spark.operators.similarity import brute_force_knn, lsh_bucket
 from informixcdc_spark.operators.quantization import (
+    ivfpq_search,
     pq_encode,
     pq_search_adc,
     pq_train,
@@ -39,6 +40,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_search_adc",
+    "ivfpq_search",
     "lsh_bucket",
     "IncrementalDedupIndex",
     "IncrementalAnnIndex",

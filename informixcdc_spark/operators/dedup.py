@@ -561,6 +561,58 @@ def decontaminate(
     )
 
 
+def decontaminate_prefiltered(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_pred: Column,
+    k: int = 3,
+    bucket_bits: int = 20,
+) -> DataFrame:
+    """:func:`decontaminate` with a BOUNDED-broadcast prefilter — for
+    benchmark suites whose full shingle-hash set is too large to
+    broadcast comfortably.
+
+    Stage 1 semi-joins train shingles against the benchmark's coarse
+    buckets (``xxhash64(shingle_hash) mod 2^bucket_bits``): at most
+    2^bucket_bits distinct longs broadcast no matter how big the
+    benchmark grows — a one-hash Bloom filter realized as a broadcast
+    semi-join, so membership stays a JVM hash probe instead of a UDF
+    over a bit array. Stage 2 exactly joins the (now small) survivors
+    against the full benchmark hash set, so collision false positives
+    die and the output EQUALS :func:`decontaminate` row for row (false
+    negatives are impossible: identical hashes bucket identically).
+    Driver-graded as e27's 'coarse' arm against the exact arm's oracle.
+    """
+    from informixcdc_spark.functions.text import hash16
+
+    sh = doc_shingles(docs, id_col, text_col, k=k).select(
+        F.col(id_col),
+        bench_pred.alias("_is_bench"),
+        F.explode(F.array_distinct("shingles")).alias("_s"),
+    )
+    hashed = sh.select(F.col(id_col), "_is_bench", hash16(F.col("_s")).alias("_h"))
+    bench = hashed.where(F.col("_is_bench")).select("_h").distinct()
+    train = hashed.where(~F.col("_is_bench"))
+    per_doc = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    bkt = F.pmod(F.xxhash64("_h"), F.lit(2**bucket_bits)).alias("_bkt")
+    buckets = bench.select(bkt).distinct()
+    survivors = train.withColumn("_bkt", bkt).join(
+        F.broadcast(buckets), "_bkt", "left_semi"
+    )
+    hits = (
+        survivors.join(bench, "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return per_doc.join(hits, id_col).select(
+        F.col(id_col),
+        "n_shingles",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame, id_col: str, text_col: str, window: int = 8
 ) -> DataFrame:

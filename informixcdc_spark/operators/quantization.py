@@ -234,8 +234,10 @@ def pq_encode(
     books: Codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — the compressed corpus representation.
+    """(id, codes array<int>, *keep_cols) — the compressed corpus
+    representation (``keep_cols`` carries e.g. an IVF ``cell`` through).
 
     Pure projection: codebooks are plan-time literals, so this is one
     scan with zero exchanges (pinned in tests/test_plans.py). At k<=256
@@ -250,29 +252,15 @@ def pq_encode(
     ]
     # deliberately NO rebalance/repartition: encoding preserves the
     # corpus partitioning so it fuses into whatever scan feeds it
-    return corpus.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return corpus.select(
+        F.col(id_col), F.array(*code_cols).alias("codes"), *keep_cols
+    )
 
 
-def pq_search_adc(
-    queries: DataFrame,
-    encoded: DataFrame,
-    books: Codebooks,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-) -> DataFrame:
-    """ADC top-k by reconstructed cosine over a PQ-encoded corpus.
-
-    Output: (query_id, rank, neighbor_id, cosine). The query side
-    precomputes its (m × k) partial-dot table as a column and is
-    broadcast; per-candidate work is m ``element_at`` lookups + one
-    literal-table reconstructed-norm fold — independent of D. Compose
-    with an IVF cell prefilter for sub-linear candidate sets (this
-    function scores whatever ``encoded`` rows it is given).
-    """
-    # per-query ADC table: _qtab[s][code] = q_subvec . codeword (exact
-    # dots of the real query vector — the "asymmetric" in ADC)
-    qtab = F.array(
+def _adc_query_table(books: Codebooks, vec_col: str) -> Column:
+    """Per-query ADC table: _qtab[s][code] = q_subvec . codeword (exact
+    dots of the real query vector — the "asymmetric" in ADC)."""
+    return F.array(
         *[
             F.array(
                 *[
@@ -288,11 +276,12 @@ def pq_search_adc(
             for b in books
         ]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        qtab.alias("_qtab"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
-    )
+
+
+def _adc_score(scored: DataFrame, books: Codebooks, k: int) -> DataFrame:
+    """Score (neighbor_id, codes, query_id, _qtab, _qn) rows: m table
+    lookups for the partial dot, a literal codeword-norm fold for the
+    reconstructed norm, then the per-query top-k window."""
     # codeword squared norms are plan-time literals: ||v̂||² = Σ_s ||c_s||²
     # (exact — subspaces cover disjoint dims), so no per-row stored norm
     cn2 = F.array(
@@ -303,8 +292,7 @@ def pq_search_adc(
             for b in books
         ]
     )
-    m = len(books)
-    idx = F.sequence(F.lit(1), F.lit(m))  # 1-based subspace positions
+    idx = F.sequence(F.lit(1), F.lit(len(books)))  # 1-based subspace pos
     codes = F.col("codes")
     partial = F.aggregate(
         idx,
@@ -325,10 +313,7 @@ def pq_search_adc(
         F.col("_partial") / (F.col("_qn") * F.sqrt(F.col("_rn2"))),
     )
     scored = (
-        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
-        .crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("_partial", partial)
+        scored.withColumn("_partial", partial)
         .withColumn("_rn2", rn2)
         .withColumn("cosine", cos)
     )
@@ -345,3 +330,99 @@ def pq_search_adc(
             "cosine",
         )
     )
+
+
+def pq_search_adc(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """ADC top-k by reconstructed cosine over a PQ-encoded corpus.
+
+    Output: (query_id, rank, neighbor_id, cosine). The query side
+    precomputes its (m × k) partial-dot table as a column and is
+    broadcast; per-candidate work is m ``element_at`` lookups + one
+    literal-table reconstructed-norm fold — independent of D. This is
+    the flat (exhaustive-codes) scan; :func:`ivfpq_search` is the
+    cell-restricted composition.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _adc_query_table(books, vec_col).alias("_qtab"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _adc_score(scored, books, k)
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    encoded_cells: DataFrame,
+    books: Codebooks,
+    cell_centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF×PQ (the full FAISS ``IVFPQ`` shape): each query probes its
+    top-``nprobe`` cosine cells and ADC-scores ONLY those cells' codes.
+
+    ``encoded_cells`` is :func:`pq_encode(..., keep_cols=("cell",))`
+    over an IVF cell assignment (``ivf_cells_kmeans``);
+    ``cell_centroids`` is the driver-side full-D coarse codebook (e.g.
+    from ``kmeans_centroids``). The query's probe list is a literal
+    fold (no join): an array of (-cos, cell) structs sorted ascending —
+    cos desc then cell asc, the ``ivf_cells`` tiebreak. The candidate
+    join is an equi-join on cell, so a query touches ~nprobe/n_cells of
+    the codes; per-candidate cost stays m lookups. At nprobe = n_cells
+    this equals :func:`pq_search_adc` exactly (unit-tested).
+    """
+    qn = l2_norm(F.col(vec_col))
+    cells_scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.when(
+                        qn > 0,
+                        dot(F.col(vec_col), _lit_vec(cvec))
+                        / (
+                            qn
+                            * F.lit(
+                                float(
+                                    sum(float(x) * float(x) for x in cvec)
+                                )
+                                ** 0.5
+                            )
+                        ),
+                    ).otherwise(F.lit(2.0))
+                ).alias("negcos"),
+                F.lit(int(cid)).alias("cell"),
+            )
+            for cid, cvec in cell_centroids
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.sort_array(cells_scored), 1, nprobe), lambda s: s["cell"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _adc_query_table(books, vec_col).alias("_qtab"),
+        qn.alias("_qn"),
+        F.explode(probes).alias("cell"),
+    )
+    scored = (
+        encoded_cells.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "cell"
+        )
+        .join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _adc_score(scored, books, k)

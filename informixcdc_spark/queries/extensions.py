@@ -1532,17 +1532,38 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     train AS (SELECT * FROM h WHERE doc_id % 97 <> 0),
     tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
     hits AS (SELECT t.doc_id, COUNT(*) AS n_hits
-             FROM train t JOIN bench b ON t.hs = b.hs GROUP BY 1)
-    SELECT doc_id, n_shingles, n_hits,
-           CAST(n_hits AS DOUBLE) / n_shingles AS contamination
-    FROM tot JOIN hits USING (doc_id)
+             FROM train t JOIN bench b ON t.hs = b.hs GROUP BY 1),
+    res AS (
+        SELECT doc_id, n_shingles, n_hits,
+               CAST(n_hits AS DOUBLE) / n_shingles AS contamination
+        FROM tot JOIN hits USING (doc_id)
+    )
+    SELECT 'exact' AS mode, * FROM res
+    UNION ALL
+    SELECT 'coarse' AS mode, * FROM res
     """,
 )
 def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.dedup import decontaminate
+    from informixcdc_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_prefiltered,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return decontaminate(docs, "doc_id", "text", F.col("doc_id") % 97 == 0)
+    pred = F.col("doc_id") % 97 == 0
+    ex = decontaminate(docs, "doc_id", "text", pred).select(
+        F.lit("exact").alias("mode"), "*"
+    )
+    # coarse arm (round 6): the bounded-broadcast two-stage path. The
+    # 12-bit bucket table forces REAL collisions at sf0.01 (thousands
+    # of bench shingles into 4096 buckets), so the oracle equality
+    # proves the exact-verify stage kills every false positive — the
+    # semantics a 100 TB run with a benchmark suite too big to
+    # broadcast relies on.
+    co = decontaminate_prefiltered(
+        docs, "doc_id", "text", pred, bucket_bits=12
+    ).select(F.lit("coarse").alias("mode"), "*")
+    return ex.unionByName(co)
 
 
 # ---------------------------------------------------------------------------

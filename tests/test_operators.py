@@ -1272,3 +1272,71 @@ def test_kmeans_l2_metric_handles_zero_vectors(spark):
     cents = dict(kmeans_centroids(df, n_centroids=3, n_iter=3, metric="l2"))
     got = sorted(tuple(v) for v in cents.values())
     assert got == [(0.0, 0.0), (0.0, 5.0), (5.0, 0.0)], got
+
+
+def test_ivfpq_full_probe_equals_flat_adc(spark):
+    """The composed FAISS-IVFPQ shape: at nprobe = n_cells the
+    cell-restricted search covers every candidate, so it must equal the
+    flat ADC scan row-for-row; at nprobe=1 it returns a (possibly
+    lossier) top-k from ~1/n_cells of the codes."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.operators.quantization import (
+        ivfpq_search,
+        pq_encode,
+        pq_search_adc,
+        pq_train,
+    )
+    from informixcdc_spark.operators.similarity import (
+        ivf_cells_kmeans,
+        kmeans_centroids,
+    )
+
+    corpus = _pq_fixture(spark, 200)
+    books = pq_train(corpus, splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1)
+    cents = kmeans_centroids(corpus, n_centroids=8, n_iter=2)
+    cells = ivf_cells_kmeans(corpus, n_centroids=8, n_iter=2)
+    enc = pq_encode(cells, books, keep_cols=("cell",))
+    q = corpus.where(F.col("vec_id") < 5)
+    full = (
+        ivfpq_search(q, enc, books, cents, k=3, nprobe=8)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    flat = (
+        pq_search_adc(q, pq_encode(corpus, books), books, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in full] == [tuple(r) for r in flat]
+    one = ivfpq_search(q, enc, books, cents, k=3, nprobe=1).collect()
+    assert len(one) == 15  # every query still fills k from its own cell
+
+
+def test_decontaminate_prefiltered_equals_exact_under_heavy_collisions(spark, sf_dir):
+    """With a 6-bit bucket table (64 buckets) nearly every train shingle
+    survives the prefilter as a false positive — the exact verify stage
+    must still reproduce `decontaminate` row for row. Also pins the
+    prefilter as a broadcast semi-join."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.catalog import load_table
+    from informixcdc_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_prefiltered,
+    )
+    from informixcdc_spark.plans.inspect import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pred = F.col("doc_id") % 97 == 0
+    exact = {
+        tuple(r) for r in decontaminate(docs, "doc_id", "text", pred).collect()
+    }
+    coarse_df = decontaminate_prefiltered(
+        docs, "doc_id", "text", pred, bucket_bits=6
+    )
+    coarse = {tuple(r) for r in coarse_df.collect()}
+    assert exact == coarse and exact
+    plan = formatted_plan(coarse_df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -18,6 +18,7 @@ from informixcdc_spark.operators.dedup import (
     simhash,
 )
 from informixcdc_spark.operators.similarity import brute_force_knn, lsh_bucket
+from informixcdc_spark.operators.bpe import bpe_encode, bpe_train
 from informixcdc_spark.operators.quantization import (
     ivfpq_search,
     pq_encode,
@@ -37,6 +38,8 @@ __all__ = [
     "near_dup_verified_pairs",
     "simhash",
     "brute_force_knn",
+    "bpe_train",
+    "bpe_encode",
     "pq_train",
     "pq_encode",
     "pq_search_adc",

@@ -1,0 +1,158 @@
+"""Distributed byte-pair-encoding (BPE) vocabulary training.
+
+Sennrich, Haddow, Birch, "Neural Machine Translation of Rare Words
+with Subword Units" (ACL 2016): start from characters (plus an
+end-of-word marker), repeatedly merge the most frequent adjacent
+symbol pair. The tokenizer-training step of an LLM data pipeline — the
+reference engine has no text subsystem (SURVEY §2.9 extension
+surface).
+
+The 100 TB shape is the classic word-frequency-table trick: the corpus
+is scanned ONCE into (word, count) — the only corpus-sized shuffle —
+and every merge iteration then runs on the vocab-sized table:
+
+- pair counting is one exchange on (left, right) with map-side partial
+  aggregation of count-weighted pairs;
+- the winning pair arrives at the driver as ONE row
+  (``orderBy.limit(1)`` plans TakeOrdered — no global sort);
+- the merge rewrite is a pure JVM fold over each word's symbol array
+  (greedy leftmost, non-overlapping) — no shuffle, no UDF.
+
+Lineage is capped with a ``localCheckpoint`` every few merges —
+without it, n_merges nested fold projections pile into one
+ever-deeper plan and analysis time grows superlinearly.
+
+``bpe_encode`` applies a trained merge list as stacked fold
+projections: fine for the hundreds of merges a test vocabulary needs;
+a production 32k-merge vocabulary should encode via an Arrow-batched
+``mapInPandas`` with rank-priority merging instead (the documented
+boundary — per-merge column stacking is O(n_merges) plan depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker, the classic '</w>' (distinguishes "est</w>" in
+#: "widest" from "est" in "estimate")
+EOW = "</w>"
+
+#: cap lineage: re-materialize the word table every this many merges
+_CHECKPOINT_EVERY = 8
+
+
+def _word_symbols(word: Column) -> Column:
+    """Initial symbol array: characters followed by the EOW marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _merge_pair(sym: Column, a: str, b: str) -> Column:
+    """Greedy leftmost non-overlapping merge of adjacent (a, b) into
+    a+b — one JVM-side fold, no UDF. Overlaps resolve left-first:
+    ('a','a','a') under ('a','a') gives ('aa','a'), because once the
+    left pair merges, its right symbol is consumed."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a document corpus.
+
+    Returns the ordered merge list [(left, right), ...] — apply with
+    :func:`bpe_encode`. Stops early when the best remaining pair's
+    count-weighted frequency falls below ``min_freq`` (ties break
+    lexicographically on (left, right) for run-to-run determinism,
+    where the reference implementation is dict-order dependent).
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            ).alias("_w")
+        )
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(_word_symbols(F.col("_w")).alias("_sym"), "_cnt")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        n = F.size("_sym")
+        pairs = words.where(n >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_sym", 1, n - 1),
+                    F.slice("_sym", 2, n - 1),
+                    lambda l, r: F.struct(
+                        l.alias("_a"), r.alias("_b")
+                    ),
+                )
+            ).alias("_p"),
+            "_cnt",
+        )
+        top = (
+            pairs.groupBy("_p._a", "_p._b")
+            .agg(F.sum("_cnt").alias("_n"))
+            .orderBy(F.col("_n").desc(), "_a", "_b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["_n"] < min_freq:
+            break
+        a, b = top[0]["_a"], top[0]["_b"]
+        merges.append((a, b))
+        words = words.select(
+            _merge_pair(F.col("_sym"), a, b).alias("_sym"), "_cnt"
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — the corpus segmented by a
+    trained merge list (applied in training order, greedy leftmost per
+    word, EOW markers kept on word-final tokens).
+
+    One scan-fused projection: len(merges) stacked JVM folds per word.
+    Suited to test/small vocabularies; see the module docstring for
+    the production 32k-merge boundary.
+    """
+    sym = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""),
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),
+    )
+    def _apply(a: str, b: str):
+        # bind via factory: a default-arg lambda would change the
+        # visible arity and PySpark picks the HOF form from it
+        return lambda ws: _merge_pair(ws, a, b)
+
+    for a, b in merges:
+        sym = F.transform(sym, _apply(a, b))
+    tokens = F.flatten(sym)
+    return docs.select(
+        F.col(id_col),
+        tokens.alias("tokens"),
+        F.size(tokens).alias("n_tokens"),
+    )

@@ -1340,3 +1340,45 @@ def test_decontaminate_prefiltered_equals_exact_under_heavy_collisions(spark, sf
     plan = formatted_plan(coarse_df)
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_classic_corpus_merges(spark):
+    """The Sennrich ACL'16 running example: 'est'-family merges win
+    first on a low/lower/newest/widest corpus, and encoding an unseen
+    word ('lowest') composes learned subwords."""
+    from informixcdc_spark.operators.bpe import bpe_encode, bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame(
+        [(0, text), (1, "the newest widest lowest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, "text", n_merges=12)
+    assert merges[:5] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ], merges
+    enc = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    # 'lowest' never appears in doc 0's vocabulary weight but segments
+    # into the learned 'low' + 'est</w>' subwords
+    assert enc[1] == [
+        "t", "h", "e", "</w>", "newest</w>", "widest</w>", "low", "est</w>"
+    ], enc[1]
+
+
+def test_bpe_early_stop_and_empty(spark):
+    """min_freq stops the merge loop once the best pair is rare; an
+    all-unique-characters corpus learns nothing."""
+    from informixcdc_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    assert bpe_train(df, "text", n_merges=5, min_freq=2) == []
+    assert len(bpe_train(df, "text", n_merges=2, min_freq=1)) == 2

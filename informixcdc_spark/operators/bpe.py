@@ -66,6 +66,26 @@ def _merge_pair(sym: Column, a: str, b: str) -> Column:
     )
 
 
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(_a, _b, _n) — count-weighted adjacent symbol pairs over a
+    (_sym array<string>, _cnt) word table: THE distributed step of each
+    merge iteration. One exchange on (_a, _b) with map-side partial
+    aggregation (two HashAggregates around one Exchange — plan-pinned),
+    so shuffle volume is distinct-pairs-per-task, not corpus pairs."""
+    n = F.size("_sym")
+    pairs = words.where(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("_sym", 1, n - 1),
+                F.slice("_sym", 2, n - 1),
+                lambda l, r: F.struct(l.alias("_a"), r.alias("_b")),
+            )
+        ).alias("_p"),
+        "_cnt",
+    )
+    return pairs.groupBy("_p._a", "_p._b").agg(F.sum("_cnt").alias("_n"))
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
@@ -93,22 +113,8 @@ def bpe_train(
     )
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
-        n = F.size("_sym")
-        pairs = words.where(n >= 2).select(
-            F.explode(
-                F.zip_with(
-                    F.slice("_sym", 1, n - 1),
-                    F.slice("_sym", 2, n - 1),
-                    lambda l, r: F.struct(
-                        l.alias("_a"), r.alias("_b")
-                    ),
-                )
-            ).alias("_p"),
-            "_cnt",
-        )
         top = (
-            pairs.groupBy("_p._a", "_p._b")
-            .agg(F.sum("_cnt").alias("_n"))
+            bpe_pair_counts(words)
             .orderBy(F.col("_n").desc(), "_a", "_b")
             .limit(1)
             .collect()

@@ -346,3 +346,20 @@ def test_pq_search_broadcasts_queries_never_shuffles_corpus(spark, sf_dir):
     # corpus side reaches the join scan-direct: no shuffle before scoring
     pre_join = plan.split("Join")[0] if "BroadcastNestedLoopJoin" in plan else plan
     assert "Exchange hashpartitioning" not in pre_join, plan
+
+
+def test_bpe_pair_count_is_partial_then_final(spark):
+    """Each BPE merge iteration's pair count must map-side combine: two
+    HashAggregates around one Exchange, so shuffle volume is
+    distinct-pairs-per-task, not corpus pairs."""
+    from informixcdc_spark.operators.bpe import _word_symbols, bpe_pair_counts
+
+    words = (
+        spark.createDataFrame(
+            [("low", 5), ("lower", 2), ("newest", 6)], "_w string, _cnt long"
+        )
+        .select(_word_symbols(F.col("_w")).alias("_sym"), "_cnt")
+    )
+    plan = formatted_plan(bpe_pair_counts(words))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning(_a" in plan, plan

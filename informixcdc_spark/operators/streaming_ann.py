@@ -126,6 +126,17 @@ class IncrementalAnnIndex:
             "_cid INT, _cvec ARRAY<FLOAT>",
         ).withColumn("_cn", l2_norm(F.col("_cvec")))
 
+    def _read_segment(self, name) -> DataFrame:
+        """One segment projected onto the CURRENT column set. Segments
+        written by an older engine version lack ``_fit`` (added round
+        6); backfill it as NULL so unions across mixed-vintage segments
+        never throw — the compatibility promise read_state makes for
+        the pointer doc extends to the on-disk segments."""
+        df = self.spark.read.parquet(self.store.path("cells", f"v{name}"))
+        if "_fit" not in df.columns:
+            df = df.withColumn("_fit", F.lit(None).cast("double"))
+        return df.select(self.id_col, self.vec_col, "_norm", "cell", "_fit")
+
     def read_index(self) -> DataFrame | None:
         """(id, vec, _norm, cell, _fit) across all segments. Each segment
         is its own cell-partitioned dataset (segment names are not
@@ -136,10 +147,7 @@ class IncrementalAnnIndex:
         segs = self.read_state()["segments"]
         if not segs:
             return None
-        parts = [
-            self.spark.read.parquet(self.store.path("cells", f"v{s}"))
-            for s in segs
-        ]
+        parts = [self._read_segment(s) for s in segs]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     # -- per-batch ingestion ----------------------------------------------------
@@ -191,17 +199,17 @@ class IncrementalAnnIndex:
         )
         if not self.track_dispersion:
             return None, None
-        try:
-            row = (
-                self.spark.read.parquet(path)
-                .agg(F.count(F.lit(1)), F.avg("_fit"))
-                .first()
-            )
-        except Exception:
-            # an EMPTY batch writes only _SUCCESS (no partition files),
-            # so the read-back cannot infer a schema — that IS the
-            # zero-row signal the caller turns into a skipped segment
-            return 0, None
+        # read back with the writer's schema: an EMPTY batch writes only
+        # _SUCCESS (no partition files) and an inferring read would throw
+        # — the explicit schema makes it a plain zero-row scan instead,
+        # so genuine IO failures still raise rather than masquerading as
+        # "empty batch" and silently dropping the segment
+        row = (
+            self.spark.read.schema(assigned.schema)
+            .parquet(path)
+            .agg(F.count(F.lit(1)), F.avg("_fit"))
+            .first()
+        )
         return int(row[0]), (None if row[1] is None else float(row[1]))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -360,10 +368,7 @@ class IncrementalAnnIndex:
             victims, survivors = list(segs), []
         merged_df = reduce(
             lambda a, b: a.unionByName(b),
-            [
-                self.spark.read.parquet(self.store.path("cells", f"v{s}"))
-                for s in victims
-            ],
+            [self._read_segment(s) for s in victims],
         )
         merged = f"c{st['compactions']}"  # monotonic: never a live name
         (

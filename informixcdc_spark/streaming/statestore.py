@@ -215,6 +215,16 @@ class HadoopFsStateStore(ManifestStateStore):
     create-new (``FileSystem.create(path, overwrite=false)`` — the
     PUT-new analog), LIST (``listStatus``) and DELETE — never rename.
 
+    Atomicity caveat: the loud-``FileExistsError`` double-writer
+    protection holds only on filesystems whose exclusive create is
+    atomic (HDFS, ``file://``, ``abfss://``). S3A's
+    ``create(overwrite=false)`` is a non-atomic existence-check then
+    PUT (the object appears at close), so on ``s3a://`` two racing
+    writers can both "win" — there the protocol's safety rests on the
+    manifest versioning (newest-parseable-wins, torn writes never
+    corrupt an old pointer) plus the deployment's single-writer
+    contract, not on create-new exclusivity.
+
     ``path()`` returns fully-qualified URIs, so the engine's Spark
     parquet IO (snapshots, index segments) rides the same remote
     filesystem as the pointer. Constructed lazily off the active

@@ -362,4 +362,13 @@ def test_bpe_pair_count_is_partial_then_final(spark):
     )
     plan = formatted_plan(bpe_pair_counts(words))
     assert plan.count("HashAggregate") >= 2, plan
-    assert "Exchange hashpartitioning(_a" in plan, plan
+    # Catalyst may alias struct-field group keys to _groupingexpression#NN
+    # (and formatted mode puts Exchange args on their own line), so pin the
+    # STRUCTURE: exactly one Exchange in the tree, between the final and
+    # partial HashAggregate, and it is a hash partitioning.
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert "hashpartitioning(" in plan, plan
+    aggs = [i for i in range(len(tree)) if tree.startswith("HashAggregate", i)]
+    assert len(aggs) == 2, plan
+    assert aggs[0] < tree.index("Exchange") < aggs[1], plan

@@ -1208,6 +1208,44 @@ def test_ann_index_auto_compaction(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
 
 
+def test_ann_index_reads_pre_fit_segments(spark, tmp_path):
+    """Segments written before the ``_fit`` column existed (pre-round-6
+    engine) must stay readable after an upgrade: read_index / search /
+    compact / a fresh append all work over a mixed-vintage index."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, [1.0 if j == i % 3 else 0.0 for j in range(3)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    idx = IncrementalAnnIndex(
+        spark, str(tmp_path / "ann"), n_centroids=3, n_iter=2
+    )
+    idx.process_batch(batch(range(9)), 0)
+    # rewrite segment v0 WITHOUT _fit, the old on-disk shape
+    seg = idx.store.path("cells", "v0")
+    old = spark.read.parquet(seg).drop("_fit").collect()
+    schema = "vec_id long, embedding array<float>, _norm double, cell int"
+    tmp_seg = str(tmp_path / "old_seg")
+    spark.createDataFrame(old, schema).write.partitionBy("cell").parquet(tmp_seg)
+    idx.store.delete_tree("cells", "v0")
+    spark.read.parquet(tmp_seg).write.partitionBy("cell").parquet(seg)
+    assert "_fit" not in spark.read.parquet(seg).columns
+
+    idx.process_batch(batch(range(9, 15)), 1)  # post-upgrade append
+    assert idx.read_index().count() == 15
+    q = batch(range(2))
+    got = idx.search(q, k=2, nprobe=3)
+    exact = brute_force_knn(batch(range(15)), q, k=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+    idx.compact()  # union across vintages must not throw
+    assert len(idx.read_state()["segments"]) == 1
+    assert idx.read_index().count() == 15
+
+
 def test_crash_recovery_on_hadoopfs_store(spark, tmp_path):
     """The materializer's versioned-then-pointed exactly-once guarantee
     holds with ALL state — pointer, snapshots, parquet — living behind

@@ -62,6 +62,22 @@ def format_line(
     return line
 
 
+#: multi-arm queries: each returns a UNION of branches tagged with a
+#: literal "mode" column, so a `mode = '<arm>'` filter lets Catalyst
+#: constant-fold the other branches away (PruneFilters +
+#: PropagateEmptyRelation) and the arm executes ALONE — these 1-rep
+#: timings attribute each query's cost to its graded arms in
+#: BENCH_LOCAL.json. Kept honest by tests/test_queries.py::
+#: test_bench_arm_map_matches_registry.
+ARM_MODES = {
+    "e01_dedup_exact": ["exact", "spans", "ranges"],
+    "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
+    "e09_token_stats": ["tok", "bpe"],
+    "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq"],
+    "e27_decontamination": ["exact", "coarse"],
+}
+
+
 def _shuffle_write_bytes(spark) -> int:
     """Cumulative shuffle WRITE bytes over completed stages via the UI
     REST API (scale_bench.py's probe). Shuffle bytes are the scale
@@ -165,6 +181,39 @@ def main() -> None:
         if best_bytes >= 0:
             shuffle_mb[name] = round(best_bytes / 1e6, 2)
 
+    # Per-ARM attribution pass (diagnostics only — never in the headline
+    # total): one filtered 1-rep run per arm of each multi-arm query.
+    # Arms that build incremental indexes at DataFrame-construction time
+    # (e03 'inc', e15 'stream') pay that build in EVERY arm's timing, so
+    # arm seconds are attribution signals, not additive decompositions.
+    arm_sec: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_ARM_TIMINGS", "1") != "0":
+        from pyspark.sql import functions as F
+
+        def run_arm(name: str, arm: str) -> float:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).where(F.col("mode") == arm).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        for name, arms in ARM_MODES.items():
+            if name not in per_query:
+                continue  # errored/timed out above: skip its arms too
+            for arm in arms:
+                fut = pool.submit(run_arm, name, arm)
+                try:
+                    arm_sec.setdefault(name, {})[arm] = round(
+                        fut.result(timeout=per_query_timeout), 3
+                    )
+                except concurrent.futures.TimeoutError:
+                    spark.sparkContext.cancelAllJobs()
+                    pool.shutdown(wait=False, cancel_futures=True)
+                    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+                    break
+                except Exception:  # noqa: BLE001 — diagnostics must not break bench
+                    break
+
     print(format_line(per_query, errors, sf), flush=True)
     # Full-resolution artifact (complete names, untruncated errors) —
     # the stdout line is capped to the driver's 2000-char tail, so
@@ -185,6 +234,9 @@ def main() -> None:
                     # REST delta) — compare round-over-round for byte
                     # regressions that idle-core wall time hides
                     "shuffle_write_mb": dict(sorted(shuffle_mb.items())),
+                    # per-arm 1-rep seconds for multi-arm queries (see
+                    # ARM_MODES) — attributes graded-arm overhead
+                    "arm_sec": {n: arm_sec[n] for n in sorted(arm_sec)},
                     "errors": dict(sorted(errors.items())),
                 },
                 f,

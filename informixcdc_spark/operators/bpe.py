@@ -23,10 +23,22 @@ without it, n_merges nested fold projections pile into one
 ever-deeper plan and analysis time grows superlinearly.
 
 ``bpe_encode`` applies a trained merge list as stacked fold
-projections: fine for the hundreds of merges a test vocabulary needs;
-a production 32k-merge vocabulary should encode via an Arrow-batched
-``mapInPandas`` with rank-priority merging instead (the documented
-boundary — per-merge column stacking is O(n_merges) plan depth).
+projections: fine for the hundreds of merges a test vocabulary needs,
+but per-merge column stacking is O(n_merges) plan depth and O(n_merges
+× word_len) work per word. :func:`bpe_encode_arrow` is the production
+path for 32k-merge vocabularies: ONE Arrow-batched ``mapInPandas``
+stage with RANK-PRIORITY merging (repeatedly merge the lowest-rank
+pair present — the apply-time algorithm of Sennrich's ``apply_bpe``
+and GPT-2's encoder), whose per-word cost is O(word_len²) independent
+of vocabulary size, plus an in-executor per-word memo so repeated
+words (Zipf: most of any corpus) encode once per batch. On trained
+merge lists the two encoders agree — a trained merge's components are
+built by strictly earlier merges, so applying a later merge does not
+re-create an earlier pair (only a hand-built merge list whose merged
+STRINGS are reachable by two different merge paths can make the
+orders diverge, and training's frequency ordering does not emit
+those) — property-tested against each other on random trained
+corpora and against the pure-Python reference at 600 merges.
 """
 
 from __future__ import annotations
@@ -161,4 +173,88 @@ def bpe_encode(
         F.col(id_col),
         tokens.alias("tokens"),
         F.size(tokens).alias("n_tokens"),
+    )
+
+
+def _encode_word(word: str, ranks: dict, merge_list: list) -> tuple:
+    """Rank-priority BPE for one word (plain Python, runs inside the
+    Arrow batch): repeatedly merge ALL greedy-leftmost occurrences of
+    the lowest-rank adjacent pair present. For train-order-consistent
+    merge lists this equals sequential application (see module
+    docstring); cost is O(len²) independent of vocabulary size."""
+    sym = list(word) + [EOW]
+    while len(sym) >= 2:
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merge_list[best]
+        out = []
+        i = 0
+        n = len(sym)
+        while i < n:
+            if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return tuple(sym)
+
+
+def bpe_encode_arrow(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — the production encoder:
+    same contract as :func:`bpe_encode`, but ONE Arrow-batched
+    ``mapInPandas`` stage whose per-word cost does not grow with the
+    merge count, so a 32k-merge vocabulary is as cheap per word as a
+    32-merge one. Zero shuffles (a narrow map over the scan), per-word
+    memoization inside each batch task (repeated words encode once),
+    and the merge table ships once per executor via the closure."""
+    import re
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    merge_list = [tuple(m) for m in merges]
+    ws = re.compile(r"\s+")
+
+    def _run(batches):
+        import pandas as pd
+
+        memo: dict[str, tuple] = {}
+
+        def enc(word):
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = _encode_word(word, ranks, merge_list)
+            return got
+
+        for pdf in batches:
+            toks = [
+                [t for w in ws.split(text) if w for t in enc(w)]
+                if text is not None
+                else None
+                for text in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [
+                        None if t is None else len(t) for t in toks
+                    ],
+                }
+            )
+
+    id_type = dict(docs.select(id_col, text_col).dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        _run,
+        schema=f"{id_col} {id_type}, tokens array<string>, n_tokens int",
     )

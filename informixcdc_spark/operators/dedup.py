@@ -613,92 +613,33 @@ def decontaminate_prefiltered(
     )
 
 
-def duplicate_spans(
+def duplicate_span_census(
     df: DataFrame, id_col: str, text_col: str, window: int = 8
-) -> DataFrame:
-    """Exact duplicate-SPAN detection — the suffix-array exact-substring
-    dedup of Lee et al. (ACL'22, "Deduplicating Training Data Makes
-    Language Models Better") re-expressed Spark-first as rolling window
-    hashes: any ``window``-token span occurring in more than one
-    document is a duplicated span, and each document reports how many
-    of its window positions are covered by such spans
-    (``dup_windows`` / ``total_windows`` — the coverage fraction a
-    curation pipeline thresholds on, the per-doc aggregate of the span
-    REMOVAL the paper performs).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared window-hash census both span consumers build on —
+    computed ONCE and persisted, so asking for both the coverage counts
+    (:func:`duplicate_spans`) and the removable ranges
+    (:func:`duplicate_span_ranges`) of the same corpus re-tokenizes and
+    re-hashes nothing (e01 runs both arms off one census).
 
-    Scale shape: one narrow map emits each doc's window hashes (md5 of
-    the space-joined token slice — engine-exact, so a SQL oracle can
-    recompute it), then ONE combineable groupBy on the hash (partial
-    count_distinct capped at 2 semantics via >1 filter), one equi-join
-    back, one per-doc count. The window-hash table is O(total tokens) —
-    the inherent cost of substring-level dedup; nothing is quadratic
-    and nothing collects. Documents shorter than ``window`` tokens
-    surface with ``total_windows = 0``.
+    Returns ``(wins, dup_hashes, totals)``:
 
-    Columns: (id, dup_windows, total_windows).
+    - ``wins`` — (id, _pos, _h): every ``window``-token rolling window
+      as (1-based position, md5 of the space-joined slice — engine-
+      exact, so a SQL oracle can recompute it). One narrow map;
+      PERSISTED (it feeds the census aggregate and both joins back).
+    - ``dup_hashes`` — (_h): hashes occurring in >1 document. ONE
+      combineable groupBy on the hash — the only corpus-sized shuffle;
+      O(total tokens), nothing quadratic, nothing collects.
+    - ``totals`` — (id, total_windows): per-doc window count, 0 for
+      documents shorter than ``window`` tokens.
     """
     n_win = F.size("_tok") - F.lit(window - 1)
+    toks = rebalance(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    )
     wins = (
-        rebalance(df)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
-        .select(
-            F.col(id_col),
-            F.when(
-                n_win > 0,
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("_tok", i, window))
-                    ),
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("_wh"),
-        )
-        .persist()  # feeds both the span census and the per-doc totals
-    )
-    exploded = wins.select(F.col(id_col), F.explode("_wh").alias("_h"))
-    dup_hashes = (
-        exploded.groupBy("_h")
-        .agg(F.count_distinct(id_col).alias("_docs"))
-        .where(F.col("_docs") > 1)
-        .select("_h")
-    )
-    per_doc = exploded.join(dup_hashes, "_h").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("dup_windows")
-    )
-    totals = wins.select(F.col(id_col), F.size("_wh").alias("total_windows"))
-    return totals.join(per_doc, [id_col], "left").select(
-        F.col(id_col),
-        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
-        F.col("total_windows").cast("long").alias("total_windows"),
-    )
-
-
-def duplicate_span_ranges(
-    df: DataFrame, id_col: str, text_col: str, window: int = 8
-) -> DataFrame:
-    """The actionable form of :func:`duplicate_spans`: per document, the
-    MERGED token ranges covered by cross-document duplicated windows —
-    exactly what the Lee et al. exact-substring pipeline REMOVES. Two
-    flagged windows at positions p ≤ q merge when ``q <= p + window``
-    (their token coverage overlaps or adjoins), so each output row is
-    one maximal removable span ``[span_start, span_end]`` (1-based
-    token indices, inclusive).
-
-    Scale shape: the window census of :func:`duplicate_spans` plus one
-    per-doc ordered window pass for island grouping (flagged positions
-    only — a subset of the doc's windows), all JVM-side.
-
-    Columns: (id, span_start, span_end, span_tokens).
-    """
-    from pyspark.sql import Window as W
-
-    n_win = F.size("_tok") - F.lit(window - 1)
-    wins = (
-        rebalance(df)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
-        .where(n_win > 0)
+        toks.where(n_win > 0)
         .select(
             F.col(id_col),
             F.posexplode(
@@ -711,13 +652,47 @@ def duplicate_span_ranges(
             ).alias("_p0", "_h"),
         )
         .select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"), "_h")
+        .persist()
     )
     dup_hashes = (
         wins.groupBy("_h")
         .agg(F.count_distinct(id_col).alias("_docs"))
         .where(F.col("_docs") > 1)
         .select("_h")
+        .persist()  # both consumers join against it: census shuffle runs once
     )
+    totals = toks.select(
+        F.col(id_col),
+        F.greatest(n_win, F.lit(0)).cast("long").alias("total_windows"),
+    )
+    return wins, dup_hashes, totals
+
+
+def spans_from_census(
+    wins: DataFrame, dup_hashes: DataFrame, totals: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-doc duplicated-window coverage from a prebuilt census: one
+    equi-join back on the hash, one per-doc count. Columns:
+    (id, dup_windows, total_windows)."""
+    per_doc = wins.join(dup_hashes, "_h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    return totals.join(per_doc, [id_col], "left").select(
+        F.col(id_col),
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.col("total_windows").cast("long").alias("total_windows"),
+    )
+
+
+def ranges_from_census(
+    wins: DataFrame, dup_hashes: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """Merged removable token ranges from a prebuilt census: island
+    grouping over flagged positions only (a subset of the doc's
+    windows), all JVM-side. Columns:
+    (id, span_start, span_end, span_tokens)."""
+    from pyspark.sql import Window as W
+
     flagged = wins.join(dup_hashes, "_h").select(F.col(id_col), "_pos")
     w_ord = W.partitionBy(id_col).orderBy("_pos")
     grouped = (
@@ -746,3 +721,42 @@ def duplicate_span_ranges(
         "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the suffix-array exact-substring
+    dedup of Lee et al. (ACL'22, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed Spark-first as rolling window
+    hashes: any ``window``-token span occurring in more than one
+    document is a duplicated span, and each document reports how many
+    of its window positions are covered by such spans
+    (``dup_windows`` / ``total_windows`` — the coverage fraction a
+    curation pipeline thresholds on, the per-doc aggregate of the span
+    REMOVAL the paper performs). Scale shape: see
+    :func:`duplicate_span_census`.
+
+    Columns: (id, dup_windows, total_windows).
+    """
+    wins, dup_hashes, totals = duplicate_span_census(
+        df, id_col, text_col, window
+    )
+    return spans_from_census(wins, dup_hashes, totals, id_col)
+
+
+def duplicate_span_ranges(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """The actionable form of :func:`duplicate_spans`: per document, the
+    MERGED token ranges covered by cross-document duplicated windows —
+    exactly what the Lee et al. exact-substring pipeline REMOVES. Two
+    flagged windows at positions p ≤ q merge when ``q <= p + window``
+    (their token coverage overlaps or adjoins), so each output row is
+    one maximal removable span ``[span_start, span_end]`` (1-based
+    token indices, inclusive).
+
+    Columns: (id, span_start, span_end, span_tokens).
+    """
+    wins, dup_hashes, _ = duplicate_span_census(df, id_col, text_col, window)
+    return ranges_from_census(wins, dup_hashes, id_col, window)

@@ -11,8 +11,14 @@ corpus-sized shuffle per increment; this index does O(batch) work:
   batch path (same operators, same constants, so batch and streaming
   agree on what "near-dup" means);
 - candidate hits come from ONE equi-join of the batch's bands against
-  the persisted band index (at cluster scale the index is stored
-  partitioned by band key, making this a pruned point-lookup join);
+  the persisted band index. The index is stored PARTITIONED by a band
+  bucket (``pmod(hash(band_idx, band_key), n_buckets)`` directories per
+  segment), and the probe first collects the batch's distinct buckets
+  (bounded by ``n_buckets`` — metadata-sized) and filters the index
+  read with them, so Spark's partition pruning skips every bucket
+  directory the batch cannot hit: the per-batch index I/O is
+  O(index / n_buckets × distinct batch buckets), a pruned point-lookup
+  join, never a full index scan (plan-pinned in ``test_plans.py``);
 - within-batch duplicates collapse first via the band self-join with
   the ``star_cap`` guard, so a batch of 10⁵ boilerplate copies admits
   one representative and emits star-linked pairs, never m²/2;
@@ -72,6 +78,7 @@ class IncrementalDedupIndex:
         star_cap: int = 64,
         min_band_matches: int = 1,
         auto_compact_segments: int | None = 16,
+        n_buckets: int = 64,
         store: StateStore | None = None,
     ):
         self.spark = spark
@@ -79,6 +86,16 @@ class IncrementalDedupIndex:
         self.text_col = text_col
         self.k = k
         self.star_cap = star_cap
+        #: band-bucket fan-out of the on-disk layout: each segment is
+        #: written partitionBy(pmod(hash(band_idx, band_key), n_buckets))
+        #: so the probe prunes to the batch's buckets. Sized like any
+        #: partition fan-out: large enough that index/n_buckets fits a
+        #: task, small enough that tiny batches still skip most of it
+        #: (64 here for the local fixture; a 100 TB index wants 4-16k).
+        #: Changing it on a live index is safe — each segment remembers
+        #: its own layout and unbucketed/mismatched segments are probed
+        #: unpruned until compaction rewrites them.
+        self.n_buckets = n_buckets
         #: cross-index verification WITHOUT extra state: a single band
         #: collision is a Jaccard-j event with probability j^rows, so a
         #: borderline pair can collide once by luck; requiring >= t
@@ -107,17 +124,42 @@ class IncrementalDedupIndex:
             "segment_rows": {},
             "compactions": 0,  # monotonic counter naming merged segments
         }
+        defaults["segment_buckets"] = {}  # str(name) -> n_buckets it was written with
         st = self.store.read_state()
         return defaults if st is None else {**defaults, **st}
 
-    def read_index(self) -> DataFrame | None:
-        """The accumulated band index (union of segments)."""
-        segs = self.read_state()["segments"]
-        if not segs:
+    def _bkt(self):
+        """The band-bucket expression (deterministic: Murmur3 with
+        Spark's fixed seed, so batch and index always agree)."""
+        return F.pmod(F.hash("band_idx", "band_key"), F.lit(self.n_buckets))
+
+    def _read_segment(
+        self, name, st: dict, buckets: list | None = None
+    ) -> DataFrame:
+        """One segment, bucket-pruned when possible: a segment written
+        under the CURRENT n_buckets prunes its partition directories to
+        ``buckets``; unbucketed (pre-upgrade) or differently-bucketed
+        segments read unpruned — correct either way, because the bucket
+        filter only ever skips rows the band equi-join could not match."""
+        df = self.spark.read.parquet(self.store.path("bands", f"v{name}"))
+        if (
+            buckets is not None
+            and st["segment_buckets"].get(str(name)) == self.n_buckets
+            and "_bkt" in df.columns
+        ):
+            df = df.where(F.col("_bkt").isin(buckets))
+        return df.select(self.id_col, "band_idx", "band_key")
+
+    def read_index(self, buckets: list | None = None) -> DataFrame | None:
+        """The accumulated band index (union of segments), optionally
+        pruned to a bucket list (the probe path)."""
+        from functools import reduce
+
+        st = self.read_state()
+        if not st["segments"]:
             return None
-        return self.spark.read.parquet(
-            *[self.store.path("bands", f"v{s}") for s in segs]
-        )
+        parts = [self._read_segment(s, st, buckets) for s in st["segments"]]
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def read_dups(self, batch_id: int) -> DataFrame:
         return self.spark.read.parquet(self.store.path("dups", f"v{batch_id}"))
@@ -139,7 +181,11 @@ class IncrementalDedupIndex:
         # computed inside the first consuming action and cached for the
         # rest of the admission (one fewer job per micro-batch);
         # unpersisted before return so state stays O(1) across batches
-        bands = minhash_bands(shingled, self.id_col).persist()
+        bands = (
+            minhash_bands(shingled, self.id_col)
+            .withColumn("_bkt", self._bkt())
+            .persist()
+        )
 
         # within-batch collapse: star-capped candidate pairs; every doc
         # that appears as the GREATER id of a pair is a duplicate of a
@@ -149,10 +195,17 @@ class IncrementalDedupIndex:
             F.min("id_a").alias("dup_of")
         )
 
-        index = self.read_index()
+        index = None
+        if st["segments"]:
+            # the batch's distinct buckets: bounded by n_buckets, a
+            # metadata-sized collect off the cached bands — then ONE
+            # equi-join of the batch's bands against the bucket-PRUNED
+            # index read (partition pruning skips every other bucket dir)
+            buckets = [
+                r[0] for r in bands.select("_bkt").distinct().collect()
+            ]
+            index = self.read_index(buckets=buckets)
         if index is not None:
-            # cross-index hits: one equi-join on the band bucket; the
-            # index side prunes to this batch's band keys
             hits = (
                 bands.join(
                     index.select(
@@ -188,8 +241,11 @@ class IncrementalDedupIndex:
             self.store.commit_state({**st, "batch_id": batch_id})
             bands.unpersist()
             return
-        novel_bands.write.mode("overwrite").parquet(
-            self.store.path("bands", f"v{batch_id}")
+        (
+            novel_bands.repartition("_bkt")
+            .write.partitionBy("_bkt")
+            .mode("overwrite")
+            .parquet(self.store.path("bands", f"v{batch_id}"))
         )
         self.store.commit_state(
             {
@@ -198,6 +254,9 @@ class IncrementalDedupIndex:
                 "segments": st["segments"] + [batch_id],
                 "segment_rows": {
                     **st["segment_rows"], str(batch_id): n_novel
+                },
+                "segment_buckets": {
+                    **st["segment_buckets"], str(batch_id): self.n_buckets
                 },
             }
         )
@@ -235,22 +294,39 @@ class IncrementalDedupIndex:
             survivors = [s for s in segs if s not in victims]
         else:
             victims, survivors = list(segs), []
-        merged_df = self.spark.read.parquet(
-            *[self.store.path("bands", f"v{s}") for s in victims]
+        from functools import reduce
+
+        merged_df = reduce(
+            lambda a, b: a.unionByName(b),
+            [self._read_segment(s, st) for s in victims],
         )
         tmp = f"c{st['compactions']}"  # monotonic: never collides with a live name
-        merged_df.write.mode("overwrite").parquet(
-            self.store.path("bands", f"v{tmp}")
+        # compaction is also the layout-migration path: the merged
+        # segment is (re)written under the CURRENT bucket fan-out, so
+        # pre-upgrade or re-fanned segments regain probe pruning here
+        (
+            merged_df.withColumn("_bkt", self._bkt())
+            .repartition("_bkt")
+            .write.partitionBy("_bkt")
+            .mode("overwrite")
+            .parquet(self.store.path("bands", f"v{tmp}"))
         )
         known = [rows[str(s)] for s in victims if str(s) in rows]
         new_rows = {str(s): r for s, r in rows.items() if s in map(str, survivors)}
         if len(known) == len(victims):
             new_rows[tmp] = sum(known)  # unknown victims leave tmp unknown too
+        new_buckets = {
+            str(s): b
+            for s, b in st["segment_buckets"].items()
+            if s in map(str, survivors)
+        }
+        new_buckets[tmp] = self.n_buckets
         self.store.commit_state(
             {
                 **st,
                 "segments": survivors + [tmp],
                 "segment_rows": new_rows,
+                "segment_buckets": new_buckets,
                 "compactions": st["compactions"] + 1,
             }
         )

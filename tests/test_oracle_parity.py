@@ -50,3 +50,16 @@ def test_every_registered_query_has_an_oracle():
     surface hash-checked."""
     missing = sorted(set(_QUERIES) - set(_ORACLE))
     assert not missing, missing
+
+
+def test_bench_arm_map_matches_registry(spark, sf_dir):
+    """bench.py's hardcoded ARM_MODES must list exactly the distinct
+    mode literals each multi-arm query emits, and the mode filter must
+    prune the other union branches (no stale arms, no missed arms)."""
+    import bench
+
+    for name, arms in bench.ARM_MODES.items():
+        df = _QUERIES[name](spark, sf_dir)
+        assert "mode" in df.columns, name
+        got = {r[0] for r in df.select("mode").distinct().collect()}
+        assert got == set(arms), (name, sorted(got), arms)

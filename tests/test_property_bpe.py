@@ -86,3 +86,74 @@ def test_bpe_train_and_encode_match_reference(spark, corpus):
     for i, t in enumerate(corpus):
         want = _ref_encode(t, merges)
         assert got[i] == (want, len(want)), (i, t, got[i], want)
+
+
+@settings(
+    max_examples=12,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=_CORPUS)
+def test_bpe_arrow_encoder_matches_stacked_fold(spark, corpus):
+    """The production rank-priority Arrow encoder must segment exactly
+    like the stacked-fold path (and the pure-Python reference) under
+    merges the trainer actually produces."""
+    from informixcdc_spark.operators.bpe import bpe_encode_arrow
+
+    merges = _ref_train(corpus, 6)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode_arrow(df, "doc_id", "text", merges).collect()
+    }
+    for i, t in enumerate(corpus):
+        want = _ref_encode(t, merges)
+        assert got[i] == (want, len(want)), (i, t, got[i], want)
+
+
+def test_bpe_arrow_encoder_at_600_merges(spark):
+    """The production boundary the stacked-fold path documents: a
+    600-merge vocabulary (useless as a fold stack — 600 nested
+    projections) encodes through ONE mapInPandas stage and matches the
+    pure-Python sequential reference word for word."""
+    from informixcdc_spark.operators.bpe import bpe_encode_arrow
+
+    texts = []
+    for i in range(26 * 26):
+        w = chr(97 + i // 26) + chr(97 + i % 26)
+        texts += [w] * (3 + (676 - i) % 7)
+    corpus = [" ".join(texts[i::50]) for i in range(50)]
+    merges = _ref_train(corpus, 600, min_freq=1)
+    assert len(merges) == 600
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    enc = bpe_encode_arrow(df, "doc_id", "text", merges)
+    # one Arrow stage over the scan: no exchange anywhere in the plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["doc_id"]: list(r["tokens"]) for r in enc.collect()}
+    for i, t in enumerate(corpus):
+        assert got[i] == _ref_encode(t, merges), i
+
+
+def test_bpe_arrow_encoder_null_and_empty(spark):
+    """Null text yields null tokens (the stacked-fold path's split-of-
+    null semantics); empty and whitespace-only text yield zero tokens."""
+    from informixcdc_spark.operators.bpe import bpe_encode_arrow
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "ab")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode_arrow(df, "doc_id", "text", [("a", "b")]).collect()
+    }
+    assert got[0] == (None, None)
+    assert got[1] == ([], 0)
+    assert got[2] == ([], 0)
+    assert got[3] == (["ab", EOW], 2)

@@ -943,6 +943,173 @@ def test_dedup_index_band_match_threshold(spark, tmp_path):
     assert off.read_dups(1).count() == 0  # unsatisfiable: everything admits
 
 
+def test_dedup_probe_partition_prunes(spark, tmp_path):
+    """The index probe's scale contract: segments are written
+    partitioned by band bucket and the probe read filters on the
+    batch's bucket list, so the scan PRUNES partition directories
+    (PartitionFilters on _bkt, fewer files than the segment holds) —
+    the per-batch index I/O is O(touched buckets), not O(index)."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "index"), n_buckets=16)
+    docs = spark.createDataFrame(
+        [(i, f"document {i} words w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx.process_batch(docs, 0)
+    st = idx.read_state()
+    assert st["segment_buckets"] == {"0": 16}
+    all_buckets = sorted(
+        r[0] for r in idx.read_index().selectExpr(
+            "pmod(hash(band_idx, band_key), 16) _b"
+        ).distinct().collect()
+    )
+    assert len(all_buckets) > 2  # fixture spreads over several buckets
+    probe = idx.read_index(buckets=all_buckets[:1])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "_bkt" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # pruning is real: the one-bucket read touches strictly less data
+    n_all = idx.read_index().count()
+    assert 0 < probe.count() < n_all
+
+
+def test_dedup_index_migrates_unbucketed_segments(spark, tmp_path):
+    """Segments written before the bucketed layout (no _bkt partition
+    dirs, no segment_buckets entry) still probe correctly — unpruned —
+    and compaction rewrites them into the current bucket fan-out."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(i):
+        return f"document number {i} unique words u{i}a u{i}b u{i}c u{i}d"
+
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "index"), n_buckets=8)
+    idx.process_batch(
+        spark.createDataFrame(
+            [(i, doc(i)) for i in range(1, 5)], "doc_id long, text string"
+        ),
+        0,
+    )
+    # devolve segment v0 to the pre-bucket on-disk shape
+    seg = idx.store.path("bands", "v0")
+    tmp_seg = str(tmp_path / "flat")
+    idx.read_index().write.parquet(tmp_seg)  # flat: no _bkt, no partition dirs
+    idx.store.delete_tree("bands", "v0")
+    spark.read.parquet(tmp_seg).write.parquet(seg)
+    st = idx.read_state()
+    idx.store.commit_state({**st, "segment_buckets": {}})
+
+    # cross-index dup detection still works against the flat segment
+    idx.process_batch(
+        spark.createDataFrame(
+            [(10, doc(2)), (11, doc(11))], "doc_id long, text string"
+        ),
+        1,
+    )
+    assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(1).collect()} == {10: 2}
+
+    # compaction migrates everything into the current fan-out
+    n = idx.read_index().count()
+    idx.compact()
+    st = idx.read_state()
+    assert len(st["segments"]) == 1
+    assert st["segment_buckets"] == {str(st["segments"][0]): 8}
+    assert idx.read_index().count() == n
+    idx.process_batch(
+        spark.createDataFrame([(20, doc(11))], "doc_id long, text string"), 2
+    )
+    assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(2).collect()} == {20: 11}
+
+
+def test_dedup_admit_stream_kill_resume(spark, tmp_path):
+    """End-to-end streaming admission through a REAL checkpointed
+    kill/resume: run 1 consumes the first arrival file and stops; more
+    documents (including dups of run-1 docs) arrive; run 2 resumes from
+    the same checkpoint — every novel doc indexed exactly once, every
+    dup flagged against the doc its group first admitted."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(g):
+        return f"group {g} document body words g{g}a g{g}b g{g}c g{g}d g{g}e"
+
+    # doc_id i belongs to group i % 4: ids 0-3 are the group minima
+    def rows(ids):
+        return [(i, doc(i % 4)) for i in ids]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows(range(8)), "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "index"), n_buckets=8)
+
+    def run():
+        q = idx.admit_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {
+        r["doc_id"] for r in idx.read_index().select("doc_id").distinct().collect()
+    } == {0, 1, 2, 3}
+    spark.createDataFrame(rows(range(8, 14)), "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()  # resume: offset log skips the consumed file
+    # the index still holds exactly the four group minima, once each
+    admitted = [
+        r["doc_id"] for r in idx.read_index().select("doc_id").collect()
+    ]
+    assert {i for i in admitted} == {0, 1, 2, 3}
+    # dup verdicts across all batches: every non-min doc maps to its group min
+    st = idx.read_state()
+    dups = {}
+    for b in range(st["batch_id"] + 1):
+        if idx.store.exists("dups", f"v{b}"):
+            for r in idx.read_dups(b).collect():
+                assert r["doc_id"] not in dups  # exactly-once verdicts
+                dups[r["doc_id"]] = r["dup_of"]
+    assert dups == {i: i % 4 for i in range(4, 14)}
+
+
+def test_dedup_admission_exactly_once_across_splits(spark, tmp_path):
+    """Derandomized admission property: however the arrival order is
+    SPLIT into micro-batches — with every batch replayed once, as a
+    checkpoint recovery would — the admitted set is exactly the group
+    minima and every dup maps to its group's first-admitted doc."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(g):
+        return f"group {g} stable text body words x{g}a x{g}b x{g}c x{g}d"
+
+    ids = list(range(12))  # group = id % 3; minima 0,1,2
+    splits = [[3, 9], [1, 2, 4, 7], [6], [4, 8], [2, 3, 5, 7, 9, 11], [12]]
+    for si, cut in enumerate(splits):
+        idx = IncrementalDedupIndex(
+            spark, str(tmp_path / f"ix{si}"), n_buckets=8,
+        )
+        bounds = [0] + sorted(set(cut + [12]))
+        batches = [
+            ids[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+        ]
+        dups = {}
+        for b_id, chunk in enumerate(batches):
+            bdf = spark.createDataFrame(
+                [(i, doc(i % 3)) for i in chunk], "doc_id long, text string"
+            )
+            idx.process_batch(bdf, b_id)
+            idx.process_batch(bdf, b_id)  # replay is a no-op
+            if idx.store.exists("dups", f"v{b_id}"):
+                for r in idx.read_dups(b_id).collect():
+                    assert r["doc_id"] not in dups
+                    dups[r["doc_id"]] = r["dup_of"]
+        admitted = sorted(
+            r["doc_id"] for r in idx.read_index().select("doc_id").distinct().collect()
+        )
+        assert admitted == [0, 1, 2], (si, admitted)
+        assert dups == {i: i % 3 for i in range(3, 12)}, (si, dups)
+
+
 def test_incremental_ann_index(spark, tmp_path, store_cls):
     """Streaming IVF: train the codebook on the first increment, freeze
     it, append cell-partitioned segments per batch (O(batch) work),

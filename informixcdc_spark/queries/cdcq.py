@@ -701,18 +701,34 @@ def c13_cdc_discard_drops_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry from in-stream DDL the same way
 # (ext/_informixcdcmodule.ec:1722-1804) but supports only one epoch.
 # ---------------------------------------------------------------------------
-#: epoch 1: narrow o_custkey (integer), no o_orderpriority yet
+#: epoch 1: narrow o_custkey (integer), narrow o_margin decimal(8,2),
+#: no o_orderpriority yet
 _ORDERS_DDL_V1 = (
     "o_orderkey bigint, o_custkey integer, o_orderstatus varchar(2), "
-    "o_totalprice float, o_orderdate datetime year to fraction"
+    "o_totalprice float, o_orderdate datetime year to fraction, "
+    "o_margin decimal(8,2)"
 )
 #: epoch 2: ALTER ADD o_orderpriority
 _ORDERS_DDL_V2 = _ORDERS_DDL_V1 + ", o_orderpriority varchar(20)"
-#: epoch 3: ALTER DROP o_orderstatus + widen o_custkey integer→bigint
+#: epoch 3: ALTER DROP o_orderstatus + the three safe WIDENINGS a live
+#: Informix ALTER produces: o_custkey integer→bigint, o_margin
+#: decimal(8,2)→decimal(12,4), o_orderpriority varchar(20)→varchar(40)
 _ORDERS_DDL_V3 = (
     "o_orderkey bigint, o_custkey bigint, o_totalprice float, "
-    "o_orderdate datetime year to fraction, o_orderpriority varchar(20)"
+    "o_orderdate datetime year to fraction, o_margin decimal(12,4), "
+    "o_orderpriority varchar(40)"
 )
+
+
+def _margin_enriched(log: DataFrame) -> DataFrame:
+    """Extend the shared changelog's row struct with the decimal column
+    the widening epochs capture (2-decimal values derived from
+    o_orderkey, so BOTH epoch scales — (8,2) and (12,4) — represent
+    them exactly). Shared with the restart-after-evolution test."""
+    margin = (
+        (F.col("row.o_orderkey") % 10000).cast("decimal(14,0)") / 100
+    ).cast("decimal(12,4)")
+    return log.withColumn("row", F.col("row").withField("o_margin", margin))
 
 
 @register(
@@ -723,6 +739,7 @@ _ORDERS_DDL_V3 = (
            CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
                 ELSE o_totalprice END AS o_totalprice,
            o_orderdate,
+           CAST(o_orderkey % 10000 AS DOUBLE) / 100 AS o_margin,
            CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 3 FROM orders)
                 THEN NULL ELSE o_orderpriority END AS o_orderpriority
     FROM orders
@@ -737,11 +754,16 @@ def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     supported DDL transition: epoch 2 ADDs o_orderpriority (epoch-1 rows
     null-fill it), epoch 3 DROPs o_orderstatus (it vanishes from the
     latest projection — including for rows captured while it existed)
-    and WIDENs o_custkey integer→bigint (epoch-1/2 row images decode as
-    4-byte ints, surface as bigint). The TABSCHEM announcements flow
-    through the EpochRegistry — the same epoch store a restarted stream
-    resumes from — and the oracle states the projected net effect in
-    closed form."""
+    and applies the three safe WIDENINGS a live Informix ALTER produces:
+    o_custkey integer→bigint (epoch-1/2 row images decode as 4-byte
+    ints, surface as bigint), o_margin decimal(8,2)→decimal(12,4)
+    (the wire value carries its own scale, so narrow-epoch rows decode
+    exactly and surface at the widened precision through the Arrow
+    boundary), and o_orderpriority varchar(20)→varchar(40). The
+    TABSCHEM announcements flow through the EpochRegistry — the same
+    epoch store a restarted stream resumes from — and the oracle states
+    the projected net effect in closed form (o_margin is exact at two
+    decimals in every epoch, so its double rendering is engine-equal)."""
     import os
     import tempfile
 
@@ -758,7 +780,7 @@ def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_binlog_source(spark)
-    log = orders_changelog(spark, sf_dir)
+    log = _margin_enriched(orders_changelog(spark, sf_dir))
     kmax = (
         log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
         .agg(F.expr("max(o_orderkey)"))
@@ -796,4 +818,8 @@ def c14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"c14 capture should announce 3 schema epochs, saw {n_epochs}"
         )
     typed = decode_envelope_df_evolving(raw, reg.epochs(), _ORDERS_TABID, "orders")
-    return apply_changes(typed, key_cols=["o_orderkey"])
+    # o_margin surfaces typed as the WIDENED decimal(12,4); render as
+    # double for the oracle (exact at 2 decimals, so engine-equal)
+    return apply_changes(typed, key_cols=["o_orderkey"]).withColumn(
+        "o_margin", F.col("o_margin").cast("double")
+    )

@@ -258,10 +258,14 @@ def test_stream_restart_decodes_pre_restart_epochs(spark, tmp_path):
     )
     from informixcdc_spark.cdc.model import RecordType
     from informixcdc_spark.cdc.registry import EpochRegistry
-    from informixcdc_spark.queries.cdcq import _ORDERS_DDL_V1, _ORDERS_DDL_V2
+    from informixcdc_spark.queries.cdcq import (
+        _margin_enriched,
+        _ORDERS_DDL_V1,
+        _ORDERS_DDL_V2,
+    )
     from informixcdc_spark.streaming.pipeline import Materializer
 
-    log = orders_changelog(spark, "/root/testdata/sf0.001")
+    log = _margin_enriched(orders_changelog(spark, "/root/testdata/sf0.001"))
     register_binlog_source(spark)
     cap = str(tmp_path / "cap")
     _os.makedirs(cap)

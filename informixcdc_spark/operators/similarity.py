@@ -373,20 +373,23 @@ def kmeans_centroids(
     return sorted(centroids.items())
 
 
-def ivf_cells_kmeans(
+def assign_cells(
     corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 8,
-    n_iter: int = 5,
 ) -> DataFrame:
-    """:func:`ivf_cells` with a trained k-means codebook instead of the
-    lowest-id-vector stand-in — same output shape (id, vec, _norm, cell).
-    The codebook is tiny and broadcast; assignment is one pass."""
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iter)
+    """Nearest-cosine-cell assignment under a GIVEN codebook — the
+    FAISS "assign with a trained quantizer" primitive (feeds
+    :func:`informixcdc_spark.operators.quantization.ivfpq_search` its
+    ``encoded_cells`` input, and is the batch twin of the streaming
+    index's frozen-append assignment). Output shape
+    (id, vec, _norm, cell); the codebook is tiny and broadcast,
+    assignment is one pass — the corpus never shuffles."""
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
-        cents, "_cid INT, _cvec ARRAY<FLOAT>"
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "_cid INT, _cvec ARRAY<FLOAT>",
     ).withColumn("_cn", l2_norm(F.col("_cvec")))
     v = rebalance(corpus).select(
         F.col(id_col),
@@ -404,6 +407,23 @@ def ivf_cells_kmeans(
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(id_col, vec_col, "_norm", F.col("_cid").alias("cell"))
+    )
+
+
+def ivf_cells_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """:func:`ivf_cells` with a trained k-means codebook instead of the
+    lowest-id-vector stand-in — same output shape (id, vec, _norm, cell)."""
+    return assign_cells(
+        corpus,
+        kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iter),
+        id_col,
+        vec_col,
     )
 
 

@@ -201,6 +201,106 @@ def _shuffle_write_bytes(spark) -> int:
         return -1
 
 
+def recall_curves(
+    spark, mdir: str, scale: int, k: int = 10, n_queries: int = 24
+) -> dict:
+    """Recall-vs-nprobe axis (r6 verdict stretch #9): at the top scale,
+    quantify the recall/latency trade each MULTIPROBE operator claims —
+    recall@k vs exact brute force as nprobe grows, with the wall time
+    of each point. LSH flips hyperplane sign bits, IVF probes extra
+    cells, IVFPQ composes the cell probe with ADC scoring; all three
+    should show recall rising toward 1.0 while each point still scans
+    only ~probe-fraction of the corpus."""
+    from informixcdc_spark.operators.quantization import (
+        ivfpq_search,
+        pq_encode,
+        pq_train,
+    )
+    from informixcdc_spark.operators.similarity import (
+        ann_knn_multiprobe,
+        assign_cells,
+        brute_force_knn,
+        ivf_knn_multiprobe,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(mdir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < n_queries)
+
+    def truth_sets(df: DataFrame) -> dict[int, set]:
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    t0 = time.perf_counter()
+    exact = truth_sets(brute_force_knn(emb, queries, k=k))
+    exact_sec = round(time.perf_counter() - t0, 3)
+
+    def point(df_builder) -> dict:
+        t0 = time.perf_counter()
+        got = truth_sets(df_builder())
+        sec = round(time.perf_counter() - t0, 3)
+        recalls = [
+            len(got.get(q, set()) & hits) / len(hits)
+            for q, hits in exact.items()
+            if hits
+        ]
+        return {
+            "recall": round(sum(recalls) / len(recalls), 4) if recalls else 0.0,
+            "sec": sec,
+        }
+
+    curves: dict[str, dict] = {
+        "scale": scale,
+        "k": k,
+        "n_queries": n_queries,
+        "exact_sec": exact_sec,
+    }
+    curves["lsh"] = {
+        str(npr): point(
+            lambda npr=npr: ann_knn_multiprobe(
+                emb, queries, k=k, n_planes=4, nprobe=npr
+            )
+        )
+        for npr in (1, 2, 3, 5)
+    }
+    curves["ivf"] = {
+        str(npr): point(
+            lambda npr=npr: ivf_knn_multiprobe(
+                emb, query_max_id=n_queries, k=k, n_centroids=8, nprobe=npr
+            )
+        )
+        for npr in (1, 2, 4, 8)
+    }
+    # IVFPQ: train once (coarse codebook + per-subspace PQ books), then
+    # sweep nprobe over the SAME encoded corpus — matching how a real
+    # deployment amortizes training across queries. m=32 2-dim
+    # subspaces x 16 codes: the nprobe=n_cells point IS the flat-ADC
+    # ceiling, which the synthetic near-uniform embeddings bound at
+    # ~0.7 (neighbor cosine gaps are tiny, so quantization error costs
+    # recall that clustered real embeddings would not) — the curve
+    # reads as recall relative to that ceiling
+    cents = kmeans_centroids(emb, n_centroids=8, n_iter=2)
+    books = pq_train(emb, m=32, codes=16, n_iter=2)
+    enc = pq_encode(
+        assign_cells(emb, cents), books, keep_cols=("cell",)
+    ).persist()
+    enc.count()  # materialize outside the timed points
+    curves["ivfpq"] = {
+        str(npr): point(
+            lambda npr=npr: ivfpq_search(
+                queries, enc, books, cents, k=k, nprobe=npr
+            )
+        )
+        for npr in (1, 2, 4, 8)
+    }
+    enc.unpersist()
+    return curves
+
+
 def _tail_ratio(series: dict[str, float]) -> float:
     """Asymptotic shuffle slope over the query's two LARGEST measured
     scales: bytes(top)/bytes(prev) normalized by the data ratio — ~1 is
@@ -293,6 +393,15 @@ def main() -> None:
         for q in cdc_queries:
             run_point(q, m, mdir)
 
+    # recall-vs-nprobe curves for the multiprobe ANN operators at the
+    # 8x/16x points (replica construction decorrelates the copies, so
+    # bucket/cell load stays realistic at scale)
+    recall_nprobe = {}
+    for m in [s for s in scales if s in (8, 16)] or scales[-1:]:
+        mdir = sf_dir if m == 1 else os.path.join(work, f"m{m}")
+        recall_nprobe[str(m)] = recall_curves(spark, mdir, m)
+        print(f"recall m={m}: " + json.dumps(recall_nprobe[str(m)]), flush=True)
+
     base = str(scales[0])
 
     def eff(q: str, series: dict[str, float], top_m: int) -> float:
@@ -307,6 +416,8 @@ def main() -> None:
         "cdc_scales": cdc_scales,
         "reps": reps,
         "rows": rows,
+        # recall@k vs nprobe per multiprobe family (see recall_curves)
+        "recall_nprobe": recall_nprobe,
         "queries": {
             q: {
                 **results[q],

@@ -120,15 +120,20 @@ def minhash_bands(
 
 
 def lsh_candidate_pairs(
-    bands: DataFrame, id_col: str, star_cap: int | None = None
+    bands: DataFrame, id_col: str, star_cap: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket —
     the only join in the near-dup path, an equi-join on the bucket key.
 
-    The bands input is persisted: a self-join otherwise recomputes the
-    whole shingle→minhash pipeline for BOTH sides (2× the hashing; at
-    cluster scale you'd materialize the signature table for the same
-    reason).
+    With ``cache=True`` (default) the bands input and the star-cap
+    census are persisted: a self-join otherwise recomputes the whole
+    shingle→minhash pipeline for BOTH sides (2× the hashing; at cluster
+    scale you'd materialize the signature table for the same reason).
+    A caller that already persists ``bands`` and consumes the pairs
+    exactly once (the streaming index's per-batch admission) passes
+    ``cache=False`` so repeated micro-batches don't accumulate
+    never-unpersisted cache entries.
 
     ``star_cap`` is the 100 TB degenerate-bucket guard: an m-member
     bucket otherwise emits m²/2 pairs, and boilerplate-heavy corpora
@@ -140,16 +145,17 @@ def lsh_candidate_pairs(
     and therefore the cluster labels — are IDENTICAL, because the star
     connects the bucket transitively; only pairwise-verification
     consumers (e03's Jaccard) need the exact all-pairs default."""
-    bands = bands.persist()
+    if cache:
+        bands = bands.persist()
     if star_cap is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("band_idx", "band_key")
-        marked = (
-            bands.withColumn("_n", F.count(F.lit(1)).over(w))
-            .withColumn("_rep", F.min(id_col).over(w))
-            .persist()
+        marked = bands.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+            "_rep", F.min(id_col).over(w)
         )
+        if cache:
+            marked = marked.persist()
         small = marked.where(F.col("_n") <= star_cap)
         a = small.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
         b = small.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")

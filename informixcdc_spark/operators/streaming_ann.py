@@ -515,3 +515,139 @@ class IncrementalAnnIndex:
                 "cosine",
             )
         )
+
+
+class IncrementalPqAnnIndex(IncrementalAnnIndex):
+    """The streaming FAISS-``IVFPQ`` shape: cell-partitioned segments
+    that store PQ CODES instead of vectors — the 100 TB memory story
+    applied to the incremental index (a D-dim float vector is 4·D
+    bytes on disk and in the probe join; its code row is m bytes at
+    k<=256 — a 30-380× cut depending on D/m — so the per-batch append
+    AND every query's candidate scan shrink by the same factor).
+
+    Production FAISS discipline: BOTH quantizers train OFFLINE —
+    ``codebook`` (coarse cells) and ``books``
+    (:data:`~informixcdc_spark.operators.quantization.Codebooks`, the
+    per-subspace PQ codebooks) are required up front; there is no
+    in-stream training path (deferred-training staging is the
+    full-vector index's job) and :meth:`retrain` raises — codes are
+    not invertible, so refreshing the quantizers means re-encoding
+    from the source vectors, which the index deliberately does not
+    keep.
+
+    Per batch: ONE broadcast cell assignment (inherited — its winning
+    cosine still feeds :meth:`drift`), then the zero-exchange
+    plan-time-literal PQ encode fused into the same write. Segments
+    hold (id, codes, cell, _fit), partitioned by cell. Search is ADC:
+    each query probes its ``nprobe`` nearest coarse cells and scores
+    only those cells' codes with m ``element_at`` lookups per
+    candidate; with ``prune=True`` (default) the probed cells are
+    resolved driver-side (queries are small by construction) and the
+    segment read filters on them, so partition pruning skips every
+    other cell directory — the on-disk layout actually pays off.
+
+    Exactly-once, compaction, kill/resume ride the inherited pointer
+    protocol unchanged.
+    """
+
+    def __init__(self, *args, books=None, **kwargs):
+        if books is None:
+            raise ValueError("IncrementalPqAnnIndex requires trained PQ books")
+        if kwargs.get("codebook") is None:
+            raise ValueError(
+                "IncrementalPqAnnIndex requires a pretrained coarse codebook "
+                "(both quantizers train offline in the IVFPQ shape)"
+            )
+        super().__init__(*args, **kwargs)
+        self.books = [
+            {
+                "lo": int(b["lo"]),
+                "hi": int(b["hi"]),
+                "centroids": [
+                    (int(c), [float(x) for x in v]) for c, v in b["centroids"]
+                ],
+            }
+            for b in books
+        ]
+
+    # -- overrides: code-valued segments ----------------------------------------
+    def _assign(self, batch_df: DataFrame, codebook) -> DataFrame:
+        from informixcdc_spark.operators.quantization import pq_encode
+
+        assigned = super()._assign(batch_df, codebook)
+        # encode fuses into the assignment projection: codebooks are
+        # plan-time literals, so this adds NO exchange and no join
+        return pq_encode(
+            assigned, self.books, id_col=self.id_col, vec_col=self.vec_col,
+            keep_cols=("cell", "_fit"),
+        )
+
+    def _read_segment(self, name) -> DataFrame:
+        df = self.spark.read.parquet(self.store.path("cells", f"v{name}"))
+        return df.select(self.id_col, "codes", "cell", "_fit")
+
+    def retrain(self, sample: DataFrame) -> None:
+        raise NotImplementedError(
+            "PQ segments store codes, not vectors — refreshing the "
+            "quantizers requires re-encoding from the source vectors "
+            "(build a fresh index); monitor drift() to decide when"
+        )
+
+    # -- ADC search --------------------------------------------------------------
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 3,
+        nprobe: int = 1,
+        prune: bool = True,
+    ) -> DataFrame:
+        from functools import reduce
+
+        from informixcdc_spark.operators.quantization import ivfpq_search
+
+        st = self.read_state()
+        if not st["segments"]:
+            raise ValueError("empty index — ingest a batch first")
+        cents = [(int(c), v) for c, v in st["codebook"]]
+        index = self.read_index()
+        if prune:
+            # the probed cells are a deterministic function of the tiny
+            # query side: resolve them driver-side and filter the
+            # segment read so cell-directory pruning actually fires
+            cent = self._codebook_df(cents)
+            from pyspark.sql import Window
+
+            qn = F.col("_qn")
+            qcos = F.when(
+                (qn > 0) & (F.col("_cn") > 0),
+                dot(F.col("_qvec"), F.col("_cvec")) / (qn * F.col("_cn")),
+            )
+            wq = Window.partitionBy("_qid").orderBy(
+                F.col("_qcos").desc(), F.col("_cid")
+            )
+            cells = [
+                r[0]
+                for r in queries.select(
+                    F.col(self.id_col).alias("_qid"),
+                    F.col(self.vec_col).alias("_qvec"),
+                    l2_norm(F.col(self.vec_col)).alias("_qn"),
+                )
+                .crossJoin(F.broadcast(cent))
+                .withColumn("_qcos", qcos)
+                .withColumn("_rn", F.row_number().over(wq))
+                .where(F.col("_rn") <= nprobe)
+                .select("_cid")
+                .distinct()
+                .collect()
+            ]
+            index = index.where(F.col("cell").isin(cells))
+        return ivfpq_search(
+            queries,
+            index,
+            self.books,
+            cents,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            k=k,
+            nprobe=nprobe,
+        )

@@ -189,8 +189,12 @@ class IncrementalDedupIndex:
 
         # within-batch collapse: star-capped candidate pairs; every doc
         # that appears as the GREATER id of a pair is a duplicate of a
-        # smaller-id representative (min side of its pair)
-        intra = lsh_candidate_pairs(bands, self.id_col, star_cap=self.star_cap)
+        # smaller-id representative (min side of its pair). cache=False:
+        # bands is already persisted above and the pairs are consumed
+        # once, so per-batch cache entries must not accumulate
+        intra = lsh_candidate_pairs(
+            bands, self.id_col, star_cap=self.star_cap, cache=False
+        )
         intra_dups = intra.groupBy(F.col("id_b").alias(self.id_col)).agg(
             F.min("id_a").alias("dup_of")
         )

@@ -1208,6 +1208,9 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
+    # (measured: persisting corp does not move the arm's wall time —
+    # the synth projection is a trivial scan and the cost is the graded
+    # arms' job count, which amortizes at real scale)
     corp = synth.where(vid < 1024)
     books = pq_train(corp, splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1)
     pq = pq_search_adc(

@@ -1904,3 +1904,120 @@ def test_ann_ingest_stream_kill_resume(spark, tmp_path):
         q, k=2,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_incremental_pq_ann_index(spark, tmp_path):
+    """Streaming IVFPQ: segments store PQ CODES (not vectors),
+    partitioned by coarse cell; ADC search over probed cells equals
+    exact brute force on the exact-reconstruction fixture; replay is a
+    no-op; compaction folds code segments; retrain refuses (codes are
+    not invertible); the pruned search path shows PartitionFilters."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalPqAnnIndex
+
+    def vec(i):
+        v = [0.0] * 13
+        v[i % 8] = 4.0
+        v[8 + i % 5] = 1.0
+        return v
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, vec(i)) for i in ids], "vec_id long, embedding array<float>"
+        )
+
+    # both quantizers "trained offline": one-hot coarse cells; PQ books
+    # whose codewords are exactly the 8/5 distinct subvectors, so
+    # reconstruction is exact and ADC == brute force
+    coarse = [[c, [1.0 if d == c else 0.0 for d in range(13)]] for c in range(8)]
+    books = [
+        {"lo": 0, "hi": 8,
+         "centroids": [(c, [4.0 if d == c else 0.0 for d in range(8)]) for c in range(8)]},
+        {"lo": 8, "hi": 13,
+         "centroids": [(c, [1.0 if d == c else 0.0 for d in range(5)]) for c in range(5)]},
+    ]
+    idx = IncrementalPqAnnIndex(
+        spark, str(tmp_path / "pq"), n_centroids=8,
+        codebook=coarse, books=books,
+    )
+    idx.process_batch(batch(range(40)), 0)
+    idx.process_batch(batch(range(40, 64)), 1)
+    st = idx.read_state()
+    assert st["segments"] == [0, 1]
+    idx.process_batch(batch(range(40, 64)), 1)  # replay: no-op
+    assert idx.read_state() == st
+
+    # segments hold codes, not vectors
+    seg = spark.read.parquet(idx.store.path("cells", "v0"))
+    assert "codes" in seg.columns and "embedding" not in seg.columns
+    # code of vector i is exactly (i%8, i%5) on this fixture
+    enc = {r["vec_id"]: list(r["codes"]) for r in seg.collect()}
+    assert all(enc[i] == [i % 8, i % 5] for i in enc)
+
+    q = batch(range(3))
+    exact = brute_force_knn(batch(range(64)), q, k=3)
+    got_full = idx.search(q, k=3, nprobe=8)
+    assert sorted(map(tuple, got_full.collect())) == sorted(map(tuple, exact.collect()))
+    # nprobe=1: the separable fixture keeps true top-3 in the home cell
+    got_one = idx.search(q, k=3, nprobe=1)
+    assert sorted(map(tuple, got_one.collect())) == sorted(map(tuple, exact.collect()))
+    # pruned probe reads only the probed cell directories
+    plan = got_one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    idx.compact()
+    assert len(idx.read_state()["segments"]) == 1
+    got2 = idx.search(q, k=3, nprobe=8)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, exact.collect()))
+
+    with pytest.raises(NotImplementedError):
+        idx.retrain(batch(range(8)))
+
+
+def test_incremental_pq_ann_ingest_stream_kill_resume(spark, tmp_path):
+    """The PQ index inherits the checkpointed streaming binding: run 1
+    consumes the first file and stops; run 2 resumes past it — every
+    vector encoded exactly once, ADC search exact over the union."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+    from informixcdc_spark.operators.streaming_ann import IncrementalPqAnnIndex
+
+    def rows(ids):
+        return [(i, [2.0 if d == i % 4 else 0.0 for d in range(4)]) for i in ids]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows(range(10)), "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("append").parquet(src)
+    coarse = [[c, [1.0 if d == c else 0.0 for d in range(4)]] for c in range(4)]
+    books = [
+        {"lo": 0, "hi": 4,
+         "centroids": [(c, [2.0 if d == c else 0.0 for d in range(4)]) for c in range(4)]},
+    ]
+    idx = IncrementalPqAnnIndex(
+        spark, str(tmp_path / "pq"), n_centroids=4,
+        codebook=coarse, books=books,
+    )
+
+    def run():
+        q = idx.ingest_stream(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            ).parquet(src),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert idx.read_index().count() == 10
+    spark.createDataFrame(rows(range(10, 18)), "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert idx.read_index().count() == 18
+    assert idx.read_index().select("vec_id").distinct().count() == 18
+    q = spark.createDataFrame(rows(range(2)), "vec_id long, embedding array<float>")
+    got = idx.search(q, k=2, nprobe=4)
+    exact = brute_force_knn(
+        spark.createDataFrame(rows(range(18)), "vec_id long, embedding array<float>"),
+        q, k=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))

@@ -72,7 +72,7 @@ def format_line(
 ARM_MODES = {
     "e01_dedup_exact": ["exact", "spans", "ranges"],
     "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
-    "e09_token_stats": ["tok", "bpe"],
+    "e09_token_stats": ["tok", "bpe", "abpe"],
     "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq"],
     "e27_decontamination": ["exact", "coarse"],
 }

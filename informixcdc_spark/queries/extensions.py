@@ -611,7 +611,7 @@ _E09_MERGES = [("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "ab")]
            CAST(NULL AS VARCHAR) AS segmented
     FROM documents
     UNION ALL
-    SELECT 'bpe' AS mode, doc_id,
+    SELECT mode, doc_id,
            CAST(n1 // 2 + n1 % 2 + r1 + 1 + k2 + r3 + 1 AS INT) AS n_tokens,
            CAST(NULL AS INT) AS total_token_chars,
            CAST(NULL AS DOUBLE) AS mean_token_len,
@@ -626,7 +626,7 @@ _E09_MERGES = [("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "ab")]
                (doc_id % 9 + 1) // 2 AS n1, (doc_id % 9 + 1) % 2 AS r1,
                (doc_id % 5 + 1) // 2 AS k2, (doc_id % 5 + 1) % 2 AS r3
         FROM documents
-    )
+    ), (SELECT unnest(['bpe', 'abpe']) AS mode)
     """,
 )
 def e09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,17 +667,29 @@ def e09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat(F.lit("ab"), (i % 5 + 1).cast("int")),
         ).alias("text"),
     )
-    bpe_arm = bpe_encode(synth, "doc_id", "text", _E09_MERGES).select(
-        F.lit("bpe").alias("mode"),
-        "doc_id",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.lit(None).cast("int").alias("total_token_chars"),
-        F.lit(None).cast("double").alias("mean_token_len"),
-        F.lit(None).cast("int").alias("n_pieces"),
-        F.lit(None).cast("int").alias("n_word_pieces"),
-        F.array_join("tokens", " ").alias("segmented"),
+    def _bpe_arm(mode: str, encoded: DataFrame) -> DataFrame:
+        return encoded.select(
+            F.lit(mode).alias("mode"),
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.lit(None).cast("int").alias("total_token_chars"),
+            F.lit(None).cast("double").alias("mean_token_len"),
+            F.lit(None).cast("int").alias("n_pieces"),
+            F.lit(None).cast("int").alias("n_word_pieces"),
+            F.array_join("tokens", " ").alias("segmented"),
+        )
+
+    bpe_arm = _bpe_arm("bpe", bpe_encode(synth, "doc_id", "text", _E09_MERGES))
+    # abpe arm: the PRODUCTION rank-priority Arrow encoder over the same
+    # fixture and merge list — both encoders get a driver verdict against
+    # the same closed-form segmentation (their agreement is also
+    # property-tested; here each is independently graded)
+    from informixcdc_spark.operators.bpe import bpe_encode_arrow
+
+    abpe_arm = _bpe_arm(
+        "abpe", bpe_encode_arrow(synth, "doc_id", "text", _E09_MERGES)
     )
-    return tok_arm.unionByName(bpe_arm)
+    return tok_arm.unionByName(bpe_arm).unionByName(abpe_arm)
 
 
 # ---------------------------------------------------------------------------

@@ -533,7 +533,11 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
     full-vector index's job) and :meth:`retrain` raises — codes are
     not invertible, so refreshing the quantizers means re-encoding
     from the source vectors, which the index deliberately does not
-    keep.
+    keep. Both quantizers PERSIST with the index (the coarse codebook
+    in the state pointer, the books under the ``pq-books`` store doc),
+    so constructing with NEITHER resumes them from the store — stored
+    codes can never be paired with the wrong codebooks across a
+    restart.
 
     Per batch: ONE broadcast cell assignment (inherited — its winning
     cosine still feeds :meth:`drift`), then the zero-exchange
@@ -550,15 +554,38 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
     protocol unchanged.
     """
 
+    #: doc-channel name under which the PQ books persist with the index
+    BOOKS_DOC = "pq-books"
+
     def __init__(self, *args, books=None, **kwargs):
-        if books is None:
-            raise ValueError("IncrementalPqAnnIndex requires trained PQ books")
-        if kwargs.get("codebook") is None:
+        if books is None and kwargs.get("codebook") is None:
+            # resume path: both quantizers reload from the index's own
+            # store (they were persisted when the index was created) —
+            # a resumed reader/writer can NEVER pair the stored codes
+            # with the wrong codebooks
+            pass
+        elif books is None or kwargs.get("codebook") is None:
             raise ValueError(
-                "IncrementalPqAnnIndex requires a pretrained coarse codebook "
-                "(both quantizers train offline in the IVFPQ shape)"
+                "IncrementalPqAnnIndex takes BOTH quantizers (pretrained "
+                "coarse codebook + PQ books — the offline-training IVFPQ "
+                "shape), or NEITHER to resume them from the store"
             )
         super().__init__(*args, **kwargs)
+        if books is None:
+            doc = self.store.read_doc(self.BOOKS_DOC)
+            if doc is None:
+                raise ValueError(
+                    "no persisted PQ books at this store — pass books= "
+                    "and codebook= to create the index"
+                )
+            books = doc["books"]
+            st = self.read_state()
+            if st["codebook"] is None:
+                raise ValueError(
+                    "persisted books found but no committed codebook — "
+                    "the index was never written to; pass both quantizers"
+                )
+            self.initial_codebook = None  # state already carries it
         self.books = [
             {
                 "lo": int(b["lo"]),
@@ -569,6 +596,16 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
             }
             for b in books
         ]
+        # persist for resume (idempotent: JSON round-trips lists)
+        as_doc = {
+            "books": [
+                {"lo": b["lo"], "hi": b["hi"],
+                 "centroids": [[c, v] for c, v in b["centroids"]]}
+                for b in self.books
+            ]
+        }
+        if self.store.read_doc(self.BOOKS_DOC) != as_doc:
+            self.store.write_doc(self.BOOKS_DOC, as_doc)
 
     # -- overrides: code-valued segments ----------------------------------------
     def _assign(self, batch_df: DataFrame, codebook) -> DataFrame:

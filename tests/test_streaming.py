@@ -2021,3 +2021,47 @@ def test_incremental_pq_ann_ingest_stream_kill_resume(spark, tmp_path):
         q, k=2,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_incremental_pq_ann_quantizer_resume(spark, tmp_path):
+    """Both quantizers persist with the index: a fresh instance over the
+    same store constructed with NEITHER resumes coarse codebook + PQ
+    books and searches identically; mismatched construction (only one
+    quantizer) and resume-from-empty both refuse."""
+    from informixcdc_spark.operators.streaming_ann import IncrementalPqAnnIndex
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, [2.0 if d == i % 4 else 0.0 for d in range(4)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    coarse = [[c, [1.0 if d == c else 0.0 for d in range(4)]] for c in range(4)]
+    books = [
+        {"lo": 0, "hi": 4,
+         "centroids": [(c, [2.0 if d == c else 0.0 for d in range(4)]) for c in range(4)]},
+    ]
+    idx = IncrementalPqAnnIndex(
+        spark, str(tmp_path / "pq"), n_centroids=4,
+        codebook=coarse, books=books,
+    )
+    idx.process_batch(batch(range(12)), 0)
+    want = sorted(map(tuple, idx.search(batch(range(2)), k=2, nprobe=4).collect()))
+
+    resumed = IncrementalPqAnnIndex(spark, str(tmp_path / "pq"))
+    assert resumed.books == idx.books
+    resumed.process_batch(batch(range(12, 16)), 1)  # appends still encode right
+    assert resumed.read_index().count() == 16
+    got = sorted(map(tuple, resumed.search(batch(range(2)), k=2, nprobe=4).collect()))
+    # the appended ids (12-15) tie at cosine 1.0 but lose the
+    # neighbor_id tiebreak to the smaller first-batch ids, so the top-2
+    # under the RESUMED quantizers must equal the pre-append result —
+    # any codebook mispairing would corrupt the scores and change it
+    assert got == want
+
+    with pytest.raises(ValueError):
+        IncrementalPqAnnIndex(spark, str(tmp_path / "pq2"), books=books)
+    with pytest.raises(ValueError):
+        IncrementalPqAnnIndex(spark, str(tmp_path / "pq3"), codebook=coarse)
+    with pytest.raises(ValueError):
+        IncrementalPqAnnIndex(spark, str(tmp_path / "pq4"))  # nothing stored

@@ -570,6 +570,12 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
                 "coarse codebook + PQ books — the offline-training IVFPQ "
                 "shape), or NEITHER to resume them from the store"
             )
+        if kwargs.get("retrain_on_drift") is not None:
+            raise ValueError(
+                "retrain_on_drift is not supported on the PQ index — codes "
+                "are not invertible, so retraining needs the source "
+                "vectors; monitor drift() and rebuild externally"
+            )
         super().__init__(*args, **kwargs)
         if books is None:
             doc = self.store.read_doc(self.BOOKS_DOC)

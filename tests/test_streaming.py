@@ -2065,3 +2065,15 @@ def test_incremental_pq_ann_quantizer_resume(spark, tmp_path):
         IncrementalPqAnnIndex(spark, str(tmp_path / "pq3"), codebook=coarse)
     with pytest.raises(ValueError):
         IncrementalPqAnnIndex(spark, str(tmp_path / "pq4"))  # nothing stored
+
+
+def test_incremental_pq_ann_refuses_retrain_on_drift(spark, tmp_path):
+    from informixcdc_spark.operators.streaming_ann import IncrementalPqAnnIndex
+
+    coarse = [[0, [1.0, 0.0]], [1, [0.0, 1.0]]]
+    books = [{"lo": 0, "hi": 2, "centroids": [(0, [1.0, 0.0]), (1, [0.0, 1.0])]}]
+    with pytest.raises(ValueError, match="retrain_on_drift"):
+        IncrementalPqAnnIndex(
+            spark, str(tmp_path / "pq"), codebook=coarse, books=books,
+            retrain_on_drift=0.1,
+        )

@@ -615,12 +615,17 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
 
     # -- overrides: code-valued segments ----------------------------------------
     def _assign(self, batch_df: DataFrame, codebook) -> DataFrame:
-        from informixcdc_spark.operators.quantization import pq_encode
+        # Arrow encoder, not the plan-time literal fold: a micro-batch
+        # re-pays the literal tree's plan build + codegen EVERY batch
+        # over a few hundred rows, where the numpy argmin costs one
+        # Arrow round-trip (~5x faster per batch, measured in
+        # STREAMBENCH's ann_index axis; the one-big-scan batch path
+        # keeps the literal fold for whole-stage codegen). Same codes:
+        # the two encoders are property-pinned equal.
+        from informixcdc_spark.operators.quantization import pq_encode_arrow
 
         assigned = super()._assign(batch_df, codebook)
-        # encode fuses into the assignment projection: codebooks are
-        # plan-time literals, so this adds NO exchange and no join
-        return pq_encode(
+        return pq_encode_arrow(
             assigned, self.books, id_col=self.id_col, vec_col=self.vec_col,
             keep_cols=("cell", "_fit"),
         )

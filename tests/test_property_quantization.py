@@ -122,3 +122,61 @@ def test_adc_bit_equals_brute_force_when_reconstruction_exact(
         else:
             # integer doubles: subspace-partial fold == full fold exactly
             assert g[3] == w[3], (g, w)
+
+
+@settings(
+    max_examples=12,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-9, max_value=9), min_size=7, max_size=7
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    pal0=_PALETTE,
+    pal1=st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4), min_size=4, max_size=4
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=tuple,
+    ),
+)
+def test_arrow_encoder_matches_literal_fold(spark, vecs, pal0, pal1):
+    """The Arrow (numpy argmin) encoder must emit exactly the literal
+    fold's codes — including tiebreaks (first minimum = lowest code id)
+    — on arbitrary integer corpora (integer doubles make both distance
+    sums exact, so equality is deterministic, ties included)."""
+    from informixcdc_spark.operators.quantization import (
+        pq_encode,
+        pq_encode_arrow,
+    )
+
+    books = [
+        {
+            "lo": lo,
+            "hi": hi,
+            "centroids": [
+                (c, [float(x) for x in v]) for c, v in enumerate(pal)
+            ],
+        }
+        for (lo, hi), pal in zip(_SPLITS, [pal0, pal1])
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows + [(len(rows), None)],  # null vector -> null codes, both paths
+        "vec_id long, embedding array<float>",
+    )
+    lit = {
+        r["vec_id"]: r["codes"] for r in pq_encode(df, books).collect()
+    }
+    arr = {
+        r["vec_id"]: r["codes"] for r in pq_encode_arrow(df, books).collect()
+    }
+    assert lit == arr, (lit, arr)

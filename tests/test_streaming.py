@@ -951,7 +951,9 @@ def test_dedup_probe_partition_prunes(spark, tmp_path):
     the per-batch index I/O is O(touched buckets), not O(index)."""
     from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 
-    idx = IncrementalDedupIndex(spark, str(tmp_path / "index"), n_buckets=16)
+    idx = IncrementalDedupIndex(
+        spark, str(tmp_path / "index"), n_buckets=16, min_bucket_rows=0
+    )
     docs = spark.createDataFrame(
         [(i, f"document {i} words w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(40)],
         "doc_id long, text string",
@@ -983,7 +985,9 @@ def test_dedup_index_migrates_unbucketed_segments(spark, tmp_path):
     def doc(i):
         return f"document number {i} unique words u{i}a u{i}b u{i}c u{i}d"
 
-    idx = IncrementalDedupIndex(spark, str(tmp_path / "index"), n_buckets=8)
+    idx = IncrementalDedupIndex(
+        spark, str(tmp_path / "index"), n_buckets=8, min_bucket_rows=0
+    )
     idx.process_batch(
         spark.createDataFrame(
             [(i, doc(i)) for i in range(1, 5)], "doc_id long, text string"
@@ -2077,3 +2081,87 @@ def test_incremental_pq_ann_refuses_retrain_on_drift(spark, tmp_path):
             spark, str(tmp_path / "pq"), codebook=coarse, books=books,
             retrain_on_drift=0.1,
         )
+
+
+def test_dedup_index_probe_is_read_only(spark, tmp_path):
+    """probe() returns exactly the verdicts process_batch would emit —
+    within-batch collapse AND cross-index hits — while leaving state,
+    segments and dups untouched; ingesting the same batch afterwards
+    produces identical verdicts."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(i):
+        return f"document number {i} unique words u{i}a u{i}b u{i}c u{i}d"
+
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "index"), n_buckets=8)
+    idx.process_batch(
+        spark.createDataFrame(
+            [(i, doc(i)) for i in range(1, 5)], "doc_id long, text string"
+        ),
+        0,
+    )
+    st = idx.read_state()
+
+    batch = spark.createDataFrame(
+        [(10, doc(2)), (11, doc(11)), (12, doc(11))],
+        "doc_id long, text string",
+    )
+    verdicts = {r["doc_id"]: r["dup_of"] for r in idx.probe(batch).collect()}
+    assert verdicts == {10: 2, 12: 11}  # cross-index hit + intra collapse
+    assert idx.read_state() == st  # nothing moved
+    assert not idx.store.exists("dups", "v1")
+    assert not idx.store.exists("bands", "v1")
+
+    idx.process_batch(batch, 1)  # the real ingest agrees with the probe
+    got = {r["doc_id"]: r["dup_of"] for r in idx.read_dups(1).collect()}
+    assert got == verdicts
+
+
+def test_dedup_index_size_adaptive_layout(spark, tmp_path):
+    """Segments below min_bucket_rows write FLAT (no bucket dirs, no
+    segment_buckets entry — a tiny segment scans whole for less than
+    the bucketed write costs); compaction graduates the merged run to
+    the bucketed layout once it crosses the threshold. Verdicts are
+    identical throughout."""
+    from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
+
+    def doc(i):
+        return f"document number {i} unique words u{i}a u{i}b u{i}c u{i}d"
+
+    # threshold between one batch's band rows (4 docs x 4 bands = 16)
+    # and two batches' merged rows (9 docs x 4 bands = 36)
+    idx = IncrementalDedupIndex(
+        spark, str(tmp_path / "ix"), n_buckets=8, min_bucket_rows=24,
+        auto_compact_segments=None,
+    )
+    idx.process_batch(
+        spark.createDataFrame(
+            [(i, doc(i)) for i in range(1, 5)], "doc_id long, text string"
+        ),
+        0,
+    )
+    st = idx.read_state()
+    assert st["segment_buckets"] == {}  # flat: below threshold
+    seg0 = spark.read.parquet(idx.store.path("bands", "v0"))
+    assert "_bkt" not in seg0.columns
+
+    idx.process_batch(
+        spark.createDataFrame(
+            [(i, doc(i)) for i in range(5, 10)] + [(20, doc(2))],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(1).collect()} == {20: 2}
+    assert idx.read_state()["segment_buckets"] == {}  # still flat
+
+    idx.compact()  # merged run (36 band rows) crosses the threshold
+    st = idx.read_state()
+    name = str(st["segments"][0])
+    assert st["segment_buckets"] == {name: 8}  # graduated to bucketed
+    seg = spark.read.parquet(idx.store.path("bands", f"v{name}"))
+    assert "_bkt" in seg.columns  # partition dirs present
+    idx.process_batch(
+        spark.createDataFrame([(30, doc(7))], "doc_id long, text string"), 2
+    )
+    assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(2).collect()} == {30: 7}

@@ -766,3 +766,54 @@ def duplicate_span_ranges(
     """
     wins, dup_hashes, _ = duplicate_span_census(df, id_col, text_col, window)
     return ranges_from_census(wins, dup_hashes, id_col, window)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet §4.1 "removing duplicated
+    lines"; RefinedWeb/Falcon runs the same pass before MinHash): a
+    line is kept only at its FIRST occurrence across the whole corpus
+    (smallest ``(id, pos)``) — every later copy (boilerplate headers,
+    footers, cookie banners, repeated paragraphs) is dropped, and each
+    document is reassembled from its surviving lines in order.
+
+    Scale shape: exactly two shuffles — one hash-partition on the line
+    value for the first-occurrence window (map-side nothing to combine,
+    but each line group is tiny), one on the doc id for reassembly.
+    The line text itself is the shuffle key here so the DuckDB oracle
+    is exact; at 100 TB you'd prepend ``xxhash64(line)`` as the
+    partition key (same plan, 8-byte keys) and keep the raw line only
+    for the in-group tiebreak.
+
+    Returns one row per document:
+    ``(id, clean_text, n_kept, n_dropped)`` — ``clean_text`` is ''
+    when every line of the document was dropped.
+    """
+    from pyspark.sql import Window
+
+    lines = rebalance(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    flagged = lines.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+        .cast("int")
+        .alias("n_dropped"),
+    )

@@ -569,3 +569,65 @@ def ivf_knn_multiprobe(
             F.col("cell").cast("long").alias("cell"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bounded
+    semantic deduplication over an embedding column.
+
+    The quadratic pairwise-cosine comparison is bounded to WITHIN each
+    cluster: :func:`assign_cells` broadcasts the (tiny, trained)
+    codebook so the corpus picks its cell in one pass, then the only
+    shuffle is the cell equi-self-join — at 100 TB the cluster count
+    scales with the corpus (SemDeDup uses ~100k clusters for LAION),
+    keeping every join partition small while the cross-cluster pair
+    space (the overwhelming majority of the quadratic) is never
+    materialized.
+
+    Drop rule: a vector is a duplicate iff some LOWER-id cluster-mate
+    has cosine >= threshold; ``dup_of`` is the smallest such id. This
+    keep-min-id rule is SemDeDup's keep-one-representative semantics
+    made deterministic (the paper keeps the member farthest from the
+    centroid; any fixed tiebreak preserves the dedup guarantee), and it
+    needs no chaining/transitive closure — EXISTS is one aggregation.
+    For connected-component semantics use
+    :func:`informixcdc_spark.operators.dedup.dedup_clusters_star`.
+
+    Returns one row per input vector:
+    ``(id, cell, is_kept, dup_of)`` — ``dup_of`` null on kept rows.
+    """
+    assigned = assign_cells(corpus, centroids, id_col, vec_col).persist()
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"), "cell",
+    )
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("_idb") < F.col("_ida"))
+        .where(cos >= threshold)
+        .groupBy(F.col("_ida").alias(id_col))
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )

@@ -102,8 +102,18 @@ def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its 8-token windows also occur in another document of the perturbed
 # corpus; the oracle recomputes the window census in SQL (md5 of the
 # space-joined slice — engine-exact).
+# Round-7 'lines' arm: corpus-level LINE dedup (CCNet §4.1 / RefinedWeb
+# boilerplate removal) — docs are recut into 6-word lines wrapped in a
+# shared header/footer (the boilerplate every crawler page carries), a
+# line survives only at its first (doc_id, pos) occurrence corpus-wide,
+# and each doc is reassembled from its survivors; graded as
+# (n_kept, n_dropped, md5(clean_text)) per doc, the reassembly checksum
+# making the order-sensitive concat part of the verdict.
 # ---------------------------------------------------------------------------
 _SPAN_W = 8
+_LINE_W = 6
+_LINE_HDR = "subscribe to our newsletter"
+_LINE_FTR = "copyright footer all rights reserved"
 
 
 @register(
@@ -113,7 +123,10 @@ _SPAN_W = 8
            CAST(NULL AS BIGINT) AS dup_windows,
            CAST(NULL AS BIGINT) AS total_windows,
            CAST(NULL AS BIGINT) AS span_start,
-           CAST(NULL AS BIGINT) AS span_end
+           CAST(NULL AS BIGINT) AS span_end,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS n_dropped,
+           CAST(NULL AS VARCHAR) AS clean_md5
     FROM (
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM (SELECT doc_id, text FROM documents
@@ -125,7 +138,10 @@ _SPAN_W = 8
     SELECT 'spans' AS mode, doc_id, CAST(NULL AS BIGINT) AS n_copies,
            dup_windows, total_windows,
            CAST(NULL AS BIGINT) AS span_start,
-           CAST(NULL AS BIGINT) AS span_end
+           CAST(NULL AS BIGINT) AS span_end,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS n_dropped,
+           CAST(NULL AS VARCHAR) AS clean_md5
     FROM (
         WITH corpus AS ({_SQL_CORPUS}),
         tk AS (SELECT doc_id, {_SQL_TOK} AS tok FROM corpus),
@@ -149,7 +165,10 @@ _SPAN_W = 8
     SELECT 'ranges' AS mode, doc_id, CAST(NULL AS BIGINT) AS n_copies,
            CAST(NULL AS BIGINT) AS dup_windows,
            CAST(NULL AS BIGINT) AS total_windows,
-           span_start, span_end
+           span_start, span_end,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS n_dropped,
+           CAST(NULL AS VARCHAR) AS clean_md5
     FROM (
         WITH corpus AS ({_SQL_CORPUS}),
         tk AS (SELECT doc_id, {_SQL_TOK} AS tok FROM corpus),
@@ -173,6 +192,52 @@ _SPAN_W = 8
                CAST(MAX(i) + {_SPAN_W - 1} AS BIGINT) AS span_end
         FROM grp GROUP BY doc_id, g
     )
+    UNION ALL
+    SELECT 'lines' AS mode, doc_id, CAST(NULL AS BIGINT) AS n_copies,
+           CAST(NULL AS BIGINT) AS dup_windows,
+           CAST(NULL AS BIGINT) AS total_windows,
+           CAST(NULL AS BIGINT) AS span_start,
+           CAST(NULL AS BIGINT) AS span_end,
+           n_kept, n_dropped, clean_md5
+    FROM (
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        docs2 AS (
+            SELECT doc_id,
+                   '{_LINE_HDR}' || chr(10) ||
+                   array_to_string(
+                       [array_to_string(
+                            ws[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ')
+                        for i in generate_series(
+                            0, CAST(ceil(len(ws)/{_LINE_W}.0) AS INT) - 1)],
+                       chr(10))
+                   || chr(10) || '{_LINE_FTR}' AS text
+            FROM w
+        ),
+        occ AS (
+            SELECT doc_id, u['pos'] AS pos, u['line'] AS line
+            FROM docs2,
+                 unnest([{{'pos': i,
+                           'line': string_split(text, chr(10))[i]}}
+                         for i in generate_series(
+                             1, len(string_split(text, chr(10))))]) AS t(u)
+        ),
+        flagged AS (
+            SELECT doc_id, pos, line,
+                   ROW_NUMBER() OVER (PARTITION BY line
+                                      ORDER BY doc_id, pos) AS rn
+            FROM occ
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped,
+               md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       chr(10) ORDER BY pos), ''))
+                   AS clean_md5
+        FROM flagged GROUP BY doc_id
+    )
     """,
 )
 def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +248,7 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup_corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -195,6 +261,9 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("total_windows"),
         null_l.alias("span_start"),
         null_l.alias("span_end"),
+        null_l.alias("n_kept"),
+        null_l.alias("n_dropped"),
+        null_s.alias("clean_md5"),
     )
     # ONE window-hash census feeds both span arms (tokenize + hash +
     # census groupBy run once; the arms differ only in their join-back)
@@ -210,6 +279,9 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_windows",
         null_l.alias("span_start"),
         null_l.alias("span_end"),
+        null_l.alias("n_kept"),
+        null_l.alias("n_dropped"),
+        null_s.alias("clean_md5"),
     )
     # the actionable output: merged removable token ranges (what the
     # Lee et al. pipeline cuts); oracle restates the island grouping
@@ -221,8 +293,48 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("total_windows"),
         "span_start",
         "span_end",
+        null_l.alias("n_kept"),
+        null_l.alias("n_dropped"),
+        null_s.alias("clean_md5"),
     )
-    return exact.unionByName(spans).unionByName(ranges)
+    # lines arm: recut each doc into 6-word lines wrapped in shared
+    # header/footer boilerplate (same expression as the oracle), then
+    # corpus-wide first-occurrence line dedup + ordered reassembly
+    from informixcdc_spark.operators.dedup import line_dedup
+
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(_LINE_W))).cast("int")
+    lined_text = F.concat_ws(
+        "\n",
+        F.lit(_LINE_HDR),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(ws, i * _LINE_W + 1, _LINE_W), " "
+                ),
+            ),
+            "\n",
+        ),
+        F.lit(_LINE_FTR),
+    )
+    lines = line_dedup(
+        docs.select("doc_id", lined_text.alias("text")), "doc_id", "text"
+    ).select(
+        F.lit("lines").alias("mode"),
+        "doc_id",
+        null_l.alias("n_copies"),
+        null_l.alias("dup_windows"),
+        null_l.alias("total_windows"),
+        null_l.alias("span_start"),
+        null_l.alias("span_end"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+    return (
+        exact.unionByName(spans).unionByName(ranges).unionByName(lines)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -889,7 +1001,16 @@ def e11_lang_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e12 — embedding-cosine near-duplicate pairs via LSH buckets. The
 # corpus is augmented with scaled copies (cosine exactly ~1, same
 # bucket by construction) so the detector has true positives.
+# Round-7 'semdedup' arm: SemDeDup (Abbas et al. 2023) — the SAME
+# corpus assigned to 8 one-hot-axis clusters (the trained-codebook
+# stand-in; assignment broadcast, never a corpus shuffle), pairwise
+# cosine bounded to WITHIN each cluster, drop to the min qualifying
+# lower id. The 'lsh' arm grades pair DETECTION; 'semdedup' grades the
+# per-vector keep/drop VERDICT the curation pipeline acts on.
 # ---------------------------------------------------------------------------
+_SEMDEDUP_CELLS = 8
+
+
 @register(
     "e12_embedding_near_dups",
     oracle=f"""
@@ -903,14 +1024,59 @@ def e11_lang_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT vec_id, embedding,
                  CAST({_sql_bucket("embedding")} AS INT) AS bucket
           FROM corpus)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_sql_cosine("a.embedding", "b.embedding")} AS cosine
+    SELECT 'lsh' AS mode, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine("a.embedding", "b.embedding")} AS cosine,
+           CAST(NULL AS BIGINT) AS cell,
+           CAST(NULL AS BOOLEAN) AS is_kept
     FROM v a JOIN v b USING (bucket)
     WHERE a.vec_id < b.vec_id
       AND {_sql_cosine("a.embedding", "b.embedding")} >= 0.95
+    UNION ALL
+    SELECT 'semdedup' AS mode, id_a, id_b,
+           CAST(NULL AS DOUBLE) AS cosine, cell, is_kept
+    FROM (
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   [(e::DOUBLE * 1.001)::FLOAT for e in embedding]
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT cid,
+                   [CASE WHEN d = cid THEN 1.0::FLOAT ELSE 0.0::FLOAT END
+                    for d in generate_series(0, 63)] AS cvec
+            FROM (SELECT unnest(generate_series(0, {_SEMDEDUP_CELLS - 1}))
+                      AS cid)
+        ),
+        scored AS (
+            SELECT vec_id, embedding, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {_sql_cosine("embedding", "cvec")} DESC, cid
+                   ) AS rn
+            FROM corpus CROSS JOIN cent
+        ),
+        cells AS (SELECT vec_id, embedding, cid AS cell
+                  FROM scored WHERE rn = 1),
+        dups AS (
+            SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+            FROM cells a JOIN cells b USING (cell)
+            WHERE b.vec_id < a.vec_id
+              AND {_sql_cosine("a.embedding", "b.embedding")} >= 0.95
+            GROUP BY a.vec_id
+        )
+        SELECT c.vec_id AS id_a, d.dup_of AS id_b,
+               CAST(c.cell AS BIGINT) AS cell,
+               d.dup_of IS NULL AS is_kept
+        FROM cells c LEFT JOIN dups d USING (vec_id)
+    )
     """,
 )
 def e12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from informixcdc_spark.operators.similarity import semantic_dedup
+
+    null_l = F.lit(None).cast("long")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -918,7 +1084,28 @@ def e12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"), lambda e: (e.cast("double") * 1.001).cast("float")
         ).alias("embedding"),
     )
-    return embedding_near_dups(emb.unionByName(copies), threshold=0.95)
+    corpus = emb.unionByName(copies)
+    lsh = embedding_near_dups(corpus, threshold=0.95).select(
+        F.lit("lsh").alias("mode"),
+        "id_a",
+        "id_b",
+        "cosine",
+        null_l.alias("cell"),
+        F.lit(None).cast("boolean").alias("is_kept"),
+    )
+    axes = [
+        (c, [1.0 if d == c else 0.0 for d in range(64)])
+        for c in range(_SEMDEDUP_CELLS)
+    ]
+    sem = semantic_dedup(corpus, axes, threshold=0.95).select(
+        F.lit("semdedup").alias("mode"),
+        F.col("vec_id").alias("id_a"),
+        F.col("dup_of").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        "cell",
+        "is_kept",
+    )
+    return lsh.unionByName(sem)
 
 
 # ---------------------------------------------------------------------------

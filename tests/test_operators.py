@@ -1382,3 +1382,56 @@ def test_bpe_early_stop_and_empty(spark):
     df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     assert bpe_train(df, "text", n_merges=5, min_freq=2) == []
     assert len(bpe_train(df, "text", n_merges=2, min_freq=1)) == 2
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    """CCNet-style corpus line dedup: a line survives only at its
+    smallest (doc_id, pos); docs reassemble from survivors in order;
+    counts split kept/dropped; a doc can lose everything."""
+    from informixcdc_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "header\nalpha beta\nfooter"),
+            (1, "header\ngamma delta\nfooter"),
+            (2, "header\nfooter"),  # loses every line
+            (3, "solo\nsolo\nsolo"),  # intra-doc dups collapse too
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[0]["clean_text"] == "header\nalpha beta\nfooter"
+    assert (got[0]["n_kept"], got[0]["n_dropped"]) == (3, 0)
+    assert got[1]["clean_text"] == "gamma delta"
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (1, 2)
+    assert got[2]["clean_text"] == ""
+    assert (got[2]["n_kept"], got[2]["n_dropped"]) == (0, 2)
+    assert got[3]["clean_text"] == "solo"
+    assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
+
+
+def test_semantic_dedup_cluster_bounded_verdicts(spark):
+    """SemDeDup: copies land in their original's cluster and drop to
+    the min qualifying lower id; cross-cluster near-identity is NEVER
+    compared (the bounding that kills the quadratic at scale)."""
+    from informixcdc_spark.operators.similarity import semantic_dedup
+
+    # vectors 0..3 on axes 0..3; 100..103 scaled copies of 0..3; 200 a
+    # second axis-0 vector BELOW threshold vs 0 (orthogonal-ish mix)
+    rows = [(i, [2.0 if d == i % 4 else 0.0 for d in range(4)]) for i in range(4)]
+    rows += [
+        (100 + i, [2.002 if d == i else 0.0 for d in range(4)]) for i in range(4)
+    ]
+    rows.append((200, [1.0, 0.0, 0.9, 0.0]))  # cell 0, cos(v0)=~0.74
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    axes = [(c, [1.0 if d == c else 0.0 for d in range(4)]) for c in range(4)]
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, axes, threshold=0.95).collect()
+    }
+    assert len(got) == 9
+    for i in range(4):
+        assert got[i]["is_kept"] and got[i]["dup_of"] is None
+        assert got[100 + i]["cell"] == i
+        assert not got[100 + i]["is_kept"] and got[100 + i]["dup_of"] == i
+    assert got[200]["cell"] == 0 and got[200]["is_kept"]  # below threshold

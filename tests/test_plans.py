@@ -372,3 +372,47 @@ def test_bpe_pair_count_is_partial_then_final(spark):
     aggs = [i for i in range(len(tree)) if tree.startswith("HashAggregate", i)]
     assert len(aggs) == 2, plan
     assert aggs[0] < tree.index("Exchange") < aggs[1], plan
+
+
+def test_line_dedup_two_shuffles_partial_final(spark):
+    """Corpus line dedup is exactly two hash shuffles: one on the line
+    value (first-occurrence window), one on the doc id (reassembly) —
+    with the reassembly agg map-side partial. No join, no cartesian;
+    anything more would not survive 100 TB of exploded lines."""
+    from informixcdc_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b\nc d"), (1, "a b\nx y")], "doc_id long, text string"
+    )
+    plan = formatted_plan(line_dedup(docs))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "CartesianProduct" not in tree, plan
+    # two hash shuffles (an optional round-robin rebalance may precede)
+    assert plan.count("hashpartitioning(") == 2, plan
+    # reassembly aggregate is partial-then-final around its Exchange
+    aggs = [
+        i for i in range(len(tree)) if tree.startswith("ObjectHashAggregate", i)
+    ]
+    assert len(aggs) == 2, plan
+
+
+def test_semantic_dedup_broadcasts_codebook_bounds_pairs(spark):
+    """SemDeDup's scale contract: centroid assignment reaches the
+    corpus via BROADCAST (never a corpus shuffle to meet the codebook),
+    and the pairwise stage is an equi-join on the cell — the plan holds
+    no cartesian between the two corpus copies."""
+    from informixcdc_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4 == d) for d in range(4)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    axes = [(c, [1.0 if d == c else 0.0 for d in range(4)]) for c in range(4)]
+    plan = formatted_plan(semantic_dedup(emb, axes, threshold=0.9))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # codebook side
+    assert "CartesianProduct" not in plan, plan
+    # the pair stage joins on the cell: an equi-join (hash-partitioned
+    # or broadcast under AQE), never an unkeyed product
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan

@@ -70,9 +70,10 @@ def format_line(
 #: BENCH_LOCAL.json. Kept honest by tests/test_queries.py::
 #: test_bench_arm_map_matches_registry.
 ARM_MODES = {
-    "e01_dedup_exact": ["exact", "spans", "ranges"],
+    "e01_dedup_exact": ["exact", "spans", "ranges", "lines"],
     "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
     "e09_token_stats": ["tok", "bpe", "abpe"],
+    "e12_embedding_near_dups": ["lsh", "semdedup"],
     "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq"],
     "e27_decontamination": ["exact", "coarse"],
 }

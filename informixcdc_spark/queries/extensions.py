@@ -33,6 +33,7 @@ from informixcdc_spark.operators.curation import (
     sql_zorder_key,
 )
 from informixcdc_spark.operators.multimodal import payload_metadata, to_binary_payload
+from informixcdc_spark.operators.retrieval import bm25_search, sql_contribution
 from informixcdc_spark.operators.similarity import (
     ann_knn,
     brute_force_knn,
@@ -608,6 +609,12 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+#: the e07 'bm25' arm's per-(query, doc, term) contribution — rendered
+#: by the operator module itself so the oracle inlines the IDENTICAL
+#: double literals and association order the Spark expression uses
+_SQL_BM25 = sql_contribution("n_docs", "avgdl")
+
+
 def _sql_bucket(v: str, n_planes: int = 4) -> str:
     bits = []
     for b in range(n_planes):
@@ -653,6 +660,33 @@ def _sql_bucket(v: str, n_planes: int = 4) -> str:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, neighbor_id) AS rnk
         FROM lscored
+    ),
+    -- bm25 arm: sparse lexical retrieval over documents (the dense
+    -- arms' inverted-index twin). Scores are DECIMAL(18,6) sums of
+    -- pinned-order double contributions (operators/retrieval.py), so
+    -- values AND ranks reproduce bit-for-bit.
+    bmt AS (SELECT doc_id, len({_SQL_TOK}) AS dl, unnest({_SQL_TOK}) AS term
+            FROM documents),
+    bmp AS (SELECT doc_id, term, dl, count(*) AS tf
+            FROM bmt GROUP BY doc_id, term, dl),
+    bmdf AS (SELECT term, count(*) AS df FROM bmp GROUP BY term),
+    bmstat AS (SELECT count(*) AS n_docs,
+                      CAST(SUM(len({_SQL_TOK})) AS DOUBLE) / count(*) AS avgdl
+               FROM documents),
+    bmq AS (SELECT DISTINCT doc_id AS query_id, term FROM bmt
+            WHERE doc_id < 5),
+    bmsc AS (
+        SELECT query_id, bmp.doc_id AS neighbor_id,
+               SUM(CAST({_SQL_BM25} AS DECIMAL(18,6))) AS sc
+        FROM bmp JOIN bmq USING (term) JOIN bmdf USING (term), bmstat
+        WHERE bmp.doc_id <> query_id
+        GROUP BY query_id, bmp.doc_id
+    ),
+    bmranked AS (
+        SELECT query_id, neighbor_id, sc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sc DESC, neighbor_id) AS rnk
+        FROM bmsc
     )
     SELECT 'exact' AS method, query_id, CAST(rnk AS INT) AS rank,
            neighbor_id, cosine, CAST(NULL AS INT) AS bucket
@@ -660,6 +694,10 @@ def _sql_bucket(v: str, n_planes: int = 4) -> str:
     UNION ALL
     SELECT 'lsh', query_id, CAST(rnk AS INT), neighbor_id, cosine, bucket
     FROM lranked WHERE rnk <= 3
+    UNION ALL
+    SELECT 'bm25', query_id, CAST(rnk AS INT), neighbor_id,
+           CAST(sc AS DOUBLE), CAST(NULL AS INT)
+    FROM bmranked WHERE rnk <= 5
     """,
 )
 def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,7 +723,21 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "bucket",
     )
-    return exact.unionByName(approx)
+    # bm25 arm: sparse lexical retrieval — the inverted-index twin of
+    # the dense arms, over the documents table (query docs retrieve
+    # their top-5 BM25 neighbors; scores ride in the score column)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sparse = bm25_search(
+        docs, docs.where(F.col("doc_id") < 5), k=5
+    ).select(
+        F.lit("bm25").alias("method"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.col("score").alias("cosine"),
+        F.lit(None).cast("int").alias("bucket"),
+    )
+    return exact.unionByName(approx).unionByName(sparse)
 
 
 # ---------------------------------------------------------------------------

@@ -1435,3 +1435,63 @@ def test_semantic_dedup_cluster_bounded_verdicts(spark):
         assert got[100 + i]["cell"] == i
         assert not got[100 + i]["is_kept"] and got[100 + i]["dup_of"] == i
     assert got[200]["cell"] == 0 and got[200]["is_kept"]  # below threshold
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """bm25_search reproduces a single-threaded textbook BM25 — scores
+    (decimal-exact), ranks, and tie-breaks — on a random small corpus."""
+    import math
+    import random
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from informixcdc_spark.operators.retrieval import B, K1, bm25_search
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in bm25_search(df, df.where(F.col("doc_id") < 3), k=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"])
+        )
+
+    tok = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    dfreq: Counter = Counter()
+    for ts in tok.values():
+        dfreq.update(set(ts))
+
+    def score(q: int, d: int) -> Decimal:
+        tf = Counter(tok[d])
+        dl = len(tok[d])
+        s = Decimal(0)
+        for term in set(tok[q]):
+            if term not in tf:
+                continue
+            idf = math.log(
+                1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5)
+            )
+            c = idf * (
+                (tf[term] * (K1 + 1.0))
+                / (tf[term] + K1 * ((1.0 - B) + B * (dl / avgdl)))
+            )
+            # Decimal(float) is the exact binary expansion — quantize it
+            # the way both engines cast double -> DECIMAL(18,6)
+            s += Decimal(c).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        return s
+
+    for q in range(3):
+        scored = sorted(
+            ((score(q, d), d) for d in tok if d != q and score(q, d) > 0),
+            key=lambda sd: (-sd[0], sd[1]),
+        )[:4]
+        want = [
+            (rank, d, float(s)) for rank, (s, d) in enumerate(scored, start=1)
+        ]
+        assert sorted(got[q]) == want, (q, sorted(got[q]), want)

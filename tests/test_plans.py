@@ -416,3 +416,22 @@ def test_semantic_dedup_broadcasts_codebook_bounds_pairs(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_bm25_probe_broadcasts_corpus_never_sort_merges(spark, sf_dir):
+    """BM25 search: the query-term probe table (small by construction)
+    reaches the corpus postings via broadcast — a sort-merge or shuffle
+    join there would exchange the corpus-sized posting list per query
+    batch. Postings build and scoring both map-side combine."""
+    from informixcdc_spark.operators.retrieval import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = bm25_search(docs, docs.where(F.col("doc_id") < 5), k=5)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, plan
+    assert "CartesianProduct" not in tree, plan
+    # df→probe join and probe→postings join are both broadcast
+    assert tree.count("BroadcastHashJoin") == 2, plan
+    # postings + docfreq + score aggregates all partial→final
+    assert plan.count("HashAggregate") >= 4, plan

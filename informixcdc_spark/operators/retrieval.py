@@ -173,8 +173,14 @@ def bm25_search(
     b: float = B,
 ) -> DataFrame:
     """End-to-end: index ``corpus`` and rank its top-k documents for
-    each query document's bag of distinct terms."""
-    postings = bm25_postings(corpus, id_col, text_col)
+    each query document's bag of distinct terms.
+
+    The postings feed both the probe join and the document-frequency
+    aggregate, so they are persisted — the in-query analog of
+    materializing the inverted index once, which is how a real corpus
+    serves many query batches without re-tokenizing 100 TB per batch.
+    """
+    postings = bm25_postings(corpus, id_col, text_col).persist()
     n_docs, avgdl = corpus_stats(corpus, text_col)
     qterms = (
         queries.select(

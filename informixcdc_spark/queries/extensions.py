@@ -688,7 +688,7 @@ def _sql_bucket(v: str, n_planes: int = 4) -> str:
                                   ORDER BY sc DESC, neighbor_id) AS rnk
         FROM bmsc
     )
-    SELECT 'exact' AS method, query_id, CAST(rnk AS INT) AS rank,
+    SELECT 'exact' AS mode, query_id, CAST(rnk AS INT) AS rank,
            neighbor_id, cosine, CAST(NULL AS INT) AS bucket
     FROM ranked WHERE rnk <= 5
     UNION ALL
@@ -708,7 +708,7 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = brute_force_knn(emb, queries, k=5).select(
-        F.lit("exact").alias("method"),
+        F.lit("exact").alias("mode"),
         "query_id",
         "rank",
         "neighbor_id",
@@ -716,7 +716,7 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("bucket"),
     )
     approx = ann_knn(emb, queries, k=3).select(
-        F.lit("lsh").alias("method"),
+        F.lit("lsh").alias("mode"),
         "query_id",
         "rank",
         "neighbor_id",
@@ -730,7 +730,7 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse = bm25_search(
         docs, docs.where(F.col("doc_id") < 5), k=5
     ).select(
-        F.lit("bm25").alias("method"),
+        F.lit("bm25").alias("mode"),
         "query_id",
         "rank",
         "neighbor_id",
@@ -1548,7 +1548,25 @@ def e19_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays unit-test-equivalent. Oracle: transitive closure via a recursive
 # CTE over the same pairs.
 # ---------------------------------------------------------------------------
+#: the e20 'pagerank' arm's deterministic synthetic link graph: two
+#: arithmetic out-links per document (mod corpus size, self-loops
+#: dropped) — a multigraph both engines derive identically from doc_id
+_SQL_PG_N = "(SELECT count(*) FROM documents)"
+_SQL_PG_EDGES = f"""
+        SELECT doc_id AS src, (doc_id * 7 + 3) % {_SQL_PG_N} AS dst
+        FROM documents WHERE (doc_id * 7 + 3) % {_SQL_PG_N} <> doc_id
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % {_SQL_PG_N}
+        FROM documents WHERE (doc_id * 13 + 5) % {_SQL_PG_N} <> doc_id
+"""
+
+
 def _sql_dedup_clusters() -> str:
+    from informixcdc_spark.operators.graph import sql_pagerank_ctes
+
+    pg_ctes, pg_final = sql_pagerank_ctes(
+        "SELECT doc_id AS node FROM documents", _SQL_PG_EDGES
+    )
     base = _SQL_BANDS_CTE.strip()
     assert base.upper().startswith("WITH")
     # re-head the bands query as a CTE chain and extend it with the
@@ -1570,14 +1588,20 @@ def _sql_dedup_clusters() -> str:
         SELECT doc_id, doc_id FROM corpus
         UNION
         SELECT p.dst, r.label FROM reach r JOIN pairs p ON p.src = r.id
-    )
-    SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    ),
+    {pg_ctes}
+    SELECT 'cc' AS mode, id AS doc_id, MIN(label) AS cluster_id,
+           CAST(NULL AS DOUBLE) AS rank
+    FROM reach GROUP BY id
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), r FROM {pg_final}
     """
 
 
 @register("e20_dedup_clusters", oracle=_sql_dedup_clusters())
 def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.dedup import dedup_clusters_star
+    from informixcdc_spark.operators.graph import pagerank
 
     corpus = _docs_corpus(spark, sf_dir)
     shingled = doc_shingles(corpus, "doc_id", "text")
@@ -1588,7 +1612,35 @@ def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
         minhash_bands(shingled, "doc_id"), "doc_id", star_cap=64
     )
-    return dedup_clusters_star(pairs, corpus.select("doc_id"), "doc_id")
+    cc = dedup_clusters_star(pairs, corpus.select("doc_id"), "doc_id").select(
+        F.lit("cc").alias("mode"),
+        "doc_id",
+        "cluster_id",
+        F.lit(None).cast("double").alias("rank"),
+    )
+    # pagerank arm: link-graph centrality over the deterministic
+    # synthetic multigraph (two arithmetic out-links per document, mod
+    # corpus size, self-loops dropped) — the iterative second member of
+    # the graph family next to cc's star contraction
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * m + c) % n).alias("dst"),
+        )
+        for m, c in ((7, 3), (13, 5))
+    ]
+    edges = out[0].unionByName(out[1]).where(F.col("src") != F.col("dst"))
+    pr = pagerank(
+        edges, docs.select(F.col("doc_id").alias("node")), n_nodes=n
+    ).select(
+        F.lit("pagerank").alias("mode"),
+        F.col("node").alias("doc_id"),
+        F.lit(None).cast("long").alias("cluster_id"),
+        "rank",
+    )
+    return cc.unionByName(pr)
 
 
 # ---------------------------------------------------------------------------

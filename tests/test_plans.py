@@ -435,3 +435,24 @@ def test_bm25_probe_broadcasts_corpus_never_sort_merges(spark, sf_dir):
     assert tree.count("BroadcastHashJoin") == 2, plan
     # postings + docfreq + score aggregates all partial→final
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_pagerank_edges_cached_no_cartesian(spark):
+    """PageRank: the edge table is partitioned+persisted ONCE (every
+    iteration reuses the layout via InMemoryTableScan), each inflow
+    aggregate map-side combines, and nothing is quadratic."""
+    from informixcdc_spark.operators.graph import pagerank
+
+    nodes = spark.range(100).select(F.col("id").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"), ((F.col("node") * 7 + 3) % 100).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    plan = formatted_plan(pagerank(edges, nodes, n_iter=3, n_nodes=100))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, plan
+    assert "BroadcastNestedLoopJoin" not in tree, plan
+    # one InMemoryTableScan per iteration join + per-degree build: the
+    # edge list is computed once, not re-derived per iteration
+    assert tree.count("InMemoryTableScan") >= 3, plan
+    # three per-iteration inflow aggregates, each partial->final
+    assert tree.count("HashAggregate") >= 6, plan

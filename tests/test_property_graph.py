@@ -117,3 +117,44 @@ def test_duplicate_spans_matches_bruteforce(spark):
         assert got == want, (docs, got, want)
 
     prop()
+
+
+@settings(
+    max_examples=10,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=_EDGES)
+def test_pagerank_matches_pure_python(spark, edges):
+    """pagerank reproduces the textbook synchronous power iteration —
+    decimal-exact inflow sums, dangling-mass loss, multigraph degrees —
+    on random (multi)graphs, bit-for-bit."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from informixcdc_spark.operators.graph import DAMPING, pagerank
+
+    edges = [(u, v) for u, v in edges if u != v]
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(_N_NODES)], "node long"
+    )
+    e = spark.createDataFrame(edges or [(0, 1)], "src long, dst long")
+    if not edges:
+        edges = [(0, 1)]
+    got = {r["node"]: r["rank"] for r in pagerank(e, nodes, n_iter=3).collect()}
+
+    base = (1.0 - DAMPING) / _N_NODES
+    r = {i: 1.0 / _N_NODES for i in range(_N_NODES)}
+    outdeg = Counter(u for u, _ in edges)
+    for _ in range(3):
+        inflow = {i: Decimal(0) for i in range(_N_NODES)}
+        for u, v in edges:
+            c = DAMPING * (r[u] / outdeg[u])
+            inflow[v] += Decimal(c).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
+        r = {i: base + float(inflow[i]) for i in range(_N_NODES)}
+    assert got == r

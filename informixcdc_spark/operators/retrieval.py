@@ -138,7 +138,7 @@ def bm25_topk(
     ``score`` the exact DECIMAL(18,6) sum cast to double and ``rank``
     ordered by that decimal (deterministic; ties break on neighbor id).
     """
-    probe = query_terms.join(F.broadcast(docfreq), "term")
+    probe = F.broadcast(query_terms).join(docfreq, "term")
     scored = postings.join(F.broadcast(probe), "term").where(
         F.col("doc") != F.col("query_id")
     )

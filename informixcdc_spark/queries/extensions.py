@@ -698,6 +698,13 @@ def _sql_bucket(v: str, n_planes: int = 4) -> str:
     SELECT 'bm25', query_id, CAST(rnk AS INT), neighbor_id,
            CAST(sc AS DOUBLE), CAST(NULL AS INT)
     FROM bmranked WHERE rnk <= 5
+    UNION ALL
+    -- sbm25 arm: the streaming postings index ingests the SAME corpus
+    -- in two micro-batches; its search is bit-equal to batch BM25, so
+    -- the oracle restates the same closed form under the stream tag
+    SELECT 'sbm25', query_id, CAST(rnk AS INT), neighbor_id,
+           CAST(sc AS DOUBLE), CAST(NULL AS INT)
+    FROM bmranked WHERE rnk <= 5
     """,
 )
 def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,7 +744,32 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("cosine"),
         F.lit(None).cast("int").alias("bucket"),
     )
-    return exact.unionByName(approx).unionByName(sparse)
+    # sbm25 arm: the incremental postings index ingests the same corpus
+    # in two ordered micro-batches (real segment writes + pointer
+    # commits through the state store); its pruned-probe search must be
+    # bit-equal to the batch arm — the stream/batch agreement contract,
+    # driver-graded like e03's 'inc' and e15's 'stream' arms
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    idx = IncrementalPostingsIndex(spark, _scratch("e07_sbm25"))
+    half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+    idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
+    idx.process_batch(docs.where(F.col("doc_id") > half), 1)
+    stream_sparse = idx.search(docs.where(F.col("doc_id") < 5), k=5).select(
+        F.lit("sbm25").alias("mode"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.col("score").alias("cosine"),
+        F.lit(None).cast("int").alias("bucket"),
+    )
+    return (
+        exact.unionByName(approx)
+        .unionByName(sparse)
+        .unionByName(stream_sparse)
+    )
 
 
 # ---------------------------------------------------------------------------

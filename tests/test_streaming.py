@@ -2165,3 +2165,108 @@ def test_dedup_index_size_adaptive_layout(spark, tmp_path):
         spark.createDataFrame([(30, doc(7))], "doc_id long, text string"), 2
     )
     assert {r["doc_id"]: r["dup_of"] for r in idx.read_dups(2).collect()} == {30: 7}
+
+
+def test_postings_index_streaming_equals_batch(spark, tmp_path):
+    """IncrementalPostingsIndex: search over n ingested batches is
+    BIT-EQUAL to batch bm25_search over their union (same postings,
+    same corpus scalars, same decimal-exact scoring); a replayed batch
+    id is skipped; compaction changes nothing."""
+    from informixcdc_spark.catalog import load_table
+    from informixcdc_spark.operators.retrieval import bm25_search
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = IncrementalPostingsIndex(spark, str(tmp_path / "post"))
+    did = F.col("doc_id")
+    idx.process_batch(docs.where(did < 200), 0)
+    idx.process_batch(docs.where((did >= 200) & (did < 400)), 1)
+    idx.process_batch(docs.where(did >= 400), 2)
+    idx.process_batch(docs.limit(3), 1)  # replay: skipped
+
+    q = docs.where(did < 5)
+    want = sorted(map(tuple, bm25_search(docs, q, k=5).collect()))
+    got = sorted(map(tuple, idx.search(q, k=5).collect()))
+    assert got == want
+
+    st = idx.read_state()
+    assert st["batch_id"] == 2 and st["segments"] == [0, 1, 2]
+    assert st["n_docs"] == docs.count()
+
+    idx.compact()
+    assert len(idx.read_state()["segments"]) == 1
+    assert sorted(map(tuple, idx.search(q, k=5).collect())) == want
+
+
+def test_postings_index_pruned_search(spark, tmp_path):
+    """The search path's scale contract: bucketed segments prune to the
+    query terms' buckets (PartitionFilters on _bkt) — per-search index
+    I/O is O(touched buckets), not O(index)."""
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    idx = IncrementalPostingsIndex(
+        spark, str(tmp_path / "post"), n_buckets=16, min_bucket_rows=0
+    )
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx.process_batch(docs, 0)
+    assert idx.read_state()["segment_buckets"] == {"0": 16}
+    all_buckets = sorted(
+        r[0] for r in idx.read_index()
+        .selectExpr("pmod(hash(term), 16) _b").distinct().collect()
+    )
+    assert len(all_buckets) > 2
+    probe = idx.read_index(buckets=all_buckets[:1])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "_bkt" in plan.split("PartitionFilters", 1)[1][:200], plan
+    assert probe.count() < idx.read_index().count()
+
+
+def test_postings_ingest_stream_kill_resume(spark, tmp_path):
+    """End-to-end streaming ingestion for the postings index through a
+    REAL checkpointed kill/resume: run 1 consumes the first arrival
+    file and stops; more documents arrive; run 2 resumes from the same
+    checkpoint — every document indexed exactly once, search equals
+    batch BM25 over the union."""
+    from informixcdc_spark.operators.retrieval import bm25_search
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    def rows(ids):
+        return [(i, f"alpha w{i % 7} w{i % 3} beta") for i in ids]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows(range(12)), "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    idx = IncrementalPostingsIndex(spark, str(tmp_path / "post"))
+
+    def run():
+        q = idx.ingest_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert idx.read_state()["n_docs"] == 12
+    spark.createDataFrame(rows(range(12, 20)), "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()  # resume: offset log skips the consumed file
+    st = idx.read_state()
+    assert st["n_docs"] == 20  # exactly once, no double count
+    assert idx.read_index().select("doc").distinct().count() == 20
+
+    full = spark.createDataFrame(rows(range(20)), "doc_id long, text string")
+    q = full.where(F.col("doc_id") < 2)
+    got = sorted(map(tuple, idx.search(q, k=3).collect()))
+    want = sorted(map(tuple, bm25_search(full, q, k=3).collect()))
+    assert got == want

@@ -55,7 +55,9 @@ from informixcdc_spark.session import get_spark  # noqa: E402
 #: one representative per family: CDC apply, consumer-side artifacts
 #: (savepoints + SCD2 history + compaction; incremental view), dim
 #: join+agg, pure agg, windows, join variants, exact dedup, MinHash
-#: near-dup, vector top-k, benchmark decontamination, sessionization.
+#: near-dup, vector + lexical top-k (e07 carries brute/LSH/BM25/stream
+#: arms), graph (cc + pagerank), benchmark decontamination,
+#: sessionization.
 QUERIES = [
     "c01_cdc_apply_net_effect",
     "c05_cdc_savepoint_state",
@@ -67,6 +69,7 @@ QUERIES = [
     "e01_dedup_exact",
     "e03_minhash_lsh_jaccard",
     "e07_knn_exact_and_lsh",
+    "e20_dedup_clusters",
     "e27_decontamination",
     "a31_sessionization",
 ]

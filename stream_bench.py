@@ -199,6 +199,38 @@ def main() -> None:
         dedup_idx.read_dups(b).count() for b in range(6)
     )
 
+    # fourth-c axis: streaming lexical ingestion — docs/s through the
+    # IncrementalPostingsIndex (postings build + segment append +
+    # pointer commit per batch) plus one accumulated-index search
+    # latency point, so the lexical twin's ingest/search costs are
+    # measured alongside the dedup gate's and the ANN indexes'.
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    post_idx = IncrementalPostingsIndex(spark, f"{workdir}/post_index")
+    docs6 = docs.withColumn(
+        "_b", F.pmod(F.col("doc_id"), F.lit(6))
+    ).localCheckpoint(eager=True)
+    post_batches = []
+    for b in range(6):
+        inc = docs6.where(F.col("_b") == b).drop("_b")
+        t3 = time.perf_counter()
+        post_idx.process_batch(inc, b)
+        post_batches.append(
+            {"batch_id": b, "rows": inc.count(),
+             "ms": round((time.perf_counter() - t3) * 1000)}
+        )
+    p_steady = post_batches[1:]
+    p_rows = sum(b["rows"] for b in p_steady)
+    p_sec = sum(b["ms"] for b in p_steady) / 1000.0
+    post_rows_per_sec = round(p_rows / p_sec, 1) if p_sec else None
+    t3 = time.perf_counter()
+    post_hits = post_idx.search(
+        docs.where(F.col("doc_id") < 5), k=5
+    ).count()
+    post_search_ms = round((time.perf_counter() - t3) * 1000)
+
     # fourth-b axis: streaming ANN ingestion — vectors/s through the
     # full-vector IncrementalAnnIndex AND the PQ-compressed
     # IncrementalPqAnnIndex (same pretrained coarse codebook), plus the
@@ -369,6 +401,14 @@ def main() -> None:
             "dups_found": dups_found,
             "per_batch": dedup_batches,
         },
+        "postings_index": {
+            "metric": "postings_ingest_steady_docs_per_sec",
+            "value": post_rows_per_sec,
+            "n_batches": len(post_batches),
+            "search_ms": post_search_ms,
+            "search_hits": post_hits,
+            "per_batch": post_batches,
+        },
         "ann_index": {
             "metric": "ann_ingest_steady_vecs_per_sec",
             "full": {"value": full_rate, "segment_bytes": full_bytes,
@@ -399,6 +439,7 @@ def main() -> None:
     line["stateful_rows_per_sec"] = state_rows_per_sec
     line["view_rows_per_sec"] = view_rows_per_sec
     line["dedup_docs_per_sec"] = dedup_rows_per_sec
+    line["postings_docs_per_sec"] = post_rows_per_sec
     line["ann_vecs_per_sec"] = {"full": full_rate, "pq": pq_rate}
     line["mt64_ratio"] = mt_ratio
     print(json.dumps(line), flush=True)

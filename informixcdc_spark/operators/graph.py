@@ -64,6 +64,8 @@ def pagerank(
     ``n_nodes`` when the caller already knows the node count.
     """
     n = nodes.count() if n_nodes is None else n_nodes
+    if n <= 0:
+        raise ValueError("pagerank needs a non-empty node set")
     base = (1.0 - damping) / n
     r0 = 1.0 / n
     # partition the edge table by src ONCE — every iteration's

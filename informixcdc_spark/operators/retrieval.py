@@ -85,7 +85,7 @@ def corpus_stats(
         F.count(F.lit(1)), F.sum("_dl")
     ).first()
     n_docs = int(row[0])
-    avgdl = int(row[1]) / n_docs if n_docs else 0.0
+    avgdl = int(row[1] or 0) / n_docs if n_docs else 0.0
     return n_docs, avgdl
 
 

@@ -170,19 +170,21 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_fused_doc_queries_are_single_pass(spark, sf_dir):
-    """The fold-based per-document queries (fingerprints, quality+
-    repetition, lang+sentiment) must stay ONE narrow map pass: no
-    Exchange beyond the single rebalance repartition, no join, no
-    aggregate in the plan."""
+    """The fold-based per-document queries (fingerprints, lang+
+    sentiment) must stay ONE narrow map pass: no Exchange beyond the
+    single rebalance repartition, no join, no aggregate in the plan.
+    e10 left this set in round 7 when it gained the bigram-LM columns
+    (operators/lm.py joins the model tables on) — its heuristic
+    column family is still the same fold expressions, but the query
+    plan now legitimately aggregates and joins; its own pin below."""
     import re
 
     from informixcdc_spark.queries.extensions import (
         e02_fingerprints,
-        e10_quality_repetition,
         e11_lang_sentiment,
     )
 
-    for fn in (e02_fingerprints, e10_quality_repetition, e11_lang_sentiment):
+    for fn in (e02_fingerprints, e11_lang_sentiment):
         plan = formatted_plan(fn(spark, sf_dir))
         # formatted mode lists each node in the tree AND a detail section
         # — count the numbered detail headers, one per physical node
@@ -190,6 +192,25 @@ def test_fused_doc_queries_are_single_pass(spark, sf_dir):
         assert n_exchange <= 1, f"{fn.__name__}: {n_exchange} exchanges"
         assert "Join" not in plan, fn.__name__
         assert "HashAggregate" not in plan, fn.__name__
+
+
+def test_e10_lm_joins_stay_model_sized(spark, sf_dir):
+    """e10's LM extension: the only allowed plan growth is the bigram
+    model — partial→final count aggregates plus equi-joins; nothing
+    quadratic, and the exchange count stays the LM path's fixed
+    budget (model aggs + doc-keyed joins), not corpus-pass blowup."""
+    import re
+
+    from informixcdc_spark.queries.extensions import e10_quality_repetition
+
+    plan = formatted_plan(e10_quality_repetition(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, plan
+    assert "BroadcastNestedLoopJoin" not in tree, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 9, f"{n_exchange} exchanges"
+    # every aggregate is hash-based (map-side combinable counts/sums)
+    assert "SortAggregate" not in tree, plan
 
 
 def test_e13_media_arms_stay_fused(spark, sf_dir):

@@ -2270,3 +2270,30 @@ def test_postings_ingest_stream_kill_resume(spark, tmp_path):
     got = sorted(map(tuple, idx.search(q, k=3).collect()))
     want = sorted(map(tuple, bm25_search(full, q, k=3).collect()))
     assert got == want
+
+
+def test_postings_index_across_stores(spark, tmp_path, store_cls):
+    """The postings index's pointer protocol works through every
+    StateStore implementation (Posix rename and object-store
+    manifest), like its dedup and ANN siblings: ingest, replay-skip,
+    compact, search all agree with batch BM25."""
+    from informixcdc_spark.operators.retrieval import bm25_search
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 5} w{i % 3} omega") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sd = str(tmp_path / "post")
+    idx = IncrementalPostingsIndex(spark, sd, store=store_cls(sd))
+    idx.process_batch(docs.where(F.col("doc_id") < 15), 0)
+    idx.process_batch(docs.where(F.col("doc_id") >= 15), 1)
+    idx.process_batch(docs.limit(2), 0)  # replay: skipped
+    assert idx.read_state()["n_docs"] == 30
+    idx.compact()
+    q = docs.where(F.col("doc_id") < 2)
+    got = sorted(map(tuple, idx.search(q, k=3).collect()))
+    want = sorted(map(tuple, bm25_search(docs, q, k=3).collect()))
+    assert got == want

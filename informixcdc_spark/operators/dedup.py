@@ -792,12 +792,19 @@ def line_dedup(
     Returns one row per document:
     ``(id, clean_text, n_kept, n_dropped)`` — ``clean_text`` is ''
     when every line of the document was dropped.
+
+    ``sep`` is a LITERAL separator (it is regex-escaped before the
+    split, and used verbatim in the rejoin), so '.', '|' etc. behave.
     """
+    import re
+
     from pyspark.sql import Window
 
     lines = rebalance(df).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("pos", "line"),
     )
     w = Window.partitionBy("line").orderBy(id_col, "pos")
     flagged = lines.withColumn("_keep", F.row_number().over(w) == 1)

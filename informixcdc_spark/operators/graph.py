@@ -53,6 +53,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = DAMPING,
     n_nodes: int | None = None,
+    release_cache: bool = False,
 ) -> DataFrame:
     """``(node, rank)`` after ``n_iter`` synchronous power iterations
     from the uniform vector.
@@ -62,6 +63,14 @@ def pagerank(
     sum exact in DECIMAL(18,12) and the base term added in double — the
     association order both engines evaluate identically. Pass
     ``n_nodes`` when the caller already knows the node count.
+
+    Cache lifetime: the src-partitioned edge cache lives as long as the
+    returned (lazy) plan by default — repeated calls in one session
+    accumulate edge-sized cache blocks. Pass ``release_cache=True`` to
+    materialize the final ranks (``localCheckpoint``, node-sized) and
+    drop the edge cache before returning — the right mode for serving
+    many independent graphs from one session; keep the default when
+    composing the lazy plan further or inspecting it.
     """
     n = nodes.count() if n_nodes is None else n_nodes
     if n <= 0:
@@ -100,9 +109,13 @@ def pagerank(
                 ),
             )
         )
-    return ranks.select(
+    out = ranks.select(
         F.col("_node").alias(id_col), F.col("_r").alias("rank")
     )
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        by_src.unpersist()
+    return out
 
 
 def sql_pagerank_ctes(

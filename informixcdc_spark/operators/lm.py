@@ -51,16 +51,28 @@ def bigram_keys(tok: Column) -> Column:
 
 
 def bigram_lm(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    release_tokens: bool = True,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train: ``(bigram_counts (bg, c), context_counts (w1, ctx), V)``.
 
     Two partially aggregated groupBys over one exploded pass (the
     context counts re-aggregate the bigram counts — vocab-sized input,
     not corpus-sized) plus one scalar distinct-count for ``V``. The
-    token pass is persisted: counts, vocabulary, and (when scoring the
-    same corpus) the scorer's bigram explode all reuse one
-    tokenization instead of three.
+    token pass is persisted so counts, context counts and the vocabulary
+    size all reuse ONE tokenization.
+
+    With ``release_tokens`` (default) the returned model tables are
+    materialized (persisted + forced — both vocab-sized) and the
+    corpus-sized token cache is dropped before returning: repeated
+    training calls in one session then hold only model-sized cache
+    blocks, the right trade at 100 TB where caching the tokenized
+    corpus is infeasible anyway. Cost: scoring the TRAINING corpus
+    later re-tokenizes it once. Pass ``False`` to keep the token cache
+    live for that scoring pass — the caller then owns its lifetime
+    (it is never unpersisted by this module).
     """
     toked = rebalance(docs).select(
         F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_tok")
@@ -79,6 +91,12 @@ def bigram_lm(
             F.count_distinct("t")
         ).first()[0]
     )
+    if release_tokens:
+        counts = counts.persist()
+        ctx = ctx.persist()
+        counts.count()
+        ctx.count()
+        toked.unpersist()
     return counts, ctx, int(vocab)
 
 
@@ -156,6 +174,16 @@ def lm_score(
     text_col: str = "text",
 ) -> DataFrame:
     """End-to-end: train the bigram LM on ``train``, cross-entropy
-    score every document of ``score``."""
-    counts, ctx, vocab = bigram_lm(train, id_col, text_col)
+    score every document of ``score``.
+
+    Keeps the trainer's token cache live (``release_tokens=False``):
+    when ``score`` IS the training corpus the scorer's tokenization
+    subtree is plan-identical and served from that cache — one corpus
+    tokenization for the whole train+score pass. The cache is
+    plan-keyed (Spark's CacheManager dedups identical plans, so
+    repeated calls on the same input reuse one entry, they don't
+    accumulate); it lives until the session drops it — call
+    :func:`bigram_lm` directly with ``release_tokens=True`` when
+    training many DIFFERENT corpora in one session."""
+    counts, ctx, vocab = bigram_lm(train, id_col, text_col, release_tokens=False)
     return lm_cross_entropy(score, counts, ctx, vocab, id_col, text_col)

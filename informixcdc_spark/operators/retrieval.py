@@ -127,6 +127,7 @@ def bm25_topk(
     k: int = 5,
     k1: float = K1,
     b: float = B,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k BM25 documents per query.
 
@@ -137,11 +138,16 @@ def bm25_topk(
     probe. Output: ``(query_id, rank, neighbor_id, score)`` with
     ``score`` the exact DECIMAL(18,6) sum cast to double and ``rank``
     ordered by that decimal (deterministic; ties break on neighbor id).
+
+    ``exclude_self`` drops ``doc == query_id`` hits — correct when the
+    queries ARE corpus documents (dedup/audit sweeps, the default use).
+    Pass ``False`` for an external query set whose ids merely share the
+    corpus id space, where such a collision is a legitimate neighbor.
     """
     probe = F.broadcast(query_terms).join(docfreq, "term")
-    scored = postings.join(F.broadcast(probe), "term").where(
-        F.col("doc") != F.col("query_id")
-    )
+    scored = postings.join(F.broadcast(probe), "term")
+    if exclude_self:
+        scored = scored.where(F.col("doc") != F.col("query_id"))
     contrib = _contribution(n_docs, avgdl, k1, b)
     per_doc = scored.select(
         "query_id",
@@ -171,6 +177,7 @@ def bm25_search(
     k: int = 5,
     k1: float = K1,
     b: float = B,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """End-to-end: index ``corpus`` and rank its top-k documents for
     each query document's bag of distinct terms.
@@ -179,6 +186,9 @@ def bm25_search(
     aggregate, so they are persisted — the in-query analog of
     materializing the inverted index once, which is how a real corpus
     serves many query batches without re-tokenizing 100 TB per batch.
+
+    ``exclude_self``: see :func:`bm25_topk` — default assumes queries
+    are corpus documents; pass ``False`` for an external query set.
     """
     postings = bm25_postings(corpus, id_col, text_col).persist()
     n_docs, avgdl = corpus_stats(corpus, text_col)
@@ -190,5 +200,6 @@ def bm25_search(
         .distinct()
     )
     return bm25_topk(
-        postings, doc_frequency(postings), qterms, n_docs, avgdl, k, k1, b
+        postings, doc_frequency(postings), qterms, n_docs, avgdl, k, k1, b,
+        exclude_self=exclude_self,
     )

@@ -577,6 +577,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    release_cache: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bounded
     semantic deduplication over an embedding column.
@@ -601,6 +602,13 @@ def semantic_dedup(
 
     Returns one row per input vector:
     ``(id, cell, is_kept, dup_of)`` — ``dup_of`` null on kept rows.
+
+    Cache lifetime: the cell-assigned corpus cache lives as long as the
+    returned (lazy) plan by default — repeated calls in one session
+    accumulate corpus-sized cache blocks. ``release_cache=True``
+    materializes the (narrow, vector-free) verdict table
+    (``localCheckpoint``) and drops the assignment cache before
+    returning; at real scale you would write the verdicts out instead.
     """
     assigned = assign_cells(corpus, centroids, id_col, vec_col).persist()
     a = assigned.select(
@@ -622,7 +630,7 @@ def semantic_dedup(
         .groupBy(F.col("_ida").alias(id_col))
         .agg(F.min("_idb").alias("dup_of"))
     )
-    return (
+    out = (
         assigned.join(dups, id_col, "left")
         .select(
             id_col,
@@ -631,3 +639,7 @@ def semantic_dedup(
             "dup_of",
         )
     )
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        assigned.unpersist()
+    return out

@@ -48,6 +48,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from informixcdc_spark.functions.text import tokens
 from informixcdc_spark.operators.retrieval import (
@@ -271,12 +277,15 @@ class IncrementalPostingsIndex:
         k: int = 5,
         k1: float = K1,
         b: float = B,
+        exclude_self: bool = True,
     ) -> DataFrame:
         """Top-k BM25 documents per query document, over everything
         ingested so far — bit-equal to batch ``bm25_search`` on the
         union of the ingested batches. The index read prunes to the
         query terms' buckets (bounded, metadata-sized collect); df
-        comes from the pruned read (exact — see module doc)."""
+        comes from the pruned read (exact — see module doc).
+
+        ``exclude_self`` as in :func:`..retrieval.bm25_topk`."""
         st = self.read_state()
         qterms = queries.select(
             F.col(self.id_col).alias("query_id"),
@@ -288,14 +297,25 @@ class IncrementalPostingsIndex:
         ]
         index = self.read_index(buckets=buckets)
         if index is None:
-            return self.spark.createDataFrame(
-                [], "query_id long, rank int, neighbor_id long, score double"
+            # Schema must match the non-empty path exactly, including the
+            # id dtype (string doc ids etc.) — derive it from the query
+            # side rather than hardcoding long, so downstream unions hold.
+            id_dt = queries.schema[self.id_col].dataType
+            empty_schema = StructType(
+                [
+                    StructField("query_id", id_dt),
+                    StructField("rank", IntegerType(), False),
+                    StructField("neighbor_id", id_dt),
+                    StructField("score", DoubleType()),
+                ]
             )
+            return self.spark.createDataFrame([], empty_schema)
         from informixcdc_spark.operators.retrieval import doc_frequency
 
         avgdl = st["total_tokens"] / st["n_docs"] if st["n_docs"] else 0.0
         return bm25_topk(
-            index, doc_frequency(index), qterms, st["n_docs"], avgdl, k, k1, b
+            index, doc_frequency(index), qterms, st["n_docs"], avgdl, k, k1, b,
+            exclude_self=exclude_self,
         )
 
     # -- convenience ------------------------------------------------------------

@@ -82,13 +82,21 @@ def _scratch(name: str, sf_dir: str) -> str:
     per rep, while a different fixture (another sf in the same
     process) still starts from an empty index as the arms' batch-id
     semantics require. Keyed by pid so concurrent sessions never
-    share state, and reps never leak extra dirs."""
+    share state, and reps never leak extra dirs. The fixture key is a
+    metadata fingerprint (path + every file's size and mtime), so a
+    fixture REGENERATED at the same path within one process starts a
+    fresh index instead of silently serving stale pre-built state."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5(sf_dir.encode())
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    sfh = h.hexdigest()[:8]
     path = os.path.join(
         tempfile.gettempdir(), f"informixcdc_{name}_{os.getpid()}_{sfh}"
     )
@@ -1232,7 +1240,9 @@ def e12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, [1.0 if d == c else 0.0 for d in range(64)])
         for c in range(_SEMDEDUP_CELLS)
     ]
-    sem = semantic_dedup(corpus, axes, threshold=0.95).select(
+    sem = semantic_dedup(
+        corpus, axes, threshold=0.95, release_cache=True
+    ).select(
         F.lit("semdedup").alias("mode"),
         F.col("vec_id").alias("id_a"),
         F.col("dup_of").alias("id_b"),
@@ -1716,7 +1726,10 @@ def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     edges = out[0].unionByName(out[1]).where(F.col("src") != F.col("dst"))
     pr = pagerank(
-        edges, docs.select(F.col("doc_id").alias("node")), n_nodes=n
+        edges,
+        docs.select(F.col("doc_id").alias("node")),
+        n_nodes=n,
+        release_cache=True,
     ).select(
         F.lit("pagerank").alias("mode"),
         F.col("node").alias("doc_id"),

@@ -1410,6 +1410,50 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_line_dedup_regex_meaningful_separator(spark):
+    """sep is a LITERAL: '.'/'|' must split on themselves (not
+    match-anything / alternation) and rejoin verbatim."""
+    from informixcdc_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "alpha.beta.alpha"), (1, "beta.gamma")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, sep=".").collect()}
+    assert got[0]["clean_text"] == "alpha.beta"
+    assert (got[0]["n_kept"], got[0]["n_dropped"]) == (2, 1)
+    assert got[1]["clean_text"] == "gamma"
+
+    docs2 = spark.createDataFrame(
+        [(0, "x y|z w|x y")], "doc_id long, text string"
+    )
+    got2 = line_dedup(docs2, sep="|").collect()[0]
+    assert got2["clean_text"] == "x y|z w"
+    assert (got2["n_kept"], got2["n_dropped"]) == (2, 1)
+
+
+def test_semantic_dedup_release_cache_same_verdicts(spark):
+    """release_cache=True (the serve-many-calls mode) returns the
+    identical verdict table and leaves no lingering assignment cache."""
+    from informixcdc_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [2.0 if d == i % 4 else 0.0 for d in range(4)]) for i in range(4)]
+    rows += [(100, [2.002, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    axes = [(c, [1.0 if d == c else 0.0 for d in range(4)]) for c in range(4)]
+    lazy = {
+        tuple(r)
+        for r in semantic_dedup(emb, axes, threshold=0.95).collect()
+    }
+    eager = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, axes, threshold=0.95, release_cache=True
+        ).collect()
+    }
+    assert lazy == eager
+
+
 def test_semantic_dedup_cluster_bounded_verdicts(spark):
     """SemDeDup: copies land in their original's cluster and drop to
     the min qualifying lower id; cross-cluster near-identity is NEVER
@@ -1495,6 +1539,56 @@ def test_bm25_matches_pure_python_reference(spark):
             (rank, d, float(s)) for rank, (s, d) in enumerate(scored, start=1)
         ]
         assert sorted(got[q]) == want, (q, sorted(got[q]), want)
+
+
+def test_bm25_exclude_self_flag(spark):
+    """Self-exclusion is the corpus-query default; an EXTERNAL query set
+    whose ids collide with corpus doc ids keeps the colliding neighbor
+    under exclude_self=False."""
+    from informixcdc_spark.operators.retrieval import bm25_search
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta"), (2, "delta")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    dflt = {
+        r["neighbor_id"]
+        for r in bm25_search(corpus, queries, k=3).collect()
+    }
+    assert 0 not in dflt and 1 in dflt
+    incl = {
+        r["neighbor_id"]: r["rank"]
+        for r in bm25_search(
+            corpus, queries, k=3, exclude_self=False
+        ).collect()
+    }
+    # doc 0 matches every query term — it must now appear, ranked first
+    assert incl[0] == 1 and 1 in incl
+
+
+def test_postings_index_empty_search_schema_tracks_id_type(spark, tmp_path):
+    """Empty-index search must return the same schema the non-empty
+    path produces — including non-long (string) doc id types — so
+    downstream unions hold."""
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    idx = IncrementalPostingsIndex(spark, str(tmp_path / "post"))
+    qs = spark.createDataFrame(
+        [("qa", "alpha beta")], "doc_id string, text string"
+    )
+    empty = idx.search(qs, k=3)
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "string", "int", "string", "double",
+    ]
+    assert empty.schema.fieldNames() == [
+        "query_id", "rank", "neighbor_id", "score",
+    ]
 
 
 def test_bigram_lm_matches_pure_python(spark):

@@ -77,7 +77,7 @@ ARM_MODES = {
     "e12_embedding_near_dups": ["lsh", "semdedup"],
     "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq"],
     "e20_dedup_clusters": ["cc", "pagerank"],
-    "e27_decontamination": ["exact", "coarse"],
+    "e27_decontamination": ["exact", "coarse", "fuzzy"],
 }
 
 

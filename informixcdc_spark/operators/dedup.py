@@ -619,6 +619,81 @@ def decontaminate_prefiltered(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_pred: Column,
+    k: int = 3,
+    threshold: float = 0.8,
+    n_bands: int = N_BANDS,
+    rows: int = ROWS_PER_BAND,
+    candidate_cap: int | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents whose
+    k-shingle Jaccard similarity to ANY benchmark document reaches
+    ``threshold`` — the near-duplicate leakage (light paraphrase,
+    truncation, whitespace drift) that exact n-gram overlap
+    (:func:`decontaminate`) under-reports and the Llama/GPT-4 era
+    contamination analyses check for.
+
+    Shape at 100 TB: both sides shingle+minhash once (shared persisted
+    pass); the BENCHMARK side's band table and distinct-shingle sets are
+    suite-sized, so both BROADCAST — the corpus-sized training side
+    never shuffles for the probe, candidate generation is a map-side
+    band equi-join, and verification touches only candidates (never
+    all-pairs). ``candidate_cap`` optionally budgets verification per
+    training doc (:func:`bound_pairs_per_doc` semantics, smallest bench
+    ids kept) when a boilerplate-heavy corpus makes candidate fan-out
+    degenerate; leave ``None`` for exact flag semantics.
+
+    Returns contaminated training docs only:
+    ``(id, n_shingles, n_hits, contamination)`` — ``n_shingles`` the
+    doc's DISTINCT shingle count, ``n_hits`` how many benchmark docs it
+    matches at/above threshold, ``contamination`` the maximum Jaccard.
+    """
+    shingled = doc_shingles(docs, id_col, text_col, k=k).persist()
+    bands = minhash_bands(shingled, id_col, n_bands, rows)
+    bench_bands = (
+        bands.where(bench_pred)
+        .select(F.col(id_col).alias("_bid"), "band_idx", "band_key")
+        .distinct()
+    )
+    cand = (
+        bands.where(~bench_pred)
+        .join(F.broadcast(bench_bands), ["band_idx", "band_key"])
+        .select(F.col(id_col), "_bid")
+        .distinct()
+    )
+    if candidate_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy("_bid")
+        cand = (
+            cand.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= candidate_cap)
+            .drop("_r")
+        )
+    sets = shingled.select(
+        F.col(id_col), F.array_distinct("shingles").alias("_ds")
+    )
+    bench_sets = sets.where(bench_pred).select(
+        F.col(id_col).alias("_bid"), F.col("_ds").alias("_dsb")
+    )
+    inter = F.size(F.array_intersect("_ds", "_dsb"))
+    union = F.size("_ds") + F.size("_dsb") - inter
+    ver = (
+        cand.join(sets, id_col)
+        .join(F.broadcast(bench_sets), "_bid")
+        .withColumn("_j", inter.cast("double") / union.cast("double"))
+        .where(F.col("_j") >= threshold)
+    )
+    return ver.groupBy(id_col, F.size("_ds").alias("n_shingles")).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max("_j").alias("contamination"),
+    ).select(id_col, "n_shingles", "n_hits", "contamination")
+
+
 def duplicate_span_census(
     df: DataFrame, id_col: str, text_col: str, window: int = 8
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

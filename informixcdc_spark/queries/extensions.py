@@ -2054,7 +2054,7 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "e27_decontamination",
-    oracle="""
+    oracle=f"""
     WITH base AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
         FROM documents
@@ -2080,6 +2080,36 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'exact' AS mode, * FROM res
     UNION ALL
     SELECT 'coarse' AS mode, * FROM res
+    UNION ALL
+    SELECT 'fuzzy' AS mode, doc_id, n_shingles, n_hits, contamination
+    FROM (
+        WITH all_bands AS ({_SQL_BANDS_CTE}),
+        corpus AS ({_SQL_CORPUS}),
+        shingled AS ({_SQL_SHINGLED}),
+        sets AS (SELECT doc_id, list_distinct(sh) AS ds FROM shingled),
+        bench_b AS (
+            SELECT DISTINCT doc_id, band_idx, band_key FROM all_bands
+            WHERE doc_id % 97 = 0 AND doc_id < 1000000
+        ),
+        cand AS (
+            SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+            FROM all_bands t JOIN bench_b b
+              ON t.band_idx = b.band_idx AND t.band_key = b.band_key
+            WHERE NOT (t.doc_id % 97 = 0 AND t.doc_id < 1000000)
+        ),
+        ver AS (
+            SELECT tid, len(st.ds) AS ns,
+                   CAST(len(list_intersect(st.ds, sb.ds)) AS DOUBLE)
+                     / (len(st.ds) + len(sb.ds)
+                        - len(list_intersect(st.ds, sb.ds))) AS j
+            FROM cand
+            JOIN sets st ON st.doc_id = tid
+            JOIN sets sb ON sb.doc_id = bid
+        )
+        SELECT tid AS doc_id, ns AS n_shingles,
+               COUNT(*) AS n_hits, MAX(j) AS contamination
+        FROM ver WHERE j >= 0.8 GROUP BY tid, ns
+    )
     """,
 )
 def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2102,7 +2132,20 @@ def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = decontaminate_prefiltered(
         docs, "doc_id", "text", pred, bucket_bits=12
     ).select(F.lit("coarse").alias("mode"), "*")
-    return ex.unionByName(co)
+    # fuzzy arm (round 8): MinHash-LSH near-duplicate contamination over
+    # the perturbed corpus — the benchmark slice's paraphrased copies
+    # (and any natural near-dups) are flagged at Jaccard >= 0.8 even
+    # where exact shingle overlap would under-report. Bench bands and
+    # bench shingle sets both broadcast; the corpus side never shuffles
+    # for the probe.
+    from informixcdc_spark.operators.dedup import decontaminate_fuzzy
+
+    corpus = _docs_corpus(spark, sf_dir)
+    fuzzy_pred = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
+    fz = decontaminate_fuzzy(
+        corpus, "doc_id", "text", fuzzy_pred, threshold=0.8
+    ).select(F.lit("fuzzy").alias("mode"), "*")
+    return ex.unionByName(co).unionByName(fz)
 
 
 # ---------------------------------------------------------------------------

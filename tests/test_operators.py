@@ -1410,6 +1410,35 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_decontaminate_fuzzy_flags_near_dup_leakage(spark):
+    """Fuzzy decontamination: a training doc that is a light paraphrase
+    of a benchmark doc (one token dropped) is flagged with its exact
+    max-Jaccard; unrelated docs and the benchmark rows themselves are
+    not; sub-threshold overlap stays unflagged."""
+    from informixcdc_spark.operators.dedup import decontaminate_fuzzy
+
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (0, bench_text),  # benchmark (pred: doc_id < 10)
+        # paraphrase: last token dropped -> 7 of 8 shingles shared
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "completely different words about spark physical plans"),
+        # shares one 3-shingle only -> jaccard far below 0.8
+        (102, "the quick brown cat sat on the mat quietly now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(
+            docs, "doc_id", "text", F.col("doc_id") < 10, threshold=0.8
+        ).collect()
+    }
+    assert set(got) == {100}
+    r = got[100]
+    assert r["n_shingles"] == 7 and r["n_hits"] == 1
+    assert abs(r["contamination"] - 7 / 8) < 1e-12
+
+
 def test_line_dedup_regex_meaningful_separator(spark):
     """sep is a LITERAL: '.'/'|' must split on themselves (not
     match-anything / alternation) and rejoin verbatim."""

@@ -439,6 +439,27 @@ def test_semantic_dedup_broadcasts_codebook_bounds_pairs(spark):
     ), plan
 
 
+def test_decontaminate_fuzzy_broadcasts_bench_side(spark):
+    """Fuzzy decontamination's scale contract: the benchmark side
+    (suite-sized) reaches the corpus via BROADCAST joins at both the
+    band-candidate stage and the verify stage — a corpus shuffle keyed
+    on the bench tables would be the 100 TB killer. Nothing cartesian."""
+    from informixcdc_spark.operators.dedup import decontaminate_fuzzy
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} epsilon zeta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = formatted_plan(
+        decontaminate_fuzzy(docs, "doc_id", "text", F.col("doc_id") % 7 == 0)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, plan
+    assert "BroadcastNestedLoopJoin" not in tree, plan
+    # bench bands + bench sets both broadcast into corpus-sized joins
+    assert tree.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_bm25_probe_broadcasts_corpus_never_sort_merges(spark, sf_dir):
     """BM25 search: the query-term probe table (small by construction)
     reaches the corpus postings via broadcast — a sort-merge or shuffle

@@ -168,6 +168,83 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Gopher "required words" (Rae et al. 2021 §A1.1): a doc must contain
+#: at least two of these to pass rule 7.
+GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_exprs(
+    tok: Column, text: Column
+) -> tuple[Column, Column, Column, Column]:
+    """Gopher quality-filter rule set (Rae et al. 2021 §A1.1) as PURE
+    column expressions — ``(symbol_ratio, alpha_word_frac,
+    gopher_failed, gopher_keep)``. Every signal is integer arithmetic
+    over the text/token array divided once at the end, so any engine
+    reproduces the doubles bit-for-bit, and the whole rule set fuses
+    into the scan (zero shuffles at 100 TB).
+
+    Rules: (1) 50 ≤ word count ≤ 100 000; (2) mean word length in
+    [3, 10]; (3) symbol-to-word ratio ('#' chars + '…'-as-'...'
+    occurrences) ≤ 0.1; (4) ≤ 90% of lines start with a bullet
+    ('-', '*', '•'); (5) ≤ 30% of lines end with '...'; (6) ≥ 80% of
+    words contain an alphabetic character; (7) ≥ 2 distinct required
+    words present. ``gopher_failed`` counts failed rules;
+    ``gopher_keep`` is true iff none failed.
+    """
+    n = F.size(tok)
+    tok_lens = F.transform(tok, lambda t: F.length(t))
+    mean_len = (
+        F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast("double") / n
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("-")
+                | ln.startswith("*")
+                | ln.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(tok, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    req_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tok),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED]),
+        )
+    )
+    fails = [
+        (n < 50) | (n > 100000),
+        (mean_len < 3.0) | (mean_len > 10.0),
+        symbol_ratio > 0.1,
+        bullet_frac > 0.9,
+        ellipsis_frac > 0.3,
+        alpha_frac < 0.8,
+        req_hits < 2,
+    ]
+    failed = sum((f.cast("int") for f in fails), start=F.lit(0))
+    return (
+        symbol_ratio,
+        alpha_frac,
+        failed,
+        (failed == 0),
+    )
+
+
 def repetition_exprs(tok: Column) -> tuple[Column, Column, Column, Column]:
     """(n_tokens, distinct_ratio, top_token_frac, dup_2gram_frac) as PURE
     column expressions over a tokens array — same values as

@@ -1006,12 +1006,52 @@ _SQL_LM_LOGP = sql_lm_log_prob("vv")
     ),
     lm AS (SELECT doc_id, n_bigrams,
                   -(CAST(lp AS DOUBLE)) / n_bigrams AS lm_cross_entropy
-           FROM lmp)
+           FROM lmp),
+    -- Gopher rule set (Rae et al. 2021 A1.1) — integer arithmetic over
+    -- the text, divided once: engine-exact doubles
+    g AS (
+    SELECT doc_id,
+           CAST(nsym AS DOUBLE) / n AS symbol_ratio,
+           CAST(nalpha AS DOUBLE) / n AS alpha_word_frac,
+           CAST((CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END)
+              + (CASE WHEN ml < 3.0 OR ml > 10.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(nsym AS DOUBLE) / n > 0.1 THEN 1 ELSE 0 END)
+              + (CASE WHEN bf > 0.9 THEN 1 ELSE 0 END)
+              + (CASE WHEN ef > 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(nalpha AS DOUBLE) / n < 0.8 THEN 1 ELSE 0 END)
+              + (CASE WHEN req < 2 THEN 1 ELSE 0 END) AS INT) AS gopher_failed
+    FROM (
+        SELECT doc_id, n, ml,
+               (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) / 3.0
+                 AS nsym,
+               CAST(len(list_filter(lines, x -> starts_with(x, '-')
+                   OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE)
+                 / len(lines) AS bf,
+               CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+                 AS DOUBLE) / len(lines) AS ef,
+               len(list_filter(tok, x -> regexp_matches(x, '[a-zA-Z]')))
+                 AS nalpha,
+               len(list_intersect(list_distinct(tok),
+                   ['the','be','to','of','and','that','have','with'])) AS req
+        FROM (
+            SELECT doc_id, text, {_SQL_TOK} AS tok,
+                   len({_SQL_TOK}) AS n,
+                   CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                     / len({_SQL_TOK}) AS ml,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        )
+    )
+    )
     SELECT q.*, r.distinct_ratio, r.top_token_frac, r.dup_2gram_frac,
            r.low_quality,
+           g.symbol_ratio, g.alpha_word_frac, g.gopher_failed,
+           g.gopher_failed = 0 AS gopher_keep,
            CAST(COALESCE(lm.n_bigrams, 0) AS INT) AS n_bigrams,
            lm.lm_cross_entropy
-    FROM q JOIN r USING (doc_id) LEFT JOIN lm USING (doc_id)
+    FROM q JOIN r USING (doc_id) JOIN g USING (doc_id)
+         LEFT JOIN lm USING (doc_id)
     """,
 )
 def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1027,15 +1067,19 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality family, and it shuffles model-sized tables."""
     from informixcdc_spark.operators.lm import lm_score
     from informixcdc_spark.operators.textstats import (
+        gopher_rules_exprs,
         quality_score_exprs,
         repetition_exprs,
     )
 
     docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    toked = docs.select("doc_id", "text", tokens(F.col("text")).alias("_tok"))
     n, stop_ratio, mean_len, score = quality_score_exprs(F.col("_tok"))
     _, distinct_ratio, top_frac, dup2 = repetition_exprs(F.col("_tok"))
     low_quality = (distinct_ratio < 0.2) | (top_frac > 0.3) | (dup2 > 0.9)
+    symbol_ratio, alpha_frac, gfailed, gkeep = gopher_rules_exprs(
+        F.col("_tok"), F.col("text")
+    )
     heur = toked.select(
         "doc_id",
         n.cast("int").alias("n_tokens"),
@@ -1047,6 +1091,10 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_token_frac"),
         dup2.alias("dup_2gram_frac"),
         low_quality.alias("low_quality"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        gfailed.alias("gopher_failed"),
+        gkeep.alias("gopher_keep"),
     )
     return heur.join(lm_score(docs, docs), "doc_id", "left")
 

@@ -1410,6 +1410,48 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_gopher_rules_each_rule_fires(spark):
+    """Gopher rule set: every rule fails on a doc crafted to violate
+    exactly it (plus the too-short rule those docs also trip), and a
+    well-formed doc passes everything."""
+    from informixcdc_spark.operators.textstats import gopher_rules_exprs
+    from informixcdc_spark.functions.text import tokens
+
+    good = (
+        "the quick brown fox and the lazy dog have agreed that "
+        "they will be friends with everyone near the old mill today "
+    ) * 3  # 60+ words, all rules green
+    rows = [
+        (0, good),
+        (1, "the of and that"),  # rule 1: < 50 words
+        (2, "a b c " * 40 + "the of"),  # rule 2: mean len < 3
+        (3, "#tag " * 60 + "the of"),  # rule 3: symbol ratio > 0.1
+        (4, "\n".join(["- item the of"] * 30)),  # rule 4: all bullets
+        (5, "\n".join(["the of trailing..."] * 30)),  # rule 5: ellipses
+        (6, "123 456 " * 40 + "the of"),  # rule 6: alpha frac < 0.8
+        (7, "alpha beta gamma delta " * 20),  # rule 7: no required words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sym, alpha, failed, keep = gopher_rules_exprs(
+        tokens(F.col("text")), F.col("text")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            sym.alias("sym"),
+            alpha.alias("alpha"),
+            failed.alias("failed"),
+            keep.alias("keep"),
+        ).collect()
+    }
+    assert got[0]["failed"] == 0 and got[0]["keep"]
+    for i in range(1, 8):
+        assert got[i]["failed"] >= 1 and not got[i]["keep"], (i, got[i])
+    assert got[3]["sym"] > 0.1
+    assert got[6]["alpha"] < 0.8
+
+
 def test_decontaminate_fuzzy_flags_near_dup_leakage(spark):
     """Fuzzy decontamination: a training doc that is a light paraphrase
     of a benchmark doc (one token dropped) is flagged with its exact

@@ -1043,15 +1043,56 @@ _SQL_LM_LOGP = sql_lm_log_prob("vv")
             FROM documents
         )
     )
+    ),
+    -- weak-label Naive Bayes (operators/classify.py): per-(doc, term,
+    -- label) log-likelihoods rounded to DECIMAL(18,6), summed exactly;
+    -- prediction compares the decimal scores (ties break to 'drop',
+    -- the earliest label)
+    nbt AS (SELECT doc_id, unnest(tok) AS t FROM base),
+    nby AS (SELECT doc_id, verdict AS y FROM q),
+    nbtc AS (
+        SELECT t,
+               SUM(CASE WHEN y = 'drop' THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN y = 'keep' THEN 1 ELSE 0 END) AS c1
+        FROM (SELECT y, t FROM nbt JOIN nby USING (doc_id))
+        GROUP BY t
+    ),
+    nbtot AS (SELECT COUNT(*) AS v,
+                     CAST(SUM(c0) AS BIGINT) AS n0,
+                     CAST(SUM(c1) AS BIGINT) AS n1 FROM nbtc),
+    nbd AS (SELECT CAST(SUM(CASE WHEN y = 'drop' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d0,
+                   CAST(SUM(CASE WHEN y = 'keep' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   COUNT(*) AS dt FROM nby),
+    nbs AS (
+        SELECT doc_id,
+               SUM(CAST(ln(CAST(COALESCE(c0, 0) + 1 AS DOUBLE) / (n0 + v))
+                        AS DECIMAL(18,6))) AS s0,
+               SUM(CAST(ln(CAST(COALESCE(c1, 0) + 1 AS DOUBLE) / (n1 + v))
+                        AS DECIMAL(18,6))) AS s1
+        FROM nbt LEFT JOIN nbtc USING (t), nbtot
+        GROUP BY doc_id
+    ),
+    nb AS (
+        SELECT q.doc_id,
+               CAST(ln(CAST(d0 AS DOUBLE) / dt) AS DECIMAL(18,6))
+                 + COALESCE(s0, CAST(0 AS DECIMAL(18,6))) AS sc0,
+               CAST(ln(CAST(d1 AS DOUBLE) / dt) AS DECIMAL(18,6))
+                 + COALESCE(s1, CAST(0 AS DECIMAL(18,6))) AS sc1
+        FROM q LEFT JOIN nbs ON nbs.doc_id = q.doc_id, nbd
     )
     SELECT q.*, r.distinct_ratio, r.top_token_frac, r.dup_2gram_frac,
            r.low_quality,
            g.symbol_ratio, g.alpha_word_frac, g.gopher_failed,
            g.gopher_failed = 0 AS gopher_keep,
            CAST(COALESCE(lm.n_bigrams, 0) AS INT) AS n_bigrams,
-           lm.lm_cross_entropy
+           lm.lm_cross_entropy,
+           CAST(nb.sc0 AS DOUBLE) AS nb_score_drop,
+           CAST(nb.sc1 AS DOUBLE) AS nb_score_keep,
+           CASE WHEN nb.sc0 >= nb.sc1 THEN 'drop' ELSE 'keep' END AS nb_pred
     FROM q JOIN r USING (doc_id) JOIN g USING (doc_id)
-         LEFT JOIN lm USING (doc_id)
+         LEFT JOIN lm USING (doc_id) JOIN nb USING (doc_id)
     """,
 )
 def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1096,7 +1137,24 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         gfailed.alias("gopher_failed"),
         gkeep.alias("gopher_keep"),
     )
-    return heur.join(lm_score(docs, docs), "doc_id", "left")
+    # Naive-Bayes quality classifier trained on the heuristic verdict as
+    # WEAK labels (the fastText-gate pattern: CCNet/GPT-3-style corpus
+    # prep trains a linear classifier on seed labels and scores the
+    # corpus with it). Training aggregates are model-sized; scoring is
+    # one broadcast join + one doc-keyed sum (operators/classify.py).
+    from informixcdc_spark.operators.classify import nb_train_score
+
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.when(
+            quality_score_exprs(tokens(F.col("text")))[3] >= 0.7, "keep"
+        ).otherwise("drop").alias("_y"),
+    )
+    nb = nb_train_score(labeled, "_y", "text", labels=["drop", "keep"])
+    return heur.join(lm_score(docs, docs), "doc_id", "left").join(
+        nb, "doc_id", "left"
+    )
 
 
 # ---------------------------------------------------------------------------

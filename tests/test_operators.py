@@ -1410,6 +1410,58 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_nb_classifier_matches_pure_python(spark):
+    """nb_train/nb_score reproduce textbook multinomial NB with Laplace
+    smoothing — decimal-rounded per-term contributions, priors, scores
+    and argmax predictions — on a random labeled corpus."""
+    import math
+    import random
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from informixcdc_spark.operators.classify import nb_train, nb_score
+
+    rng = random.Random(13)
+    lang_vocab = {
+        "a": ["alpha", "beta", "gamma", "shared"],
+        "b": ["delta", "epsilon", "shared", "zeta"],
+    }
+    rows = []
+    for i in range(60):
+        y = "a" if i % 2 == 0 else "b"
+        words = [rng.choice(lang_vocab[y]) for _ in range(rng.randint(1, 12))]
+        rows.append((i, y, " ".join(words)))
+    rows.append((60, "a", ""))  # token-free doc: scored on priors alone
+    docs = spark.createDataFrame(rows, "doc_id long, y string, text string")
+
+    model = nb_train(docs, "y", "text", labels=["a", "b"])
+    got = {r["doc_id"]: r for r in nb_score(docs, model, "doc_id", "text").collect()}
+
+    def q6(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+
+    tok = {i: t.split() for i, y, t in rows}
+    ys = {i: y for i, y, t in rows}
+    cnt = {"a": Counter(), "b": Counter()}
+    for i, words in tok.items():
+        cnt[ys[i]].update(words)
+    vocab = len(set(cnt["a"]) | set(cnt["b"]))
+    n_tok = {y: sum(c.values()) for y, c in cnt.items()}
+    n_docs = Counter(ys.values())
+    for i, words in tok.items():
+        want = {}
+        for lg in ("a", "b"):
+            s = q6(math.log(n_docs[lg] / len(rows)))
+            for w in words:
+                s += q6(math.log((cnt[lg][w] + 1) / (n_tok[lg] + vocab)))
+            want[lg] = s
+        r = got[i]
+        assert abs(r["nb_score_a"] - float(want["a"])) < 1e-12, (i, r)
+        assert abs(r["nb_score_b"] - float(want["b"])) < 1e-12, (i, r)
+        want_pred = "a" if want["a"] >= want["b"] else "b"
+        assert r["nb_pred"] == want_pred, (i, r, want)
+
+
 def test_gopher_rules_each_rule_fires(spark):
     """Gopher rule set: every rule fails on a doc crafted to violate
     exactly it (plus the too-short rule those docs also trip), and a

@@ -70,6 +70,8 @@ def format_line(
 #: BENCH_LOCAL.json. Kept honest by tests/test_queries.py::
 #: test_bench_arm_map_matches_registry.
 ARM_MODES = {
+    "a24_sequence_packing": ["pack", "chunk"],
+    "a26_weighted_mixture": ["mix", "dsir"],
     "e01_dedup_exact": ["exact", "spans", "ranges", "lines"],
     "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
     "e09_token_stats": ["tok", "bpe", "abpe"],

@@ -215,3 +215,182 @@ def domain_cap(df: DataFrame, key_col: str, id_col: str, k: int = 10) -> DataFra
         .where(F.col("_rn") <= k)
         .select(id_col, key_col)
     )
+
+
+#: DSIR hashed-feature space size (the paper uses 10k buckets; a power
+#: of two keeps the modulo cheap and the oracle expression identical)
+DSIR_BUCKETS = 8192
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every
+    document by how much a hashed bag-of-words unigram model of the
+    TARGET slice (``target_pred``) prefers it over the model of the
+    whole corpus.
+
+    ``log w(doc) = Σ_tokens round6(log(p̂_t(f) / p̂_raw(f)))`` with
+    ``f = md5-hash(token) mod n_buckets`` and both models Laplace
+    smoothed. The paper resamples with Gumbel noise; the deterministic
+    weight is the engine primitive (callers threshold or rank it).
+
+    Shape at 100 TB: ONE token-explode pass; the feature-count table is
+    bucket-bounded (``n_buckets`` rows) no matter the corpus size, so it
+    aggregates map-side, BROADCASTS back, and the only corpus-keyed
+    shuffle is the per-doc sum. Contributions round to DECIMAL(18,6)
+    and sum exactly — a SQL oracle reproduces weights bit-for-bit.
+
+    Returns one row per document: ``(id, n_feats, dsir_log_weight)``
+    (token-free docs weigh 0.0 with n_feats 0).
+    """
+    from informixcdc_spark.catalog import rebalance
+    from informixcdc_spark.functions.text import tokens
+
+    feats = rebalance(docs).select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).alias("_f"),
+    )
+    counts = feats.groupBy("_f").agg(
+        F.count(F.lit(1)).alias("_c_all"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_c_t"),
+    ).persist()
+    tot = counts.agg(
+        F.sum("_c_all").alias("na"), F.sum("_c_t").alias("nt")
+    ).collect()[0]
+    n_all, n_t = int(tot["na"] or 0), int(tot["nt"] or 0)
+    ratio = (
+        (F.col("_c_t") + F.lit(1)).cast("double") / F.lit(n_t + n_buckets)
+    ) / (
+        (F.col("_c_all") + F.lit(1)).cast("double") / F.lit(n_all + n_buckets)
+    )
+    contrib = F.log(ratio).cast("decimal(18,6)")
+    sums = (
+        feats.join(F.broadcast(counts), "_f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(contrib).alias("_lw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(sums, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("int").alias("n_feats"),
+            F.coalesce(F.col("_lw").cast("double"), F.lit(0.0)).alias(
+                "dsir_log_weight"
+            ),
+        )
+    )
+
+
+def sql_dsir_ctes(
+    docs_sql: str,
+    target_where: str,
+    n_buckets: int = DSIR_BUCKETS,
+    prefix: str = "ds",
+) -> tuple[str, str]:
+    """DuckDB rendering of :func:`dsir_log_weights` as a CTE chain:
+    returns ``(cte_text, final_cte_name)``. ``docs_sql`` must select
+    ``(doc_id, text)``; ``target_where`` is the SQL predicate naming the
+    target slice over those columns."""
+    p = prefix
+    tok = "list_filter(string_split(text, ' '), x -> x <> '')"
+    ctes = [
+        f"""{p}f AS (
+        SELECT doc_id, {target_where} AS is_t,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {n_buckets} AS f
+        FROM (SELECT d.*, unnest({tok}) AS t FROM ({docs_sql}) d)
+    )""",
+        f"""{p}c AS (
+        SELECT f, COUNT(*) AS c_all,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+        FROM {p}f GROUP BY f
+    )""",
+        f"""{p}tot AS (
+        SELECT CAST(SUM(c_all) AS BIGINT) AS na,
+               CAST(SUM(c_t) AS BIGINT) AS nt FROM {p}c
+    )""",
+        f"""{p}s AS (
+        SELECT doc_id, COUNT(*) AS n_feats,
+               SUM(CAST(ln(
+                   (CAST(c_t + 1 AS DOUBLE) / (nt + {n_buckets}))
+                   / (CAST(c_all + 1 AS DOUBLE) / (na + {n_buckets}))
+               ) AS DECIMAL(18,6))) AS lw
+        FROM {p}f JOIN {p}c USING (f), {p}tot GROUP BY doc_id
+    )""",
+        f"""{p}w AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_feats, 0) AS INT) AS n_feats,
+               COALESCE(CAST(s.lw AS DOUBLE), 0.0) AS dsir_log_weight
+        FROM (SELECT doc_id FROM ({docs_sql})) d
+        LEFT JOIN {p}s s ON s.doc_id = d.doc_id
+    )""",
+    ]
+    return ",\n    ".join(ctes), f"{p}w"
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the sequence-prep step
+    that cuts documents into model-context windows (stride < size gives
+    the standard overlapping splits). Chunk starts are
+    ``1, 1+stride, 1+2·stride, …`` while a full-or-final window remains;
+    every document emits at least one chunk (short docs yield one short
+    chunk), and the final chunk is the remainder (never empty).
+
+    Pure row-local array arithmetic — slices posexplode off one
+    materialized token array, so the whole operator fuses into the scan
+    (zero shuffles; at 100 TB this is a map-only pass that writers
+    repartition downstream as needed).
+
+    Returns one row per chunk:
+    ``(id, chunk_id, chunk_tokens, chunk_fp)`` — ``chunk_fp`` the md5 of
+    the space-rejoined chunk (the dedup/tracing key).
+    """
+    from informixcdc_spark.catalog import rebalance
+    from informixcdc_spark.functions.text import tokens
+
+    toked = rebalance(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    )
+    n = F.size("_tok")
+    # number of chunks: 1 + ceil(max(n - size, 0) / stride), via integer
+    # arithmetic both engines share
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(size), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    chunks = F.transform(
+        starts, lambda i: F.slice(F.col("_tok"), i * F.lit(stride) + 1, size)
+    )
+    return toked.where(n >= 1).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("_chunk").cast("int").alias("chunk_tokens"),
+        F.md5(F.array_join(F.col("_chunk"), " ")).alias("chunk_fp"),
+    )

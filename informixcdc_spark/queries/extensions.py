@@ -29,6 +29,7 @@ from informixcdc_spark.operators.dedup import (
 )
 from informixcdc_spark.operators.curation import (
     sql_deterministic_split,
+    sql_dsir_ctes,
     sql_weighted_keep,
     sql_zorder_key,
 )
@@ -2021,6 +2022,9 @@ def e23_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAPACITY = 2048
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 128, 96
+
+
 @register(
     "a24_sequence_packing",
     oracle=f"""
@@ -2034,15 +2038,56 @@ _PACK_CAPACITY = 2048
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) / {_PACK_CAPACITY}.0) AS BIGINT) AS bin_id
         FROM toked
+    ),
+    -- 'chunk' arm: fixed 128-token windows at stride 96, md5 chunk
+    -- fingerprints; per-doc chunk census keeps the arm's grading rows
+    -- bounded while the fingerprint checksum pins every slice
+    ctoked AS (SELECT doc_id, {_SQL_TOK} AS tok FROM documents
+               WHERE len({_SQL_TOK}) >= 1),
+    chunks AS (
+        SELECT doc_id, CAST(c['cid'] AS INT) AS chunk_id,
+               c['chunk'] AS chunk
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'cid': i - 1,
+                            'chunk': tok[(i - 1) * {_CHUNK_STRIDE} + 1 :
+                                         (i - 1) * {_CHUNK_STRIDE}
+                                         + {_CHUNK_SIZE}]}}
+                           for i in generate_series(1,
+                               1 + CAST(FLOOR((GREATEST(len(tok)
+                                   - {_CHUNK_SIZE}, 0)
+                                   + {_CHUNK_STRIDE - 1})
+                                   / {_CHUNK_STRIDE}.0) AS INT))]) AS c
+            FROM ctoked
+        )
     )
-    SELECT source, bin_id, COUNT(*) AS n_docs,
+    SELECT 'pack' AS mode, source, bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           CAST(NULL AS VARCHAR) AS chunks_fp
     FROM binned GROUP BY source, bin_id
+    UNION ALL
+    SELECT 'chunk' AS mode, CAST(NULL AS VARCHAR) AS source,
+           doc_id AS bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(len(chunk)) AS BIGINT) AS total_tokens,
+           CAST(MIN(len(chunk)) AS BIGINT) AS first_doc,
+           CAST(MAX(len(chunk)) AS BIGINT) AS last_doc,
+           md5(string_agg(md5(array_to_string(chunk, ' ')), '|'
+               ORDER BY chunk_id)) AS chunks_fp
+    FROM chunks GROUP BY doc_id
     """,
 )
 def e24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sequence-prep arms: 'pack' — greedy contiguous packing into
+    fixed token-capacity bins per source shard (per-shard running-sum
+    window, never a global sort); 'chunk' (round 8) — fixed-size token
+    chunking with overlap (operators/curation.py::chunk_tokens, a
+    zero-shuffle scan-fused map), graded per document as a chunk census
+    plus an order-sensitive md5-of-fingerprints checksum that pins every
+    slice boundary."""
     from pyspark.sql import Window
+
+    from informixcdc_spark.operators.curation import chunk_tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
@@ -2053,7 +2098,7 @@ def e24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    return (
+    pack = (
         docs.withColumn(
             "bin_id",
             F.floor(cum_before / float(_PACK_CAPACITY)).cast("bigint"),
@@ -2065,7 +2110,53 @@ def e24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
+        .select(
+            F.lit("pack").alias("mode"),
+            "source",
+            "bin_id",
+            "n_docs",
+            "total_tokens",
+            "first_doc",
+            "last_doc",
+            F.lit(None).cast("string").alias("chunks_fp"),
+        )
     )
+    ch = (
+        chunk_tokens(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            size=_CHUNK_SIZE,
+            stride=_CHUNK_STRIDE,
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chunk_tokens").alias("total_tokens"),
+            F.min("chunk_tokens").cast("long").alias("first_doc"),
+            F.max("chunk_tokens").cast("long").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "chunk_fp"))
+                        ),
+                        lambda s: s["chunk_fp"],
+                    ),
+                    "|",
+                )
+            ).alias("chunks_fp"),
+        )
+        .select(
+            F.lit("chunk").alias("mode"),
+            F.lit(None).cast("string").alias("source"),
+            F.col("doc_id").alias("bin_id"),
+            "n_docs",
+            "total_tokens",
+            "first_doc",
+            "last_doc",
+            "chunks_fp",
+        )
+    )
+    return pack.unionByName(ch)
 
 
 # ---------------------------------------------------------------------------
@@ -2122,23 +2213,49 @@ _MIX_RATES = {"en": 1.0, "de": 0.75, "es": 0.5, "fr": 0.5}
 _MIX_DEFAULT = 0.25
 
 
+_DSIR_CTES, _DSIR_FINAL = sql_dsir_ctes(
+    "SELECT doc_id, text, lang FROM documents", "lang = 'en'"
+)
+
+
 @register(
     "a26_weighted_mixture",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n_total,
+    WITH {_DSIR_CTES}
+    SELECT 'mix' AS mode, lang, COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(SUM(CASE WHEN {sql_weighted_keep("doc_id", "lang", _MIX_RATES, _MIX_DEFAULT)}
-                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS INT) AS n_feats,
+           CAST(NULL AS DOUBLE) AS dsir_log_weight
     FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'dsir' AS mode, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS kept_chars,
+           doc_id, n_feats, dsir_log_weight
+    FROM {_DSIR_FINAL}
     """,
 )
 def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from informixcdc_spark.operators.curation import weighted_keep
+    """Two data-selection arms: 'mix' — deterministic per-language
+    downsampling (row-local keep predicate, per-stratum realized-mixture
+    counts); 'dsir' (round 8) — DSIR importance weights (Xie et al.
+    NeurIPS'23) of every document against an English-target hashed
+    unigram model: one token explode, a bucket-bounded feature-count
+    table broadcast back, one doc-keyed decimal sum
+    (operators/curation.py::dsir_log_weights)."""
+    from informixcdc_spark.operators.curation import (
+        dsir_log_weights,
+        weighted_keep,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     keep = weighted_keep("doc_id", F.col("lang"), _MIX_RATES, _MIX_DEFAULT)
-    return (
+    null_l = F.lit(None).cast("long")
+    mix = (
         docs.withColumn("_keep", keep)
         .groupBy("lang")
         .agg(
@@ -2148,7 +2265,30 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_chars"
             ),
         )
+        .select(
+            F.lit("mix").alias("mode"),
+            "lang",
+            "n_total",
+            "n_kept",
+            "kept_chars",
+            null_l.alias("doc_id"),
+            F.lit(None).cast("int").alias("n_feats"),
+            F.lit(None).cast("double").alias("dsir_log_weight"),
+        )
     )
+    ds = dsir_log_weights(
+        docs.select("doc_id", "text", "lang"), F.col("lang") == "en"
+    ).select(
+        F.lit("dsir").alias("mode"),
+        F.lit(None).cast("string").alias("lang"),
+        null_l.alias("n_total"),
+        null_l.alias("n_kept"),
+        null_l.alias("kept_chars"),
+        "doc_id",
+        "n_feats",
+        "dsir_log_weight",
+    )
+    return mix.unionByName(ds)
 
 
 # ---------------------------------------------------------------------------

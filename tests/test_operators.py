@@ -1410,6 +1410,105 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_dsir_log_weights_match_pure_python(spark):
+    """dsir_log_weights reproduces the hashed-unigram importance-weight
+    recurrence (Laplace-smoothed target/raw ratio, decimal-rounded
+    contributions) on a random corpus with an English-like target."""
+    import hashlib
+    import math
+    import random
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from informixcdc_spark.operators.curation import dsir_log_weights
+
+    rng = random.Random(23)
+    tgt_vocab = ["the", "of", "and", "model", "corpus"]
+    raw_vocab = ["le", "der", "el", "und", "avec", "data"]
+    rows = []
+    for i in range(50):
+        vocab = tgt_vocab if i % 3 == 0 else raw_vocab
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        )
+    rows.append((50, ""))  # token-free
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    B = 8192
+    got = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            docs, F.col("doc_id") % 3 == 0, n_buckets=B
+        ).collect()
+    }
+
+    def feat(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+
+    def q6(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+
+    tok = {i: t.split() for i, t in rows}
+    c_all: Counter = Counter()
+    c_t: Counter = Counter()
+    for i, ws in tok.items():
+        fs = [feat(w) for w in ws]
+        c_all.update(fs)
+        if i % 3 == 0:
+            c_t.update(fs)
+    na, nt = sum(c_all.values()), sum(c_t.values())
+    for i, ws in tok.items():
+        w = Decimal(0)
+        for t in ws:
+            f = feat(t)
+            w += q6(
+                math.log(
+                    ((c_t[f] + 1) / (nt + B)) / ((c_all[f] + 1) / (na + B))
+                )
+            )
+        r = got[i]
+        assert r["n_feats"] == len(ws), (i, r)
+        assert abs(r["dsir_log_weight"] - float(w)) < 1e-12, (i, r, w)
+    # target-like docs outweigh raw-like ones
+    t_avg = sum(got[i]["dsir_log_weight"] for i in range(0, 50, 3)) / 17
+    r_avg = sum(
+        got[i]["dsir_log_weight"] for i in range(50) if i % 3 != 0
+    ) / 33
+    assert t_avg > 0 > r_avg
+
+
+def test_chunk_tokens_covers_and_overlaps(spark):
+    """chunk_tokens: every document is covered by chunks at stride
+    offsets, the final chunk is the remainder, short docs emit exactly
+    one chunk, fingerprints match the rejoined slices."""
+    import hashlib
+
+    from informixcdc_spark.operators.curation import chunk_tokens
+
+    rows = [
+        (0, " ".join(f"w{j}" for j in range(300))),  # 3 chunks
+        (1, " ".join(f"w{j}" for j in range(128))),  # exactly one window
+        (2, "a b c"),  # short: one 3-token chunk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in chunk_tokens(docs, size=128, stride=96).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        toks = text.split()
+        want_n = 1 + max(0, -(-(len(toks) - 128) // 96)) if len(toks) > 128 else 1
+        chunks = sorted(got[i], key=lambda r: r["chunk_id"])
+        assert len(chunks) == want_n, (i, len(chunks), want_n)
+        for c in chunks:
+            start = c["chunk_id"] * 96
+            sl = toks[start : start + 128]
+            assert c["chunk_tokens"] == len(sl)
+            fp = hashlib.md5(" ".join(sl).encode()).hexdigest()
+            assert c["chunk_fp"] == fp, (i, c["chunk_id"])
+        # coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["chunk_id"] * 96 + last["chunk_tokens"] == len(toks)
+
+
 def test_nb_classifier_matches_pure_python(spark):
     """nb_train/nb_score reproduce textbook multinomial NB with Laplace
     smoothing — decimal-rounded per-term contributions, priors, scores

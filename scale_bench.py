@@ -56,7 +56,9 @@ from informixcdc_spark.session import get_spark  # noqa: E402
 #: (savepoints + SCD2 history + compaction; incremental view), dim
 #: join+agg, pure agg, windows, join variants, exact dedup, MinHash
 #: near-dup, vector + lexical top-k (e07 carries brute/LSH/BM25/stream
-#: arms), graph (cc + pagerank), benchmark decontamination,
+#: arms), quality models (e10 carries the heuristic/Gopher fold exprs,
+#: the bigram LM and the weak-label NB classifier), graph (cc +
+#: pagerank), benchmark decontamination (exact/coarse/fuzzy arms),
 #: sessionization.
 QUERIES = [
     "c01_cdc_apply_net_effect",
@@ -69,6 +71,7 @@ QUERIES = [
     "e01_dedup_exact",
     "e03_minhash_lsh_jaccard",
     "e07_knn_exact_and_lsh",
+    "e10_quality_repetition",
     "e20_dedup_clusters",
     "e27_decontamination",
     "a31_sessionization",

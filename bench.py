@@ -77,7 +77,7 @@ ARM_MODES = {
     "e09_token_stats": ["tok", "bpe", "abpe"],
     "e07_knn_exact_and_lsh": ["exact", "lsh", "bm25", "sbm25"],
     "e12_embedding_near_dups": ["lsh", "semdedup"],
-    "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq"],
+    "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq", "sq"],
     "e20_dedup_clusters": ["cc", "pagerank"],
     "e27_decontamination": ["exact", "coarse", "fuzzy"],
 }

@@ -506,3 +506,124 @@ def pq_encode_arrow(
         _run,
         schema=f"{id_col} {dtypes[id_col]}, codes array<int>{keep_schema}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the OTHER standard FAISS compression:
+# per-DIMENSION affine byte codes instead of per-subspace codewords.
+# Cheaper to train than PQ (two scalars per dimension, no Lloyd), less
+# compression-aware; production stacks offer both (faiss SQ8 vs PQ).
+# ---------------------------------------------------------------------------
+
+
+def sq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) quantization bounds.
+
+    One posexplode + a dimension-keyed min/max aggregate: the shuffle
+    carries at most D rows per map partition (map-side combined) and
+    the collect is D rows — metadata-sized, like the k-means codebook
+    collects. Degenerate dimensions (min == max) are handled at encode
+    time (range treated as 1, every code 0, reconstruction exact)."""
+    from informixcdc_spark.catalog import rebalance
+
+    rows = (
+        rebalance(corpus)
+        .select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_dim = sorted((int(r["d"]), float(r["mn"]), float(r["mx"])) for r in rows)
+    return [(mn, mx) for _, mn, mx in by_dim]
+
+
+def _sq_literal_arrays(
+    bounds: list[tuple[float, float]],
+) -> tuple[Column, Column]:
+    mins = F.array(*[F.lit(mn).cast("double") for mn, _ in bounds])
+    rngs = F.array(
+        *[
+            F.lit((mx - mn) if mx > mn else 1.0).cast("double")
+            for mn, mx in bounds
+        ]
+    )
+    return mins, rngs
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """``(id, codes array<int>)`` — one byte-range code per dimension:
+    ``code_d = clamp(floor((x_d - min_d) · (levels-1) / range_d))``.
+
+    The bounds are plan-time literal arrays, so encoding — like
+    :func:`pq_encode` — is a zero-shuffle scan-fused projection:
+    compressing 100 TB is one map pass (4·D bytes → D codes)."""
+    mins, rngs = _sq_literal_arrays(bounds)
+    code = lambda x, i: (  # noqa: E731
+        F.least(
+            F.greatest(
+                F.floor(
+                    (x.cast("double") - F.element_at(mins, i + F.lit(1)))
+                    * F.lit(levels - 1)
+                    / F.element_at(rngs, i + F.lit(1))
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(levels - 1).cast("long"),
+        ).cast("int")
+    )
+    return corpus.select(
+        F.col(id_col), F.transform(F.col(vec_col), code).alias("codes")
+    )
+
+
+def sq_decode_expr(
+    codes: Column,
+    bounds: list[tuple[float, float]],
+    levels: int = 256,
+) -> Column:
+    """Reconstruction as a column expression:
+    ``min_d + (code_d · range_d) / (levels-1)`` — the multiply-BEFORE-
+    divide order is pinned so integer-exact fixtures (code·range a
+    multiple of levels-1) reconstruct bit-equal to the original."""
+    mins, rngs = _sq_literal_arrays(bounds)
+    return F.transform(
+        codes,
+        lambda c, i: (
+            F.element_at(mins, i + F.lit(1))
+            + (c.cast("double") * F.element_at(rngs, i + F.lit(1)))
+            / F.lit(levels - 1)
+        ).cast("float"),
+    )
+
+
+def sq_search(
+    queries: DataFrame,
+    encoded: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    levels: int = 256,
+) -> DataFrame:
+    """Exact-over-reconstruction top-k: decode the (compressed) corpus
+    on the fly — another scan-fused projection, no stored floats — and
+    rank by cosine against the full-precision queries, sharing
+    :func:`..similarity.brute_force_knn`'s broadcast-query/windowed
+    top-k shape and fold order. Output (query_id, rank, neighbor_id,
+    cosine)."""
+    from informixcdc_spark.operators.similarity import brute_force_knn
+
+    recon = encoded.select(
+        F.col(id_col),
+        sq_decode_expr(F.col("codes"), bounds, levels).alias(vec_col),
+    )
+    return brute_force_knn(recon, queries, id_col, vec_col, k)

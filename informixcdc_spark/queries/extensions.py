@@ -1578,6 +1578,32 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT * FROM scored WHERE rnk <= 3
     )
+    UNION ALL
+    SELECT 'sq' AS mode, query_id, CAST(rnk AS INT) AS rank,
+           neighbor_id, cosine, CAST(NULL AS BIGINT) AS cell
+    FROM (
+        WITH sv AS (
+            SELECT vec_id,
+                   [CASE WHEN d = vec_id % 8 THEN 4.0::FLOAT
+                         WHEN d = 8 + vec_id % 5 THEN 1.0::FLOAT
+                         ELSE 0.0::FLOAT END
+                    for d in generate_series(0, 12)] AS embedding
+            FROM embeddings WHERE vec_id < 1024
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM sv
+              WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM sv),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   {_sql_cosine("qv", "cv")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_sql_cosine("qv", "cv")} DESC, neighbor_id
+                   ) AS rnk
+            FROM q JOIN c ON neighbor_id <> query_id
+        )
+        SELECT * FROM scored WHERE rnk <= 3
+    )
     """,
 )
 def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,11 +1729,37 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.lit(None).cast("long").alias("cell"),
     )
+    # sq arm (round 8): scalar quantization, the per-DIMENSION affine
+    # byte-code compression next to PQ's per-subspace codewords. On this
+    # fixture every dimension's values are {0,4} or {0,1}, so codes are
+    # exactly 0/255, reconstruction (multiply-before-divide pinned) is
+    # bit-equal to the original, and search-over-reconstruction equals
+    # exact brute force — the same closed form the oracle states. Train
+    # = one D-bounded min/max agg; encode/decode are zero-shuffle
+    # literal-bound projections.
+    from informixcdc_spark.operators.quantization import (
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
+
+    bounds = sq_train(corp)
+    sq = sq_search(
+        synth.where(vid < 10), sq_encode(corp, bounds), bounds, k=3
+    ).select(
+        F.lit("sq").alias("mode"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("long").alias("cell"),
+    )
     return (
         ivf.unionByName(km)
         .unionByName(stream)
         .unionByName(pq)
         .unionByName(ivfpq)
+        .unionByName(sq)
     )
 
 

@@ -1410,6 +1410,62 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_sq_quantization_roundtrip_and_search(spark):
+    """Scalar quantization: codes stay in [0, levels), reconstruction
+    error is bounded by range/(levels-1) per dimension on random data,
+    degenerate (constant) dims reconstruct exactly, and on an
+    integer-exact fixture search-over-reconstruction equals exact
+    brute force."""
+    import random
+
+    from informixcdc_spark.operators.quantization import (
+        sq_decode_expr,
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
+    from informixcdc_spark.operators.similarity import brute_force_knn
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(6)] + [3.25]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bounds = sq_train(df)
+    assert len(bounds) == 7
+    assert bounds[6] == (3.25, 3.25)  # degenerate dim
+    enc = sq_encode(df, bounds)
+    dec = {
+        r["vec_id"]: r["recon"]
+        for r in enc.select(
+            "vec_id", sq_decode_expr(F.col("codes"), bounds).alias("recon")
+        ).collect()
+    }
+    orig = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for i, v in orig.items():
+        for d, (mn, mx) in enumerate(bounds):
+            step = (mx - mn) / 255 if mx > mn else 0.0
+            assert abs(dec[i][d] - v[d]) <= step + 1e-6, (i, d)
+        assert dec[i][6] == 3.25
+
+    # integer-exact fixture: values are multiples of range/255
+    exact = spark.createDataFrame(
+        [
+            (i, [4.0 if d == i % 4 else 0.0 for d in range(4)] + [float(i % 2)])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    b2 = sq_train(exact)
+    got = sq_search(
+        exact.where(F.col("vec_id") < 3), sq_encode(exact, b2), b2, k=4
+    )
+    want = brute_force_knn(exact, exact.where(F.col("vec_id") < 3), k=4)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_dsir_log_weights_match_pure_python(spark):
     """dsir_log_weights reproduces the hashed-unigram importance-weight
     recurrence (Laplace-smoothed target/raw ratio, decimal-rounded

@@ -444,6 +444,63 @@ def test_semantic_dedup_broadcasts_codebook_bounds_pairs(spark):
     ), plan
 
 
+def test_dsir_feature_counts_broadcast_back(spark):
+    """DSIR's scale contract: the bucket-bounded feature-count table
+    reaches the corpus token stream via BROADCAST (a corpus shuffle
+    keyed on features would be the 100 TB killer); the only corpus-keyed
+    exchange is the per-doc sum. Nothing cartesian, no SortAggregate."""
+    from informixcdc_spark.operators.curation import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} beta gamma") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = formatted_plan(
+        dsir_log_weights(docs, F.col("doc_id") % 3 == 0, n_buckets=64)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, plan
+    assert "BroadcastNestedLoopJoin" not in tree, plan
+    assert "SortAggregate" not in tree, plan
+    assert tree.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_chunk_tokens_zero_shuffle(spark):
+    """chunk_tokens fuses into the scan: the only exchange allowed in
+    its plan is the rebalance repartition — chunk starts, slices and
+    fingerprints are row-local array arithmetic."""
+    import re
+
+    from informixcdc_spark.operators.curation import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(200))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = formatted_plan(chunk_tokens(docs, size=64, stride=48))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 1, f"{n_exchange} exchanges: {plan}"
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_sq_encode_is_scan_fused(spark):
+    """SQ encoding — like PQ's — is a zero-exchange projection against
+    plan-time literal bounds: compressing the corpus is one map pass."""
+    import re
+
+    from informixcdc_spark.operators.quantization import sq_encode
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 2)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = formatted_plan(sq_encode(emb, [(0.0, 3.0), (0.0, 1.0)]))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 0, f"{n_exchange} exchanges: {plan}"
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+
+
 def test_decontaminate_fuzzy_broadcasts_bench_side(spark):
     """Fuzzy decontamination's scale contract: the benchmark side
     (suite-sized) reaches the corpus via BROADCAST joins at both the

@@ -71,7 +71,7 @@ def format_line(
 #: test_bench_arm_map_matches_registry.
 ARM_MODES = {
     "a24_sequence_packing": ["pack", "chunk"],
-    "a26_weighted_mixture": ["mix", "dsir"],
+    "a26_weighted_mixture": ["mix", "dsir", "dsel"],
     "e01_dedup_exact": ["exact", "spans", "ranges", "lines"],
     "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
     "e09_token_stats": ["tok", "bpe", "abpe"],

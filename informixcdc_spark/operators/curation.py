@@ -394,3 +394,60 @@ def chunk_tokens(
         F.size("_chunk").cast("int").alias("chunk_tokens"),
         F.md5(F.array_join(F.col("_chunk"), " ")).alias("chunk_fp"),
     )
+
+
+def gumbel_key(
+    id_col: Column | str, log_weight: Column, m: int = 2**32
+) -> Column:
+    """Deterministic Gumbel-top-k sampling key:
+    ``log w + Gumbel(0,1)`` with the Gumbel drawn from a doc-keyed
+    md5 uniform ``u = (h + 0.5) / 2^32`` — the exponential-clocks
+    construction that turns weighted sampling WITHOUT replacement into
+    a top-k by key (Efraimidis-Spirakis / Gumbel-top-k). Seeding the
+    noise from the row id makes the sample reproducible across runs,
+    partitionings and engines; the association order is pinned and
+    mirrored by :func:`sql_gumbel_key`."""
+    h = F.conv(
+        F.substring(F.md5(_col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(m))
+    return log_weight + -(F.log(-(F.log(u))))
+
+
+def sql_gumbel_key(id_expr: str, weight_expr: str, m: int = 2**32) -> str:
+    """ANSI-SQL twin of :func:`gumbel_key` for a DuckDB oracle."""
+    h = f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    u = f"((CAST({h} AS DOUBLE) + 0.5) / {float(m)!r})"
+    return f"{weight_expr} + -(ln(-(ln({u}))))"
+
+
+def dsir_select(
+    weighted: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_log_weight",
+    k: int = 5,
+) -> DataFrame:
+    """DSIR's RESAMPLING step: per stratum, the top-k documents by
+    Gumbel-perturbed importance weight — sampling k docs proportionally
+    to exp(weight) without replacement, made deterministic by the
+    seeded noise. The window partitions by the stratum, so at 100 TB
+    the sort is per-stratum and parallel (never global); keys round to
+    DECIMAL(18,6) before ranking so the oracle's order is identical.
+
+    Returns ``(stratum, id, weight, sel_rank)`` for the k winners."""
+    key = gumbel_key(id_col, F.col(weight_col)).cast("decimal(18,6)")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_key").desc(), id_col
+    )
+    return (
+        weighted.withColumn("_key", key)
+        .withColumn("sel_rank", F.row_number().over(w))
+        .where(F.col("sel_rank") <= k)
+        .select(
+            stratum_col,
+            id_col,
+            weight_col,
+            F.col("sel_rank").cast("int").alias("sel_rank"),
+        )
+    )

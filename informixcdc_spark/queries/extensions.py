@@ -30,6 +30,7 @@ from informixcdc_spark.operators.dedup import (
 from informixcdc_spark.operators.curation import (
     sql_deterministic_split,
     sql_dsir_ctes,
+    sql_gumbel_key,
     sql_weighted_keep,
     sql_zorder_key,
 )
@@ -2281,26 +2282,47 @@ _DSIR_CTES, _DSIR_FINAL = sql_dsir_ctes(
                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
            CAST(NULL AS BIGINT) AS doc_id,
            CAST(NULL AS INT) AS n_feats,
-           CAST(NULL AS DOUBLE) AS dsir_log_weight
+           CAST(NULL AS DOUBLE) AS dsir_log_weight,
+           CAST(NULL AS INT) AS sel_rank
     FROM documents GROUP BY lang
     UNION ALL
     SELECT 'dsir' AS mode, CAST(NULL AS VARCHAR) AS lang,
            CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS BIGINT) AS n_kept,
            CAST(NULL AS BIGINT) AS kept_chars,
-           doc_id, n_feats, dsir_log_weight
+           doc_id, n_feats, dsir_log_weight,
+           CAST(NULL AS INT) AS sel_rank
     FROM {_DSIR_FINAL}
+    UNION ALL
+    SELECT 'dsel' AS mode, lang,
+           CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS kept_chars,
+           doc_id, CAST(NULL AS INT) AS n_feats, dsir_log_weight,
+           CAST(rk AS INT) AS sel_rank
+    FROM (
+        SELECT d.lang, w.doc_id, w.dsir_log_weight,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY CAST({sql_gumbel_key("w.doc_id", "w.dsir_log_weight")}
+                            AS DECIMAL(18,6)) DESC, w.doc_id
+               ) AS rk
+        FROM {_DSIR_FINAL} w JOIN documents d USING (doc_id)
+    ) WHERE rk <= 5
     """,
 )
 def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two data-selection arms: 'mix' — deterministic per-language
+    """Three data-selection arms: 'mix' — deterministic per-language
     downsampling (row-local keep predicate, per-stratum realized-mixture
     counts); 'dsir' (round 8) — DSIR importance weights (Xie et al.
     NeurIPS'23) of every document against an English-target hashed
     unigram model: one token explode, a bucket-bounded feature-count
     table broadcast back, one doc-keyed decimal sum
-    (operators/curation.py::dsir_log_weights)."""
+    (operators/curation.py::dsir_log_weights); 'dsel' (round 8) — the
+    paper's RESAMPLING step, per-language Gumbel top-5 over the
+    weights (seeded noise => deterministic sample; stratum-partitioned
+    window => per-stratum sort at scale)."""
     from informixcdc_spark.operators.curation import (
         dsir_log_weights,
+        dsir_select,
         weighted_keep,
     )
 
@@ -2326,11 +2348,13 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_l.alias("doc_id"),
             F.lit(None).cast("int").alias("n_feats"),
             F.lit(None).cast("double").alias("dsir_log_weight"),
+            F.lit(None).cast("int").alias("sel_rank"),
         )
     )
-    ds = dsir_log_weights(
+    weights = dsir_log_weights(
         docs.select("doc_id", "text", "lang"), F.col("lang") == "en"
-    ).select(
+    )
+    ds = weights.select(
         F.lit("dsir").alias("mode"),
         F.lit(None).cast("string").alias("lang"),
         null_l.alias("n_total"),
@@ -2339,8 +2363,25 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_feats",
         "dsir_log_weight",
+        F.lit(None).cast("int").alias("sel_rank"),
     )
-    return mix.unionByName(ds)
+    # dsel: DSIR's resampling step — per-language Gumbel top-5 over the
+    # weights (seeded noise => deterministic sample; stratum-partitioned
+    # window => per-stratum sort at scale, never global)
+    sel = dsir_select(
+        weights.join(docs.select("doc_id", "lang"), "doc_id"), "lang", k=5
+    ).select(
+        F.lit("dsel").alias("mode"),
+        "lang",
+        null_l.alias("n_total"),
+        null_l.alias("n_kept"),
+        null_l.alias("kept_chars"),
+        "doc_id",
+        F.lit(None).cast("int").alias("n_feats"),
+        "dsir_log_weight",
+        "sel_rank",
+    )
+    return mix.unionByName(ds).unionByName(sel)
 
 
 # ---------------------------------------------------------------------------

@@ -1565,6 +1565,41 @@ def test_chunk_tokens_covers_and_overlaps(spark):
         assert last["chunk_id"] * 96 + last["chunk_tokens"] == len(toks)
 
 
+def test_dsir_select_matches_pure_python_gumbel(spark):
+    """dsir_select reproduces the seeded Gumbel-top-k resampling:
+    per-stratum ranks match a pure-Python replay of the identical
+    md5-uniform → Gumbel → decimal-rounded-key pipeline."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from informixcdc_spark.operators.curation import dsir_select
+
+    rows = [
+        (i, "s%d" % (i % 3), float(i % 7) - 3.0) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, dsir_log_weight double"
+    )
+    got = {
+        (r["lang"], r["sel_rank"]): r["doc_id"]
+        for r in dsir_select(df, "lang", k=4).collect()
+    }
+
+    def key(i: int, w: float) -> Decimal:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        return Decimal(w + -(math.log(-(math.log(u))))).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+
+    for s in ("s0", "s1", "s2"):
+        members = [(i, w) for i, lg, w in rows if lg == s]
+        ranked = sorted(members, key=lambda iw: (-key(*iw), iw[0]))[:4]
+        for rank, (i, _) in enumerate(ranked, start=1):
+            assert got[(s, rank)] == i, (s, rank, got[(s, rank)], i)
+
+
 def test_nb_classifier_matches_pure_python(spark):
     """nb_train/nb_score reproduce textbook multinomial NB with Laplace
     smoothing — decimal-rounded per-term contributions, priors, scores

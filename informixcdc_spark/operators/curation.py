@@ -451,3 +451,35 @@ def dsir_select(
             F.col("sel_rank").cast("int").alias("sel_rank"),
         )
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out for two-dimensional data
+    skipping: range-partition on the Morton key (:func:`zorder_key`)
+    into ``n_files`` output partitions and sort within each partition
+    by the key, then drop the key column.
+
+    This is the write-path half of e25's layout math: because the
+    Z-curve keeps both coordinates locally narrow along the key order,
+    every output file's ordinary parquet min/max column statistics span
+    a small tile in BOTH ``x_col`` and ``y_col`` — so a reader's
+    2-D range predicate prunes whole files with the engine's existing
+    stats machinery, no index needed. ``repartitionByRange`` samples
+    the key (one extra pass over the key column only) and the sort is
+    per-partition — never a global sort of the data rows at 100 TB.
+    """
+    keyed = df.withColumn("_z", zorder_key(x_col, y_col, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

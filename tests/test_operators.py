@@ -1410,6 +1410,43 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_write_zordered_files_are_2d_tiles(spark, tmp_path):
+    """The z-ordered layout's skipping property: every output file's
+    (min,max) extent is a small tile in BOTH dimensions — total covered
+    area a small fraction of the full grid — while a y-sorted layout
+    leaves x unconstrained per file. Also: rows round-trip unchanged."""
+    import glob
+
+    from informixcdc_spark.operators.curation import write_zordered
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    )
+    out = str(tmp_path / "zord")
+    write_zordered(grid, out, "x", "y", bits=6, n_files=16)
+
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 8
+    covered = 0
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count("*")
+            )
+            .collect()[0]
+        )
+        covered += (r[1] - r[0] + 1) * (r[3] - r[2] + 1)
+    # perfect tiling covers n*n once; allow generous slack for range
+    # boundaries that split a z-tile — but far below the y-sorted
+    # layout's n_files * n * (n/n_files) ≈ full-grid-per-dimension blowup
+    assert covered <= 4 * n * n, covered
+    total = spark.read.parquet(out).count()
+    assert total == n * n
+
+
 def test_sq_quantization_roundtrip_and_search(spark):
     """Scalar quantization: codes stay in [0, levels), reconstruction
     error is bounded by range/(levels-1) per dimension on random data,

@@ -158,3 +158,45 @@ def test_pagerank_matches_pure_python(spark, edges):
             )
         r = {i: base + float(inflow[i]) for i in range(_N_NODES)}
     assert got == r
+
+
+@settings(
+    max_examples=20,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+    size=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=1, max_value=6),
+)
+def test_chunk_tokens_matches_pure_python(spark, lens, size, overlap):
+    """Hypothesis: chunk_tokens over random doc lengths / chunk sizes /
+    strides equals a pure-Python chunker — chunk counts, slice
+    boundaries, remainders and fingerprints (derandomized). Zero-token
+    docs emit nothing; every other doc is fully covered."""
+    import hashlib
+
+    from informixcdc_spark.operators.curation import chunk_tokens
+
+    stride = max(1, size - overlap)
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[tuple[int, int], tuple] = {}
+    for r in chunk_tokens(docs, size=size, stride=stride).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (r["chunk_tokens"], r["chunk_fp"])
+
+    want: dict[tuple[int, int], tuple] = {}
+    for i, n in enumerate(lens):
+        toks = rows[i][1].split()
+        if n == 0:
+            continue
+        n_chunks = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
+        for c in range(n_chunks):
+            sl = toks[c * stride : c * stride + size]
+            want[(i, c)] = (
+                len(sl),
+                hashlib.md5(" ".join(sl).encode()).hexdigest(),
+            )
+    assert got == want

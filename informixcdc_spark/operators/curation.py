@@ -367,9 +367,19 @@ def chunk_tokens(
     Returns one row per chunk:
     ``(id, chunk_id, chunk_tokens, chunk_fp)`` — ``chunk_fp`` the md5 of
     the space-rejoined chunk (the dedup/tracing key).
+
+    ``stride`` must be in [1, size]: overlapping (stride < size) or
+    contiguous (stride == size) windows. A larger stride would skip
+    tokens AND let the final chunk start past the document's end
+    (an empty phantom chunk) — fail loudly instead.
     """
     from informixcdc_spark.catalog import rebalance
     from informixcdc_spark.functions.text import tokens
+
+    if not 1 <= stride <= size:
+        raise ValueError(
+            f"stride must be in [1, size]; got stride={stride}, size={size}"
+        )
 
     toked = rebalance(docs).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_tok")

@@ -105,6 +105,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     from informixcdc_spark.queries.relational import bucketed_orders_lineitem
 
     orders, lineitem = bucketed_orders_lineitem(spark, sf_dir)
+    # restore the SESSION's tuned threshold, not Spark's default —
+    # conf.unset would leave 10MB where get_spark set 64MB, flipping
+    # later tests' model-table joins from broadcast to shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -112,7 +116,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_salted_join_spreads_hot_keys(spark, sf_dir):
@@ -121,12 +125,13 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     # splits one hot key across tasks
     from informixcdc_spark.queries.relational import q25_salted_skew_join
 
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = formatted_plan(q25_salted_skew_join(spark, sf_dir))
         assert "_salt" in plan and "hashpartitioning(user_id" in plan, plan
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_pii_redaction_is_shuffle_free(spark, sf_dir):
@@ -138,17 +143,26 @@ def test_pii_redaction_is_shuffle_free(spark, sf_dir):
 
 
 def test_sequence_packing_single_pershard_shuffle(spark, sf_dir):
-    # exactly ONE exchange (on the shard key); tokenization happens
-    # BELOW it, so the shuffle carries (source, doc_id, n_tok) ints —
-    # never the document text; the final agg reuses the window's
-    # partitioning instead of adding a second exchange
+    # pack arm (isolated via the mode filter — PruneFilters constant-
+    # folds the chunk branch away): exactly ONE exchange (on the shard
+    # key); tokenization happens BELOW it, so the shuffle carries
+    # (source, doc_id, n_tok) ints — never the document text; the final
+    # agg reuses the window's partitioning instead of adding a second
+    # exchange
     from informixcdc_spark.queries.extensions import e24_sequence_packing
 
-    df = e24_sequence_packing(spark, sf_dir)
+    df = e24_sequence_packing(spark, sf_dir).where(F.col("mode") == "pack")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     scan_side = plan.split("Exchange")[1]  # text below the exchange only
     assert "split(text" in scan_side, plan
+    # chunk arm: slices/fingerprints are row-local — its only exchanges
+    # are the rebalance repartition and the per-doc census agg, and the
+    # posexploded chunk rows never shuffle (the agg's map side combines)
+    chunk = e24_sequence_packing(spark, sf_dir).where(F.col("mode") == "chunk")
+    cplan = chunk._jdf.queryExecution().executedPlan().toString()
+    assert cplan.count("Exchange") <= 2, cplan
+    assert "Join" not in cplan, cplan
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
@@ -206,6 +220,11 @@ def test_e10_lm_joins_stay_model_sized(spark, sf_dir):
 
     from informixcdc_spark.queries.extensions import e10_quality_repetition
 
+    # pin the COLD plan: earlier tests in the shared session may have
+    # left model-table caches whose InMemoryRelation stats flip a
+    # broadcast join to shuffle (+2 exchanges) — that cache-dependent
+    # regime is fine at runtime but makes the count nondeterministic
+    spark.catalog.clearCache()
     plan = formatted_plan(e10_quality_repetition(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree, plan

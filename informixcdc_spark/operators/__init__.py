@@ -7,10 +7,19 @@ text analysis, multimodal column handling — each designed for the
 sets, explode-then-aggregate instead of driver loops).
 """
 
+from informixcdc_spark.operators.classify import nb_score, nb_train
+from informixcdc_spark.operators.curation import (
+    chunk_tokens,
+    dsir_log_weights,
+    dsir_select,
+    write_zordered,
+)
 from informixcdc_spark.operators.dedup import (
+    decontaminate_fuzzy,
     duplicate_span_ranges,
     duplicate_spans,
     exact_dedup,
+    line_dedup,
     lsh_candidate_pairs,
     minhash_bands,
     near_dup_verified_pairs,
@@ -24,6 +33,9 @@ from informixcdc_spark.operators.quantization import (
     pq_encode,
     pq_search_adc,
     pq_train,
+    sq_encode,
+    sq_search,
+    sq_train,
 )
 from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
@@ -47,4 +59,15 @@ __all__ = [
     "lsh_bucket",
     "IncrementalDedupIndex",
     "IncrementalAnnIndex",
+    "nb_train",
+    "nb_score",
+    "chunk_tokens",
+    "dsir_log_weights",
+    "dsir_select",
+    "write_zordered",
+    "decontaminate_fuzzy",
+    "line_dedup",
+    "sq_train",
+    "sq_encode",
+    "sq_search",
 ]

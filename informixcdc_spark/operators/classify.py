@@ -66,6 +66,11 @@ def nb_train(
     trainers in ``operators/similarity.py``. Pass ``labels`` when the
     class set is known (skips one distinct scan and PINS the tie-break
     order); otherwise distinct labels are collected sorted.
+
+    Cache lifetime: the returned model's term table stays persisted
+    (it is the model — every ``nb_score`` call broadcasts it), holding
+    VOCAB-sized cache blocks, not corpus-sized; repeated training on
+    the same input reuses one plan-keyed entry.
     """
     toked = rebalance(docs).select(
         F.col(label_col).alias("_y"), tokens(F.col(text_col)).alias("_tok")

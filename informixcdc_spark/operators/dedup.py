@@ -651,6 +651,13 @@ def decontaminate_fuzzy(
     ``(id, n_shingles, n_hits, contamination)`` — ``n_shingles`` the
     doc's DISTINCT shingle count, ``n_hits`` how many benchmark docs it
     matches at/above threshold, ``contamination`` the maximum Jaccard.
+
+    Cache lifetime: the shingled corpus is persisted (bands and verify
+    sets both derive from it — without the cache the corpus shingles
+    twice) and lives as long as the returned plan; repeated calls on
+    the same input reuse one plan-keyed entry (Spark's CacheManager
+    dedups identical plans). Same contract as
+    :func:`lsh_candidate_pairs(cache=True)`.
     """
     shingled = doc_shingles(docs, id_col, text_col, k=k).persist()
     bands = minhash_bands(shingled, id_col, n_bands, rows)

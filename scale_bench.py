@@ -307,6 +307,75 @@ def recall_curves(
     return curves
 
 
+def fuzzy_decon_recall(
+    spark, mdir: str, scale: int, threshold: float = 0.8
+) -> dict:
+    """Recall axis for MinHash-LSH fuzzy decontamination at scale: the
+    corpus is documents ∪ their perturbed copies (last token dropped,
+    ids +1e6); the benchmark slice is the original %97 docs, so each
+    benchmark doc PLANTS one known near-duplicate in the training side.
+    Ground truth is each planted pair's EXACT shingle Jaccard (one
+    cheap equi-join on the planted id offset — never all-pairs), and
+    recall = planted-above-threshold docs the operator flags. Precision
+    is 1.0 by construction (the operator's verify stage IS exact
+    Jaccard); what LSH banding can lose is recall — 1-(1-j^2)^4 per
+    pair in theory for 4 bands × 2 rows — and the driver-graded fixture
+    equality cannot see that, because the oracle shares the banding.
+    """
+    from informixcdc_spark.operators.dedup import (
+        decontaminate_fuzzy,
+        doc_shingles,
+        perturbed_copies,
+    )
+
+    docs = spark.read.parquet(os.path.join(mdir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.unionByName(perturbed_copies(docs, "doc_id", "text"))
+    bench_pred = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1_000_000)
+
+    # exact truth over the PLANTED pairs only: (bench doc b, copy b+1e6)
+    sets = doc_shingles(corpus, "doc_id", "text").select(
+        "doc_id", F.array_distinct("shingles").alias("ds")
+    )
+    b = sets.where(bench_pred).select(
+        F.col("doc_id").alias("_b"), F.col("ds").alias("_dsb")
+    )
+    c = sets.select(
+        (F.col("doc_id") - 1_000_000).alias("_b"),
+        F.col("doc_id").alias("_cid"),
+        F.col("ds").alias("_dsc"),
+    ).where(F.col("_b") >= 0)
+    inter = F.size(F.array_intersect("_dsb", "_dsc"))
+    union = F.size("_dsb") + F.size("_dsc") - inter
+    planted = (
+        b.join(c, "_b")
+        .withColumn("_j", inter.cast("double") / union.cast("double"))
+        .where(F.col("_j") >= threshold)
+        .select("_cid")
+    )
+    truth = {r["_cid"] for r in planted.collect()}
+
+    t0 = time.perf_counter()
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate_fuzzy(
+            corpus, "doc_id", "text", bench_pred, threshold=threshold
+        ).collect()
+    }
+    sec = round(time.perf_counter() - t0, 3)
+    hit = len(truth & flagged)
+    return {
+        "scale": scale,
+        "threshold": threshold,
+        "planted": len(truth),
+        "planted_flagged": hit,
+        "recall_planted": round(hit / len(truth), 4) if truth else -1.0,
+        "n_flagged_total": len(flagged),
+        "sec": sec,
+    }
+
+
 def _tail_ratio(series: dict[str, float]) -> float:
     """Asymptotic shuffle slope over the query's two LARGEST measured
     scales: bytes(top)/bytes(prev) normalized by the data ratio — ~1 is
@@ -408,6 +477,13 @@ def main() -> None:
         recall_nprobe[str(m)] = recall_curves(spark, mdir, m)
         print(f"recall m={m}: " + json.dumps(recall_nprobe[str(m)]), flush=True)
 
+    # planted-near-dup recall for fuzzy decontamination at the top scale
+    top = scales[-1]
+    fuzzy_recall = fuzzy_decon_recall(
+        spark, sf_dir if top == 1 else os.path.join(work, f"m{top}"), top
+    )
+    print("fuzzy_recall: " + json.dumps(fuzzy_recall), flush=True)
+
     base = str(scales[0])
 
     def eff(q: str, series: dict[str, float], top_m: int) -> float:
@@ -424,6 +500,10 @@ def main() -> None:
         "rows": rows,
         # recall@k vs nprobe per multiprobe family (see recall_curves)
         "recall_nprobe": recall_nprobe,
+        # planted-near-dup recall for fuzzy decontamination (see
+        # fuzzy_decon_recall) — what LSH banding loses, which the
+        # oracle-equality gate cannot measure
+        "fuzzy_decon_recall": fuzzy_recall,
         "queries": {
             q: {
                 **results[q],

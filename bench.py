@@ -75,7 +75,7 @@ ARM_MODES = {
     "e01_dedup_exact": ["exact", "spans", "ranges", "lines"],
     "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
     "e09_token_stats": ["tok", "bpe", "abpe"],
-    "e07_knn_exact_and_lsh": ["exact", "lsh", "bm25", "sbm25"],
+    "e07_knn_exact_and_lsh": ["exact", "lsh", "bm25", "sbm25", "rp"],
     "e12_embedding_near_dups": ["lsh", "semdedup"],
     "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq", "sq"],
     "e20_dedup_clusters": ["cc", "pagerank"],

@@ -643,3 +643,70 @@ def semantic_dedup(
         out = out.localCheckpoint(eager=True)
         assigned.unpersist()
     return out
+
+
+def rp_weights(d_in: int, d_out: int) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss weights — row j is output
+    dimension j's sign pattern, drawn from md5 parity of ``"j|d"`` so
+    the matrix is reproducible anywhere (including in a SQL oracle,
+    where the signs inline as literals). The ±1 (Achlioptas 2003)
+    construction preserves pairwise distances like Gaussian JL at a
+    fraction of the arithmetic."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1.0
+            for d in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    d_in: int,
+    d_out: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL dimensionality reduction: replace ``vec_col`` with its
+    ``d_out``-dim projection ``proj_j = dot(vec, w_j)``.
+
+    The weight rows are plan-time literal arrays, so — like
+    ``pq_encode``/``sq_encode`` — this is a ZERO-shuffle scan-fused
+    projection: reducing 100 TB of embeddings is one map pass, and the
+    output feeds any downstream ANN operator at d_out/d_in of the
+    dot-product cost. Each output element is the shared left-fold
+    ``dot``, so a SQL oracle reproduces the projected values
+    bit-for-bit."""
+    w = rp_weights(d_in, d_out)
+    proj = F.array(
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in row]))
+            for row in w
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias(vec_col))
+
+
+def rp_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d_in: int,
+    d_out: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k by cosine in the PROJECTED space — the classic
+    reduce-then-search recipe: project both sides once (map pass),
+    then any search strategy runs at the reduced dimension. Here the
+    searcher is the broadcast-query brute-force ranker; at real scale
+    the projected corpus feeds the LSH/IVF probes instead."""
+    pc = random_projection(corpus, d_in, d_out, id_col, vec_col)
+    pq = random_projection(queries, d_in, d_out, id_col, vec_col)
+    return brute_force_knn(pc, pq, id_col, vec_col, k)

@@ -624,6 +624,24 @@ _SQL_DOT = (
 )
 
 
+
+def _sql_rp_proj(src_vec: str, d_in: int = 64, d_out: int = 16) -> str:
+    """DuckDB rendering of operators.similarity.random_projection: one
+    left-fold dot per output dimension against the SAME ±1 literal rows
+    (rp_weights) the Spark expression uses — generated from one source,
+    so the two can never diverge."""
+    from informixcdc_spark.operators.similarity import rp_weights
+
+    exprs = []
+    for row in rp_weights(d_in, d_out):
+        lits = ", ".join(repr(x) for x in row)
+        exprs.append(
+            f"list_reduce([{src_vec}[i]::DOUBLE * ([{lits}])[i]"
+            f" for i in generate_series(1, {d_in})], (x, y) -> x + y)"
+        )
+    return "[" + ", ".join(exprs) + "]"
+
+
 def _sql_cosine(a: str, b: str) -> str:
     return (
         f"{_SQL_DOT.format(a=a, b=b)} / "
@@ -709,6 +727,26 @@ def _sql_bucket(v: str, n_planes: int = 4) -> str:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY sc DESC, neighbor_id) AS rnk
         FROM bmsc
+    ),
+    -- rp arm: Johnson-Lindenstrauss ±1 projection to 16 dims, then
+    -- exact cosine top-k in the PROJECTED space — the reduce-then-
+    -- search recipe. The sign matrix inlines as literals from the
+    -- same Python source (rp_weights) the Spark expression uses.
+    rp AS (SELECT vec_id, {_sql_rp_proj("embedding")} AS pv
+           FROM embeddings),
+    rpq AS (SELECT vec_id AS query_id, pv AS qpv FROM rp
+            WHERE vec_id < 10),
+    rpc AS (SELECT vec_id AS neighbor_id, pv AS cpv FROM rp),
+    rpscored AS (
+        SELECT query_id, neighbor_id,
+               {_sql_cosine("qpv", "cpv")} AS cosine
+        FROM rpc, rpq WHERE neighbor_id <> query_id
+    ),
+    rpranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM rpscored
     )
     SELECT 'exact' AS mode, query_id, CAST(rnk AS INT) AS rank,
            neighbor_id, cosine, CAST(NULL AS INT) AS bucket
@@ -727,6 +765,10 @@ def _sql_bucket(v: str, n_planes: int = 4) -> str:
     SELECT 'sbm25', query_id, CAST(rnk AS INT), neighbor_id,
            CAST(sc AS DOUBLE), CAST(NULL AS INT)
     FROM bmranked WHERE rnk <= 5
+    UNION ALL
+    SELECT 'rp', query_id, CAST(rnk AS INT), neighbor_id, cosine,
+           CAST(NULL AS INT)
+    FROM rpranked WHERE rnk <= 3
     """,
 )
 def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,10 +829,25 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("cosine"),
         F.lit(None).cast("int").alias("bucket"),
     )
+    # rp arm (round 8): JL ±1 projection 64 -> 16 dims (a zero-shuffle
+    # literal-weight scan pass), then exact cosine top-3 in the
+    # PROJECTED space — the reduce-then-search recipe whose projected
+    # values the oracle restates from the same sign matrix
+    from informixcdc_spark.operators.similarity import rp_knn
+
+    rp = rp_knn(emb, queries, d_in=64, d_out=16, k=3).select(
+        F.lit("rp").alias("mode"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("int").alias("bucket"),
+    )
     return (
         exact.unionByName(approx)
         .unionByName(sparse)
         .unionByName(stream_sparse)
+        .unionByName(rp)
     )
 
 

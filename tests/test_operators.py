@@ -1410,6 +1410,46 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_random_projection_matches_numpy(spark):
+    """random_projection equals the numpy matrix product against the
+    same md5-sign matrix, and a planted near-duplicate stays its
+    original's top neighbor after 32→8 reduction (the JL property on
+    structured data)."""
+    import numpy as np
+
+    from informixcdc_spark.operators.similarity import (
+        random_projection,
+        rp_knn,
+        rp_weights,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(20, 32)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((100, [float(x) * 1.01 for x in base[0]]))  # near-dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in random_projection(df, d_in=32, d_out=8).collect()
+    }
+    w = np.array(rp_weights(32, 8))  # (8, 32)
+    for i, vec in rows:
+        # Spark stores the column as float32 — replicate that rounding
+        # before the float64 fold
+        v32 = np.array(vec, dtype=np.float32).astype(np.float64)
+        want = w @ v32
+        assert np.allclose(got[i], want, rtol=0, atol=1e-9), i
+
+    top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in rp_knn(
+            df, df.where(F.col("vec_id") == 100), d_in=32, d_out=8, k=1
+        ).collect()
+    }
+    assert top[100] == 0
+
+
 def test_write_zordered_files_are_2d_tiles(spark, tmp_path):
     """The z-ordered layout's skipping property: every output file's
     (min,max) extent is a small tile in BOTH dimensions — total covered

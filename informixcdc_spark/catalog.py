@@ -90,7 +90,15 @@ def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     WITHOUT the partition-count probe: under AQE, ``df.rdd`` materializes
     every upstream query stage to learn the final partitioning, i.e. the
     probe itself would execute the plan's shuffles at build time.
+
+    STREAMING inputs pass through untouched: the partition probe is an
+    action (illegal on a streaming plan), and micro-batch parallelism is
+    the source's trigger/file-split concern — this lets the stateless
+    operators (chunking, quality gates, fingerprints) compose directly
+    with ``readStream``.
     """
+    if df.isStreaming:
+        return df
     plan = df._jdf.queryExecution().analyzed().toString()
     if "Repartition" in plan or "RebalancePartitions" in plan:
         return df

@@ -2297,3 +2297,52 @@ def test_postings_index_across_stores(spark, tmp_path, store_cls):
     got = sorted(map(tuple, idx.search(q, k=3).collect()))
     want = sorted(map(tuple, bm25_search(docs, q, k=3).collect()))
     assert got == want
+
+
+def test_curation_gate_composes_with_streams(spark, tmp_path):
+    """The round-8 curation operators are stateless column transforms,
+    so they compose directly with Structured Streaming: a document
+    stream flows through the Gopher rule gate and the token chunker in
+    ONE foreachBatch-free streaming query (pure select/filter +
+    posexplode), and the sink holds exactly the batch answer. This is
+    the composition the batch operators promise — no adaptation layer,
+    because nothing in them is stateful."""
+    from informixcdc_spark.functions.text import tokens
+    from informixcdc_spark.operators.curation import chunk_tokens
+    from informixcdc_spark.operators.textstats import gopher_rules_exprs
+
+    good = (
+        "the quick brown fox and the lazy dog have agreed that "
+        "they will be friends with everyone near the old mill today "
+    ) * 3
+    rows = [(0, good), (1, "too short the of"), (2, good + " extra tail")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    _, _, _, keep = gopher_rules_exprs(tokens(F.col("text")), F.col("text"))
+    gated = stream.where(keep)
+    chunked = chunk_tokens(gated, size=16, stride=12)
+    out = str(tmp_path / "chunks")
+    q = (
+        chunked.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        map(
+            tuple,
+            chunk_tokens(batch.where(keep), size=16, stride=12).collect(),
+        )
+    )
+    assert got == want
+    assert {t[0] for t in got} == {0, 2}  # doc 1 fails the gate

@@ -99,6 +99,18 @@ def nb_train(
         r["_y"]: r["n"]
         for r in toked.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # A label present in the data but absent from an explicit `labels`
+    # list would contribute 0 to every c_<i> column while still
+    # inflating the vocab and n_tokens denominators — silently skewed
+    # scores. The per-label doc counts are collected anyway, so the
+    # check is free; fail loudly instead.
+    unlisted = sorted(str(y) for y in dc if y not in set(labels))
+    if unlisted:
+        raise ValueError(
+            f"labels {unlisted} appear in {label_col!r} but not in the "
+            "provided labels list; list every observed class (or filter "
+            "the unlisted rows out before training)"
+        )
     return NBModel(
         term_table=tc,
         labels=tuple(labels),

@@ -107,6 +107,23 @@ def sql_hash_bucket(id_expr: str) -> str:
     )
 
 
+def _rate_threshold(rate: float, what: str) -> int:
+    """Quantize a keep rate to the 1/256 ``hash_bucket`` granularity,
+    REFUSING to silently zero a positive rate: ``int(0.001 * 256) == 0``
+    would drop the whole stratum with no warning — the opposite of
+    "keep 0.1%". Raising here (and in the SQL twin, so the graded pair
+    stays hash-exact) turns a silent data loss into a loud config
+    error."""
+    t = int(rate * 256)
+    if rate > 0 and t == 0:
+        raise ValueError(
+            f"{what} rate {rate} is below the 1/256 (~0.0039) bucket "
+            "granularity and would quantize to KEEP NOTHING; use a rate "
+            ">= 1/256 or pre-thin the stratum upstream"
+        )
+    return t
+
+
 def weighted_keep(
     id_col: Column | str, strata_col: Column | str, rates: dict[str, float], default: float
 ) -> Column:
@@ -116,30 +133,35 @@ def weighted_keep(
     below its stratum's rate: a pure row-local predicate, so at 100 TB
     it pushes into the scan and the dropped fraction never leaves the
     file readers.
+
+    Rates quantize to 1/256 steps; a positive rate that would quantize
+    to zero raises (see :func:`_rate_threshold`) instead of silently
+    dropping the stratum.
     """
     bucket = hash_bucket(id_col)
     s = _col(strata_col)
     expr = None
     for name, rate in sorted(rates.items()):
         cond = s == name
-        expr = F.when(cond, int(rate * 256)) if expr is None else expr.when(
-            cond, int(rate * 256)
-        )
-    threshold = expr.otherwise(int(default * 256))
+        t = _rate_threshold(rate, f"stratum {name!r}")
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    threshold = expr.otherwise(_rate_threshold(default, "default"))
     return bucket < threshold
 
 
 def sql_weighted_keep(
     id_expr: str, strata_expr: str, rates: dict[str, float], default: float
 ) -> str:
-    """DuckDB twin of :func:`weighted_keep`."""
+    """DuckDB twin of :func:`weighted_keep` (same zero-quantization
+    guard, so the pair can never diverge on a sub-granularity rate)."""
     cases = " ".join(
-        f"WHEN {strata_expr} = '{name}' THEN {int(rate * 256)}"
+        f"WHEN {strata_expr} = '{name}' THEN "
+        f"{_rate_threshold(rate, f'stratum {name!r}')}"
         for name, rate in sorted(rates.items())
     )
     return (
         f"({sql_hash_bucket(id_expr)} < "
-        f"CASE {cases} ELSE {int(default * 256)} END)"
+        f"CASE {cases} ELSE {_rate_threshold(default, 'default')} END)"
     )
 
 
@@ -240,11 +262,16 @@ def dsir_log_weights(
     smoothed. The paper resamples with Gumbel noise; the deterministic
     weight is the engine primitive (callers threshold or rank it).
 
-    Shape at 100 TB: ONE token-explode pass; the feature-count table is
-    bucket-bounded (``n_buckets`` rows) no matter the corpus size, so it
-    aggregates map-side, BROADCASTS back, and the only corpus-keyed
-    shuffle is the per-doc sum. Contributions round to DECIMAL(18,6)
-    and sum exactly — a SQL oracle reproduces weights bit-for-bit.
+    Shape at 100 TB: TWO scan-fused token-explode passes over the
+    corpus — one feeding the bucket-count aggregate, one re-tokenizing
+    for the scoring join (deliberately recomputed: caching the exploded
+    token stream would cost more memory/disk than the corpus itself,
+    while re-tokenizing stays inside the scan stage). The feature-count
+    table is bucket-bounded (``n_buckets`` rows) no matter the corpus
+    size, so it aggregates map-side, BROADCASTS back, and the only
+    corpus-keyed shuffle is the per-doc sum. Contributions round to
+    DECIMAL(18,6) and sum exactly — a SQL oracle reproduces weights
+    bit-for-bit.
 
     Returns one row per document: ``(id, n_feats, dsir_log_weight)``
     (token-free docs weigh 0.0 with n_feats 0).
@@ -356,8 +383,10 @@ def chunk_tokens(
     that cuts documents into model-context windows (stride < size gives
     the standard overlapping splits). Chunk starts are
     ``1, 1+stride, 1+2·stride, …`` while a full-or-final window remains;
-    every document emits at least one chunk (short docs yield one short
-    chunk), and the final chunk is the remainder (never empty).
+    every document WITH AT LEAST ONE TOKEN emits at least one chunk
+    (short docs yield one short chunk), the final chunk is the
+    remainder (never empty), and token-free documents emit no chunks
+    at all (matching the oracle's ``len(tok) >= 1`` filter).
 
     Pure row-local array arithmetic — slices posexplode off one
     materialized token array, so the whole operator fuses into the scan

@@ -41,8 +41,17 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingles array) for docs with at least k tokens.
+def doc_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *keep, shingles array) for docs with at least k tokens.
+    ``keep`` names extra columns to carry through unchanged (e.g. a
+    precomputed benchmark flag), so callers never have to re-evaluate
+    document-level predicates on the shingle table.
 
     Tokenization is materialized in its own projection before shingling —
     see word_shingles' contract: an inline tokenizer would be re-run per
@@ -55,20 +64,26 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     the input's (single) parquet split and then recomputing it post-
     shuffle. `size(tokens) >= k` is equivalent (word_shingles emits empty
     iff fewer than k tokens) and cheap enough to evaluate at the scan."""
+    extras = [F.col(c) for c in keep]
     toked = (
         rebalance(df)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .select(F.col(id_col), *extras, tokens(F.col(text_col)).alias("_tok"))
         .where(F.size("_tok") >= k)
     )
     return toked.select(
-        F.col(id_col), word_shingles(F.col("_tok"), k).alias("shingles")
+        F.col(id_col), *extras, word_shingles(F.col("_tok"), k).alias("shingles")
     )
 
 
 def minhash_bands(
-    shingled: DataFrame, id_col: str, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND
+    shingled: DataFrame,
+    id_col: str,
+    n_bands: int = N_BANDS,
+    rows: int = ROWS_PER_BAND,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band_idx, band_key): each row is one LSH bucket membership.
+    """(id, *keep, band_idx, band_key): each row is one LSH bucket
+    membership; ``keep`` columns pass through unchanged.
 
     Signature scheme: ONE md5 per shingle → 32-bit base hash, then each
     of the n_bands·rows signatures is a cheap universal hash
@@ -77,13 +92,14 @@ def minhash_bands(
     bucket iff a whole band of signatures matches.
     """
     coeffs = minhash_coeffs(n_bands * rows)
+    extras = [F.col(c) for c in keep]
     # Higher-order functions are interpreted per element, so the number
     # of array PASSES dominates, not the arithmetic: materialize base
     # hashes once (1 md5 pass), then compute ALL signature minima in a
     # single aggregate pass with a struct accumulator — 2 passes total
     # instead of one transform + one array_min per signature.
     hashed = shingled.select(
-        F.col(id_col), shingle_hash_ints(F.col("shingles")).alias("xs")
+        F.col(id_col), *extras, shingle_hash_ints(F.col("shingles")).alias("xs")
     )
     n = n_bands * rows
     zero = F.struct(
@@ -99,7 +115,7 @@ def minhash_bands(
         ]
     )
     sigged = hashed.select(
-        F.col(id_col), F.aggregate(F.col("xs"), zero, merge).alias("sig")
+        F.col(id_col), *extras, F.aggregate(F.col("xs"), zero, merge).alias("sig")
     )
     bands = [
         F.md5(
@@ -114,7 +130,9 @@ def minhash_bands(
         for i in range(n_bands)
     ]
     exploded = sigged.select(
-        F.col(id_col), F.posexplode(F.array(*bands)).alias("band_idx", "band_key")
+        F.col(id_col),
+        *extras,
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_key"),
     )
     return exploded.withColumn("band_idx", F.col("band_idx").cast("int"))
 
@@ -540,12 +558,22 @@ def decontaminate(
     the contamination join and the per-doc aggregate both partial-combine
     map-side. Returns contaminated docs only:
     (id, n_shingles, n_hits, contamination fraction).
+
+    ``bench_pred`` is evaluated ONCE on ``docs`` (any column of the
+    input is fair game — a source/split flag, a regex on the text) and
+    carried through the shingle pass as a boolean, so it never has to
+    be re-expressible over the derived tables.
     """
     from informixcdc_spark.functions.text import hash16
 
-    sh = doc_shingles(docs, id_col, text_col, k=k).select(
+    flagged_docs = docs.select(
+        F.col(id_col), F.col(text_col), bench_pred.alias("_is_bench")
+    )
+    sh = doc_shingles(
+        flagged_docs, id_col, text_col, k=k, keep=("_is_bench",)
+    ).select(
         F.col(id_col),
-        bench_pred.alias("_is_bench"),
+        "_is_bench",
         F.explode(F.array_distinct("shingles")).alias("_s"),
     )
     hashed = sh.select(F.col(id_col), "_is_bench", hash16(F.col("_s")).alias("_h"))
@@ -589,12 +617,20 @@ def decontaminate_prefiltered(
     die and the output EQUALS :func:`decontaminate` row for row (false
     negatives are impossible: identical hashes bucket identically).
     Driver-graded as e27's 'coarse' arm against the exact arm's oracle.
+
+    As in :func:`decontaminate`, ``bench_pred`` is evaluated once on
+    ``docs`` and propagated, so it may reference any input column.
     """
     from informixcdc_spark.functions.text import hash16
 
-    sh = doc_shingles(docs, id_col, text_col, k=k).select(
+    flagged_docs = docs.select(
+        F.col(id_col), F.col(text_col), bench_pred.alias("_is_bench")
+    )
+    sh = doc_shingles(
+        flagged_docs, id_col, text_col, k=k, keep=("_is_bench",)
+    ).select(
         F.col(id_col),
-        bench_pred.alias("_is_bench"),
+        "_is_bench",
         F.explode(F.array_distinct("shingles")).alias("_s"),
     )
     hashed = sh.select(F.col(id_col), "_is_bench", hash16(F.col("_s")).alias("_h"))
@@ -658,16 +694,32 @@ def decontaminate_fuzzy(
     the same input reuse one plan-keyed entry (Spark's CacheManager
     dedups identical plans). Same contract as
     :func:`lsh_candidate_pairs(cache=True)`.
+
+    ``bench_pred`` is evaluated ONCE on ``docs`` and carried through
+    the shingle cache as a boolean, so it may reference any column of
+    the input (a source/split flag, a regex on the text), not just
+    ``id_col``.
     """
-    shingled = doc_shingles(docs, id_col, text_col, k=k).persist()
-    bands = minhash_bands(shingled, id_col, n_bands, rows)
+    flagged_docs = docs.select(
+        F.col(id_col), F.col(text_col), bench_pred.alias("_is_bench")
+    )
+    shingled = doc_shingles(
+        flagged_docs, id_col, text_col, k=k, keep=("_is_bench",)
+    ).persist()
+    bands = minhash_bands(
+        shingled.select(F.col(id_col), "_is_bench", "shingles"),
+        id_col,
+        n_bands,
+        rows,
+        keep=("_is_bench",),
+    )
     bench_bands = (
-        bands.where(bench_pred)
+        bands.where(F.col("_is_bench"))
         .select(F.col(id_col).alias("_bid"), "band_idx", "band_key")
         .distinct()
     )
     cand = (
-        bands.where(~bench_pred)
+        bands.where(~F.col("_is_bench"))
         .join(F.broadcast(bench_bands), ["band_idx", "band_key"])
         .select(F.col(id_col), "_bid")
         .distinct()
@@ -682,11 +734,12 @@ def decontaminate_fuzzy(
             .drop("_r")
         )
     sets = shingled.select(
-        F.col(id_col), F.array_distinct("shingles").alias("_ds")
+        F.col(id_col), "_is_bench", F.array_distinct("shingles").alias("_ds")
     )
-    bench_sets = sets.where(bench_pred).select(
+    bench_sets = sets.where(F.col("_is_bench")).select(
         F.col(id_col).alias("_bid"), F.col("_ds").alias("_dsb")
     )
+    sets = sets.drop("_is_bench")
     inter = F.size(F.array_intersect("_ds", "_dsb"))
     union = F.size("_ds") + F.size("_dsb") - inter
     ver = (
@@ -863,13 +916,29 @@ def line_dedup(
     footers, cookie banners, repeated paragraphs) is dropped, and each
     document is reassembled from its surviving lines in order.
 
-    Scale shape: exactly two shuffles — one hash-partition on the line
-    value for the first-occurrence window (map-side nothing to combine,
-    but each line group is tiny), one on the doc id for reassembly.
-    The line text itself is the shuffle key here so the DuckDB oracle
-    is exact; at 100 TB you'd prepend ``xxhash64(line)`` as the
-    partition key (same plan, 8-byte keys) and keep the raw line only
-    for the in-group tiebreak.
+    Scale shape — the first-occurrence pass is a COMBINEABLE aggregate,
+    never a window.  ``Window.partitionBy(line)`` would ship every
+    occurrence of a line to ONE task (boilerplate — the very thing this
+    pass removes — appears in a huge fraction of documents, so its
+    hottest key is corpus-sized by construction).  Instead:
+
+    1. ``groupBy(line).agg(min(struct(id, pos)))`` — the partial (map
+       side) min collapses each input partition's copies of a
+       boilerplate line to ONE row before the exchange, so the shuffle
+       carries at most distinct-lines-per-partition rows and the
+       hottest reduce key receives ≤ one row per upstream partition;
+    2. the winners (one row per distinct line) equi-join back onto the
+       occurrences.  A skewed join key is the one skew Spark can
+       actually split at runtime (AQE ``OptimizeSkewedJoin`` splits the
+       oversized partition and replicates the single winner row), which
+       a window partition never is;
+    3. one final shuffle on the doc id for reassembly (map-side
+       partial).
+
+    The line text itself is the group/join key here so the DuckDB
+    oracle is exact; at 100 TB you'd prepend ``xxhash64(line)`` as the
+    leading key (same plan, 8-byte hashes do the partitioning and the
+    raw line rides along only for the equality check).
 
     Returns one row per document:
     ``(id, clean_text, n_kept, n_dropped)`` — ``clean_text`` is ''
@@ -880,16 +949,22 @@ def line_dedup(
     """
     import re
 
-    from pyspark.sql import Window
-
     lines = rebalance(df).select(
         F.col(id_col),
         F.posexplode(
             F.split(F.col(text_col), re.escape(sep))
         ).alias("pos", "line"),
     )
-    w = Window.partitionBy("line").orderBy(id_col, "pos")
-    flagged = lines.withColumn("_keep", F.row_number().over(w) == 1)
+    winners = lines.groupBy("line").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("_wid"), F.col("pos").alias("_wpos"))
+        ).alias("_first")
+    )
+    flagged = lines.join(winners, "line").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_first._wid"))
+        & (F.col("pos") == F.col("_first._wpos")),
+    )
     kept_struct = F.when(F.col("_keep"), F.struct("pos", "line"))
     return flagged.groupBy(id_col).agg(
         F.array_join(

@@ -268,6 +268,28 @@ def test_weighted_keep_realizes_rates(spark):
     assert abs(frac["xx"] - 0.125) < 0.02
 
 
+def test_weighted_keep_rejects_sub_granularity_rates(spark):
+    """A positive rate below 1/256 quantizes to a zero threshold —
+    i.e. 'keep 0.1%' would silently KEEP NOTHING. Both the Spark
+    predicate and its SQL twin must refuse instead (r8 ADVICE)."""
+    import pytest
+
+    from informixcdc_spark.operators.curation import (
+        sql_weighted_keep,
+        weighted_keep,
+    )
+
+    with pytest.raises(ValueError, match="granularity"):
+        weighted_keep("doc_id", "lang", {"cc": 0.001}, 0.5)
+    with pytest.raises(ValueError, match="granularity"):
+        weighted_keep("doc_id", "lang", {"en": 0.5}, 0.001)
+    with pytest.raises(ValueError, match="granularity"):
+        sql_weighted_keep("doc_id", "lang", {"cc": 0.001}, 0.5)
+    # rate 0 is a legitimate "drop the stratum" request, not an error
+    col = weighted_keep("doc_id", "lang", {"en": 0.0}, 0.5)
+    assert col is not None
+
+
 def test_domain_cap_caps_and_is_partition_invariant(spark):
     from informixcdc_spark.operators.curation import domain_cap
 
@@ -1798,6 +1820,57 @@ def test_decontaminate_fuzzy_flags_near_dup_leakage(spark):
     r = got[100]
     assert r["n_shingles"] == 7 and r["n_hits"] == 1
     assert abs(r["contamination"] - 7 / 8) < 1e-12
+
+
+def test_decontaminate_pred_may_reference_any_docs_column(spark):
+    """bench_pred is evaluated ONCE on the input and propagated, so a
+    predicate over a non-id column (a split flag) must work for all
+    three decontamination variants (r8 ADVICE: previously the predicate
+    was re-evaluated on derived tables carrying only the id)."""
+    from informixcdc_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_fuzzy,
+        decontaminate_prefiltered,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (0, bench_text, "bench"),
+        (100, "the quick brown fox jumps over the lazy dog", "train"),
+        (101, "completely different words about spark physical plans", "train"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    pred = F.col("split") == "bench"
+    fuzzy = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(
+            docs, "doc_id", "text", pred, threshold=0.8
+        ).collect()
+    }
+    assert set(fuzzy) == {100}
+    assert abs(fuzzy[100]["contamination"] - 7 / 8) < 1e-12
+    exact = {r["doc_id"] for r in decontaminate(docs, "doc_id", "text", pred).collect()}
+    pre = {
+        r["doc_id"]
+        for r in decontaminate_prefiltered(docs, "doc_id", "text", pred).collect()
+    }
+    assert exact == pre == {100}
+
+
+def test_nb_train_rejects_unlisted_observed_labels(spark):
+    """An explicit labels list that misses an observed class must raise:
+    the missing class's docs would otherwise inflate vocab/n_tokens
+    while contributing zero counts — silently skewed scores."""
+    import pytest
+
+    from informixcdc_spark.operators.classify import nb_train
+
+    docs = spark.createDataFrame(
+        [(0, "a", "good text"), (1, "b", "bad text"), (2, "c", "ugly text")],
+        "doc_id long, y string, text string",
+    )
+    with pytest.raises(ValueError, match="'y'"):
+        nb_train(docs, "y", "text", labels=["a", "b"])
 
 
 def test_line_dedup_regex_meaningful_separator(spark):

@@ -419,11 +419,13 @@ def test_bpe_pair_count_is_partial_then_final(spark):
     assert aggs[0] < tree.index("Exchange") < aggs[1], plan
 
 
-def test_line_dedup_two_shuffles_partial_final(spark):
-    """Corpus line dedup is exactly two hash shuffles: one on the line
-    value (first-occurrence window), one on the doc id (reassembly) —
-    with the reassembly agg map-side partial. No join, no cartesian;
-    anything more would not survive 100 TB of exploded lines."""
+def test_line_dedup_first_occurrence_is_combineable(spark):
+    """Corpus line dedup's first-occurrence pass must be a PARTIAL →
+    FINAL aggregate on the line key, never a window: boilerplate lines
+    are corpus-sized groups by construction, and a window partition
+    ships every occurrence to one task while a partial min collapses
+    them map-side.  The winners come back via an equi-join (the one
+    skew AQE can split at runtime).  No window exec, no cartesian."""
     from informixcdc_spark.operators.dedup import line_dedup
 
     docs = spark.createDataFrame(
@@ -431,9 +433,19 @@ def test_line_dedup_two_shuffles_partial_final(spark):
     )
     plan = formatted_plan(line_dedup(docs))
     tree = plan.split("\n\n")[0]
-    assert "Join" not in tree and "CartesianProduct" not in tree, plan
-    # two hash shuffles (an optional round-robin rebalance may precede)
-    assert plan.count("hashpartitioning(") == 2, plan
+    # the skew-cliff shape is gone: no window over the line value
+    assert "Window" not in tree, plan
+    assert "CartesianProduct" not in tree, plan
+    # first-occurrence: two HashAggregates (partial, final) around an
+    # Exchange — i.e. map-side combine on the line key
+    hashaggs = [i for i in range(len(tree)) if tree.startswith("HashAggregate", i)]
+    assert len(hashaggs) >= 2, plan
+    # winners rejoin occurrences via an equi-join, never a product
+    assert (
+        "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+        or "BroadcastHashJoin" in tree
+    ), plan
     # reassembly aggregate is partial-then-final around its Exchange
     aggs = [
         i for i in range(len(tree)) if tree.startswith("ObjectHashAggregate", i)

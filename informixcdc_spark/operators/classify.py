@@ -186,6 +186,34 @@ def nb_score(
     )
 
 
+def nb_gate(
+    docs: DataFrame,
+    model: NBModel,
+    keep_labels: list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality GATE: keep only the documents the (pre-trained) NB model
+    predicts into ``keep_labels`` — every input column passes through,
+    plus ``nb_pred``.
+
+    This is the shape a production pipeline runs CONTINUOUSLY: the
+    model is a static vocab-sized table that broadcasts, and scoring a
+    slice of documents touches only that slice. For streams, call this
+    inside ``foreachBatch`` (each micro-batch carries whole documents,
+    so the per-doc score aggregate is complete within the batch) — see
+    tests/test_streaming.py::test_nb_quality_gate_composes_with_streams
+    for the sink ≡ batch pin.
+    """
+    unknown = [lg for lg in keep_labels if lg not in model.labels]
+    if unknown:
+        raise ValueError(f"keep_labels {unknown} not in model labels {model.labels}")
+    scored = nb_score(docs, model, id_col, text_col).select(id_col, "nb_pred")
+    return docs.join(scored, id_col).where(
+        F.col("nb_pred").isin(list(keep_labels))
+    )
+
+
 def nb_train_score(
     docs: DataFrame,
     label_col: str,

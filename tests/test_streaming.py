@@ -2346,3 +2346,57 @@ def test_curation_gate_composes_with_streams(spark, tmp_path):
     )
     assert got == want
     assert {t[0] for t in got} == {0, 2}  # doc 1 fails the gate
+
+
+def test_nb_quality_gate_composes_with_streams(spark, tmp_path):
+    """The NB quality gate is what a production pipeline runs
+    CONTINUOUSLY: a pre-trained model (a static vocab-sized table that
+    BROADCASTS) scores each micro-batch of documents inside
+    foreachBatch — per-doc score sums are complete within the batch
+    because each row carries a whole document. The sink must equal the
+    batch gate bit-for-bit, across multiple micro-batches."""
+    from informixcdc_spark.operators.classify import nb_gate, nb_train
+
+    train_rows = [
+        (0, "good", "clean prose with varied informative words here"),
+        (1, "good", "another well formed informative sentence with words"),
+        (2, "bad", "spam spam spam buy buy buy click click"),
+        (3, "bad", "click buy spam click buy spam now now"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, y string, text string")
+    model = nb_train(train, "y", "text", labels=["bad", "good"])
+
+    rows = [
+        (10, "clean informative prose with varied words"),
+        (11, "buy spam click buy spam click"),
+        (12, "well formed sentence with informative words"),
+        (13, "spam buy click now"),
+    ]
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # two files -> maxFilesPerTrigger=1 gives two distinct micro-batches
+    docs.where(F.col("doc_id") < 12).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 12).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "kept")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: nb_gate(bdf, model, ["good"])
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, nb_gate(docs, model, ["good"]).collect()))
+    assert got == want
+    assert {t[0] for t in got} == {10, 12}  # spam docs gated out

@@ -17,6 +17,38 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def dlit(x: float) -> str:
+    """SQL text of a double literal. ``repr`` round-trips doubles
+    exactly and Spark's string→double cast is Java ``parseDouble``
+    (constant-folded at plan time), so the parsed value is bit-equal
+    to ``F.lit(float(x))``."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def sql_dot_lit(vec_col: str, cvec: list[float], lo: int = 0) -> str:
+    """SQL text of ``dot(slice(vec, lo+1, len(cvec)), cvec)`` — the
+    exact left fold :func:`dot` computes (0.0 seed, in-order adds), but
+    UNROLLED so a table of thousands of literal dots parses in ONE
+    ``F.expr`` call instead of thousands of py4j ``Column``
+    constructions (measured ~13 s of driver-side plan-build per IVFPQ
+    probe at m=32×16 codes before this; ~0.1 s after).
+    ``try_element_at`` mirrors ``zip_with``'s NULL-on-missing padding
+    without tripping ANSI bounds errors."""
+    terms = " + ".join(
+        f"CAST(try_element_at(`{vec_col}`, {lo + i + 1}) AS DOUBLE) * {dlit(c)}"
+        for i, c in enumerate(cvec)
+    )
+    return f"(0D + {terms})"
+
+
+def sql_l2_norm(vec_col: str) -> str:
+    """SQL text of :func:`l2_norm` — the identical fold."""
+    return (
+        f"sqrt(aggregate(`{vec_col}`, 0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array<numeric> columns (double, left fold)."""
     return F.aggregate(

@@ -49,7 +49,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from informixcdc_spark.functions.vector import dot, l2_norm
+from informixcdc_spark.functions.vector import (
+    dlit,
+    dot,
+    l2_norm,
+    sql_dot_lit,
+    sql_l2_norm,
+)
 
 #: a PQ codebook set: one entry per subspace, in dimension order
 #: {"lo": int, "hi": int, "centroids": [(code, [float, ...]), ...]}
@@ -193,40 +199,44 @@ def pq_train(
 
 
 def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+    # one F.expr parse instead of len(vals)+1 py4j Column calls — the
+    # parsed doubles are bit-equal to F.lit (see functions.vector.dlit)
+    return F.expr("array(" + ",".join(dlit(x) for x in vals) + ")")
 
 
-def _argmin_code(sv: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-codeword id for one subvector: a JVM-side fold over an
+def _argmin_code(
+    vec_col: str, lo: int, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-codeword id for the ``len(codeword)`` dims of
+    ``vec_col`` starting at 0-based ``lo``: a JVM-side fold over an
     array of (code, dist²) structs — no join, no shuffle, no UDF.
     Strict ``<`` keeps the FIRST minimum, i.e. the lowest code id on
-    ties (centroids arrive sorted by code)."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("c"),
-                F.aggregate(
-                    F.zip_with(
-                        sv,
-                        _lit_vec(cvec),
-                        lambda x, y: (x.cast("double") - y)
-                        * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                ).alias("d"),
-            )
-            for cid, cvec in centroids
-        ]
+    ties (centroids arrive sorted by code).
+
+    The whole (codes × subdims) literal table renders as ONE SQL string
+    (``F.expr``): building it as nested Column calls cost seconds of
+    driver-side py4j chatter per encode plan at m=32×16 codes. A NULL
+    vector folds to the ``-1`` sentinel exactly as before (every dist²
+    is NULL, the CASE keeps the init struct) — ``pq_encode``'s
+    isNotNull guard masks it to NULL codes."""
+    structs = ",".join(
+        "named_struct('c', {cid}, 'd', (0D + {terms}))".format(
+            cid=int(cid),
+            terms=" + ".join(
+                "(CAST(try_element_at(`{v}`, {i}) AS DOUBLE) - {c})"
+                " * (CAST(try_element_at(`{v}`, {i}) AS DOUBLE) - {c})".format(
+                    v=vec_col, i=lo + j + 1, c=dlit(x)
+                )
+                for j, x in enumerate(cvec)
+            ),
+        )
+        for cid, cvec in centroids
     )
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")
-        ),
-        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    return F.expr(
+        f"(aggregate(array({structs}), "
+        "named_struct('c', -1, 'd', CAST('Infinity' AS DOUBLE)), "
+        "(acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END)).c"
     )
-    return best["c"]
 
 
 def pq_encode(
@@ -244,11 +254,7 @@ def pq_encode(
     the codes array is castable to 1 byte/subspace downstream.
     """
     code_cols = [
-        _argmin_code(
-            F.slice(F.col(vec_col), b["lo"] + 1, b["hi"] - b["lo"]),
-            b["centroids"],
-        )
-        for b in books
+        _argmin_code(vec_col, b["lo"], b["centroids"]) for b in books
     ]
     # a NULL vector encodes as NULL codes — without the guard the
     # argmin fold's accumulator survives untouched and emits the -1
@@ -266,23 +272,24 @@ def pq_encode(
 
 def _adc_query_table(books: Codebooks, vec_col: str) -> Column:
     """Per-query ADC table: _qtab[s][code] = q_subvec . codeword (exact
-    dots of the real query vector — the "asymmetric" in ADC)."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    dot(
-                        F.slice(
-                            F.col(vec_col), b["lo"] + 1, b["hi"] - b["lo"]
-                        ),
-                        _lit_vec(cvec),
-                    )
-                    for _cid, cvec in b["centroids"]
-                ]
-            )
-            for b in books
-        ]
+    dots of the real query vector — the "asymmetric" in ADC).
+
+    Rendered as ONE ``F.expr`` string: the m×codes literal dot table
+    (512 entries at m=32×16) built from nested Column calls cost
+    ~13 s of driver-side py4j plan construction PER SEARCH CALL —
+    the dominating term in SCALEBENCH's ivfpq probe points (r8
+    verdict). The unrolled SQL is the identical 0.0-seeded left fold,
+    so scores stay bit-equal (unit/property pinned)."""
+    rows = ",".join(
+        "array("
+        + ",".join(
+            sql_dot_lit(vec_col, cvec, lo=b["lo"])
+            for _cid, cvec in b["centroids"]
+        )
+        + ")"
+        for b in books
     )
+    return F.expr(f"array({rows})")
 
 
 def _adc_score(scored: DataFrame, books: Codebooks, k: int) -> DataFrame:
@@ -290,14 +297,20 @@ def _adc_score(scored: DataFrame, books: Codebooks, k: int) -> DataFrame:
     lookups for the partial dot, a literal codeword-norm fold for the
     reconstructed norm, then the per-query top-k window."""
     # codeword squared norms are plan-time literals: ||v̂||² = Σ_s ||c_s||²
-    # (exact — subspaces cover disjoint dims), so no per-row stored norm
-    cn2 = F.array(
-        *[
-            _lit_vec(
-                [sum(float(x) * float(x) for x in cvec) for _cid, cvec in b["centroids"]]
+    # (exact — subspaces cover disjoint dims), so no per-row stored norm.
+    # One F.expr parse for the whole m×codes table (see _adc_query_table)
+    cn2 = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                dlit(sum(float(x) * float(x) for x in cvec))
+                for _cid, cvec in b["centroids"]
             )
+            + ")"
             for b in books
-        ]
+        )
+        + ")"
     )
     idx = F.sequence(F.lit(1), F.lit(len(books)))  # 1-based subspace pos
     codes = F.col("codes")
@@ -393,31 +406,22 @@ def ivfpq_search(
     this equals :func:`pq_search_adc` exactly (unit-tested).
     """
     qn = l2_norm(F.col(vec_col))
-    cells_scored = F.array(
-        *[
-            F.struct(
-                (
-                    -F.when(
-                        qn > 0,
-                        dot(F.col(vec_col), _lit_vec(cvec))
-                        / (
-                            qn
-                            * F.lit(
-                                float(
-                                    sum(float(x) * float(x) for x in cvec)
-                                )
-                                ** 0.5
-                            )
-                        ),
-                    ).otherwise(F.lit(2.0))
-                ).alias("negcos"),
-                F.lit(int(cid)).alias("cell"),
-            )
-            for cid, cvec in cell_centroids
-        ]
+    # the coarse probe table is literal-heavy too (n_cells × D dot
+    # unrolls) — one F.expr parse, identical folds (see _adc_query_table)
+    qn_sql = sql_l2_norm(vec_col)
+    structs = ",".join(
+        "named_struct('negcos', -(CASE WHEN {qn} > 0D THEN {d} / ({qn} * {cn}) "
+        "ELSE 2.0D END), 'cell', {cid})".format(
+            qn=qn_sql,
+            d=sql_dot_lit(vec_col, cvec),
+            cn=dlit(sum(float(x) * float(x) for x in cvec) ** 0.5),
+            cid=int(cid),
+        )
+        for cid, cvec in cell_centroids
     )
-    probes = F.transform(
-        F.slice(F.sort_array(cells_scored), 1, nprobe), lambda s: s["cell"]
+    probes = F.expr(
+        f"transform(slice(sort_array(array({structs})), 1, {int(nprobe)}), "
+        "s -> s.cell)"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -268,10 +268,14 @@ def test_kmeans_assignment_broadcasts_codebook(spark, sf_dir):
     plan = formatted_plan(cells)
     # the codebook is the broadcast side of the assignment join
     assert "BroadcastExchange" in plan, plan
-    # the corpus NEVER shuffles on anything centroid-derived: the only
-    # hash exchange is the per-vector window (nearest-cell argmin)
-    assert "hashpartitioning(_cid" not in plan, plan
-    assert "hashpartitioning(vec_id" in plan, plan
+    # the corpus NEVER shuffles on anything centroid-derived: EVERY
+    # hash exchange in the plan keys on the vector id (the nearest-cell
+    # argmin window) — structural, so a Catalyst rename of our internal
+    # aliases can neither break the pin nor silently disarm it
+    import re
+
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith("vec_id") for k in keys), plan
 
 
 def test_bounded_verify_has_no_cartesian(spark, sf_dir):

@@ -307,6 +307,136 @@ def recall_curves(
     return curves
 
 
+def minhash_dedup_recall(
+    spark,
+    mdir: str,
+    scale: int,
+    configs: tuple[tuple[int, int], ...] = ((2, 4), (4, 2), (8, 2), (16, 1)),
+) -> dict:
+    """Planted-paraphrase recall axis for MinHash-LSH text dedup (r8
+    verdict #3): the operator users trust with DESTRUCTIVE deletes has
+    a tunable miss rate — per pair at Jaccard j, P(candidate) =
+    1-(1-j^r)^b for b bands × r rows — and the driver's fixture-equality
+    grading cannot see it because the oracle shares the banding.
+
+    Here every document plants THREE graded near-dups (last 5% / 15% /
+    30% of tokens truncated, ids offset per grade), each planted pair's
+    EXACT shingle Jaccard is computed with one equi-join on the id
+    offset (never all-pairs), and for each (n_bands, rows_per_band)
+    config we measure the fraction of planted pairs sharing ≥1 band
+    bucket — by construction exactly the pairs
+    :func:`lsh_candidate_pairs` would emit — bucketed by Jaccard
+    decile, next to the theoretical expectation. A measured recall far
+    under the formula would flag a broken signature scheme; recall
+    matching it quantifies what each banding config genuinely loses.
+    """
+    from informixcdc_spark.functions.text import tokens
+    from informixcdc_spark.operators.dedup import doc_shingles, minhash_bands
+
+    OFF = 10_000_000
+    docs = spark.read.parquet(os.path.join(mdir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    grades = (0.05, 0.15, 0.30)
+    variants = []
+    for g, frac in enumerate(grades):
+        tok = tokens(F.col("text"))
+        keep = F.greatest(
+            (F.size(tok) - F.ceil(F.size(tok) * F.lit(frac))).cast("int"),
+            F.lit(1),
+        )
+        variants.append(
+            docs.select(
+                (F.col("doc_id") + F.lit((g + 1) * OFF)).alias("doc_id"),
+                F.array_join(F.slice(tok, 1, keep), " ").alias("text"),
+            )
+        )
+    corpus = docs
+    for v in variants:
+        corpus = corpus.unionByName(v)
+    shingled = doc_shingles(corpus, "doc_id", "text").persist()
+    sets = shingled.select(
+        "doc_id", F.array_distinct("shingles").alias("_ds")
+    )
+    base = sets.where(F.col("doc_id") < OFF).select(
+        F.col("doc_id").alias("_b"), F.col("_ds").alias("_dsb")
+    )
+    pert = sets.where(F.col("doc_id") >= OFF).select(
+        (F.col("doc_id") % OFF).alias("_b"),
+        F.col("doc_id").alias("_pid"),
+        "_ds",
+    )
+    inter = F.size(F.array_intersect("_ds", "_dsb"))
+    union = F.size("_ds") + F.size("_dsb") - inter
+    planted = (
+        pert.join(base, "_b")
+        .select(
+            "_pid", (inter.cast("double") / union.cast("double")).alias("_j")
+        )
+        .persist()
+    )
+    n_planted = planted.count()
+
+    out: dict = {"scale": scale, "n_planted": n_planted, "configs": {}}
+    for n_bands, rows in configs:
+        t0 = time.perf_counter()
+        bands = minhash_bands(shingled, "doc_id", n_bands, rows)
+        bb = bands.where(F.col("doc_id") < OFF).select(
+            F.col("doc_id").alias("_b"), "band_idx", "band_key"
+        )
+        pb = bands.where(F.col("doc_id") >= OFF).select(
+            (F.col("doc_id") % OFF).alias("_b"),
+            F.col("doc_id").alias("_pid"),
+            "band_idx",
+            "band_key",
+        )
+        hits = (
+            pb.join(bb, ["_b", "band_idx", "band_key"])
+            .select("_pid")
+            .distinct()
+        )
+        expected = F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.col("_j"), F.lit(float(rows))),
+            F.lit(float(n_bands)),
+        )
+        per_decile = (
+            planted.join(hits.withColumn("_hit", F.lit(1)), "_pid", "left")
+            .groupBy(F.floor(F.col("_j") * 10).cast("int").alias("_dec"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit"),
+                F.avg(expected).alias("exp"),
+            )
+            .collect()
+        )
+        sec = round(time.perf_counter() - t0, 3)
+        key = f"b{n_bands}r{rows}"
+        tot_n = sum(r["n"] for r in per_decile)
+        tot_hit = sum(r["hit"] for r in per_decile)
+        out["configs"][key] = {
+            "n_bands": n_bands,
+            "rows_per_band": rows,
+            "recall": round(tot_hit / tot_n, 4) if tot_n else -1.0,
+            "sec": sec,
+            "by_jaccard_decile": {
+                f"{r['_dec'] / 10:.1f}": {
+                    "n": int(r["n"]),
+                    "recall": round(r["hit"] / r["n"], 4),
+                    "expected": round(float(r["exp"]), 4),
+                }
+                for r in sorted(per_decile, key=lambda r: r["_dec"])
+            },
+        }
+        print(
+            f"minhash_recall m={scale} {key}: "
+            + json.dumps(out["configs"][key]["by_jaccard_decile"]),
+            flush=True,
+        )
+    planted.unpersist()
+    shingled.unpersist()
+    return out
+
+
 def fuzzy_decon_recall(
     spark, mdir: str, scale: int, threshold: float = 0.8
 ) -> dict:
@@ -467,6 +597,21 @@ def main() -> None:
         )
         for q in cdc_queries:
             run_point(q, m, mdir)
+    # far point (32x) for the two worst-scaling extension families
+    # (r8 verdict #7): e01 post-skew-fix and e10 post-regime-flip —
+    # documents is their only input
+    ext_far = [
+        q
+        for q in ("e01_dedup_exact", "e10_quality_repetition")
+        if q in QUERIES
+    ]
+    for m in cdc_scales:
+        mdir = os.path.join(work, f"m{m}_ext")
+        rows[f"{m}_ext"] = materialize(
+            spark, sf_dir, mdir, m, tables=("documents",)
+        )
+        for q in ext_far:
+            run_point(q, m, mdir)
 
     # recall-vs-nprobe curves for the multiprobe ANN operators at the
     # 8x/16x points (replica construction decorrelates the copies, so
@@ -483,6 +628,13 @@ def main() -> None:
         spark, sf_dir if top == 1 else os.path.join(work, f"m{top}"), top
     )
     print("fuzzy_recall: " + json.dumps(fuzzy_recall), flush=True)
+
+    # planted-paraphrase recall for MinHash-LSH text dedup vs
+    # (n_bands, rows_per_band) at the 8x/16x points (r8 verdict #3)
+    minhash_recall = {}
+    for m in [s for s in scales if s in (8, 16)] or scales[-1:]:
+        mdir = sf_dir if m == 1 else os.path.join(work, f"m{m}")
+        minhash_recall[str(m)] = minhash_dedup_recall(spark, mdir, m)
 
     base = str(scales[0])
 
@@ -504,6 +656,9 @@ def main() -> None:
         # fuzzy_decon_recall) — what LSH banding loses, which the
         # oracle-equality gate cannot measure
         "fuzzy_decon_recall": fuzzy_recall,
+        # planted-paraphrase recall for MinHash text dedup per banding
+        # config and Jaccard decile, with the 1-(1-j^r)^b expectation
+        "minhash_dedup_recall": minhash_recall,
         "queries": {
             q: {
                 **results[q],
@@ -526,7 +681,7 @@ def main() -> None:
                         f"efficiency_{m}x": eff(q, results[q], m)
                         for m in cdc_scales
                     }
-                    if q in cdc_queries and cdc_scales
+                    if q in (*cdc_queries, *ext_far) and cdc_scales
                     else {}
                 ),
             }

@@ -53,7 +53,7 @@ from informixcdc_spark.functions.vector import (
     dlit,
     dot,
     l2_norm,
-    sql_dot_lit,
+    sql_dot_rows,
     sql_l2_norm,
 )
 
@@ -214,26 +214,29 @@ def _argmin_code(
     ties (centroids arrive sorted by code).
 
     The whole (codes × subdims) literal table renders as ONE SQL string
-    (``F.expr``): building it as nested Column calls cost seconds of
-    driver-side py4j chatter per encode plan at m=32×16 codes. A NULL
-    vector folds to the ``-1`` sentinel exactly as before (every dist²
-    is NULL, the CASE keeps the init struct) — ``pq_encode``'s
-    isNotNull guard masks it to NULL codes."""
-    structs = ",".join(
-        "named_struct('c', {cid}, 'd', (0D + {terms}))".format(
-            cid=int(cid),
-            terms=" + ".join(
-                "(CAST(try_element_at(`{v}`, {i}) AS DOUBLE) - {c})"
-                " * (CAST(try_element_at(`{v}`, {i}) AS DOUBLE) - {c})".format(
-                    v=vec_col, i=lo + j + 1, c=dlit(x)
-                )
-                for j, x in enumerate(cvec)
-            ),
+    of higher-order folds over a literal codeword table (``F.expr``):
+    building it as nested Column calls cost seconds of driver-side
+    py4j chatter per encode plan at m=32×16 codes, and a fully
+    unrolled SQL form pays seconds of JIT/codegen (see
+    functions.vector.sql_dot_rows). A NULL vector folds to the ``-1``
+    sentinel exactly as before (every dist² is NULL, the CASE keeps
+    the init struct) — ``pq_encode``'s isNotNull guard masks it to
+    NULL codes."""
+    w = len(centroids[0][1])
+    codes_arr = ",".join(
+        "named_struct('c', {cid}, 'v', array({vs}))".format(
+            cid=int(cid), vs=",".join(dlit(x) for x in cvec)
         )
         for cid, cvec in centroids
     )
+    dist2 = (
+        f"aggregate(zip_with(slice(`{vec_col}`, {lo + 1}, {w}), e.v, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0D, (a, t) -> a + t)"
+    )
     return F.expr(
-        f"(aggregate(array({structs}), "
+        f"(aggregate(transform(array({codes_arr}), "
+        f"e -> named_struct('c', e.c, 'd', {dist2})), "
         "named_struct('c', -1, 'd', CAST('Infinity' AS DOUBLE)), "
         "(acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END)).c"
     )
@@ -274,19 +277,18 @@ def _adc_query_table(books: Codebooks, vec_col: str) -> Column:
     """Per-query ADC table: _qtab[s][code] = q_subvec . codeword (exact
     dots of the real query vector — the "asymmetric" in ADC).
 
-    Rendered as ONE ``F.expr`` string: the m×codes literal dot table
-    (512 entries at m=32×16) built from nested Column calls cost
-    ~13 s of driver-side py4j plan construction PER SEARCH CALL —
-    the dominating term in SCALEBENCH's ivfpq probe points (r8
-    verdict). The unrolled SQL is the identical 0.0-seeded left fold,
-    so scores stay bit-equal (unit/property pinned)."""
+    Rendered as ONE ``F.expr`` string of per-subspace matrix folds
+    (:func:`sql_dot_rows`): the m×codes literal dot table (512 entries
+    at m=32×16) built from nested Column calls cost ~13 s of
+    driver-side py4j plan construction PER SEARCH CALL — the
+    dominating term in SCALEBENCH's ivfpq probe points (r8 verdict) —
+    and the fully unrolled SQL form still paid seconds of JIT/codegen.
+    The folds are the identical 0.0-seeded left adds, so scores stay
+    bit-equal (unit/property pinned)."""
     rows = ",".join(
-        "array("
-        + ",".join(
-            sql_dot_lit(vec_col, cvec, lo=b["lo"])
-            for _cid, cvec in b["centroids"]
+        sql_dot_rows(
+            vec_col, [cvec for _cid, cvec in b["centroids"]], lo=b["lo"]
         )
-        + ")"
         for b in books
     )
     return F.expr(f"array({rows})")
@@ -406,22 +408,28 @@ def ivfpq_search(
     this equals :func:`pq_search_adc` exactly (unit-tested).
     """
     qn = l2_norm(F.col(vec_col))
-    # the coarse probe table is literal-heavy too (n_cells × D dot
-    # unrolls) — one F.expr parse, identical folds (see _adc_query_table)
+    # the coarse probe table is literal-heavy too (n_cells × D dots) —
+    # one F.expr parse of a matrix fold, identical folds/values (see
+    # _adc_query_table); n_cells stays small so the struct wrap is cheap
     qn_sql = sql_l2_norm(vec_col)
-    structs = ",".join(
-        "named_struct('negcos', -(CASE WHEN {qn} > 0D THEN {d} / ({qn} * {cn}) "
-        "ELSE 2.0D END), 'cell', {cid})".format(
-            qn=qn_sql,
-            d=sql_dot_lit(vec_col, cvec),
-            cn=dlit(sum(float(x) * float(x) for x in cvec) ** 0.5),
+    D = len(cell_centroids[0][1])
+    cells_arr = ",".join(
+        "named_struct('c', {cid}, 'cn', {cn}, 'v', array({vs}))".format(
             cid=int(cid),
+            cn=dlit(sum(float(x) * float(x) for x in cvec) ** 0.5),
+            vs=",".join(dlit(x) for x in cvec),
         )
         for cid, cvec in cell_centroids
     )
+    cdot = (
+        f"aggregate(zip_with(slice(`{vec_col}`, 1, {D}), e.v, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, t) -> acc + t)"
+    )
     probes = F.expr(
-        f"transform(slice(sort_array(array({structs})), 1, {int(nprobe)}), "
-        "s -> s.cell)"
+        f"transform(slice(sort_array(transform(array({cells_arr}), "
+        f"e -> named_struct('negcos', -(CASE WHEN {qn_sql} > 0D THEN "
+        f"{cdot} / ({qn_sql} * e.cn) ELSE 2.0D END), 'cell', e.c))), "
+        f"1, {int(nprobe)}), s -> s.cell)"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -683,17 +683,16 @@ def random_projection(
     dot-product cost. Each output element is the shared left-fold
     ``dot``, so a SQL oracle reproduces the projected values
     bit-for-bit."""
-    from informixcdc_spark.functions.vector import sql_dot_lit
+    from informixcdc_spark.functions.vector import sql_dot_rows
 
     w = rp_weights(d_in, d_out)
     # the d_out × d_in literal weight matrix renders as ONE F.expr
-    # string (identical 0.0-seeded left folds, bit-equal values):
-    # building it from nested Column calls cost ~1k py4j round trips
-    # of driver-side plan construction per call (r8 bench: the 'rp'
-    # arm's fixture-scale overhead was exactly this)
-    proj = F.expr(
-        "array(" + ",".join(sql_dot_lit(vec_col, row) for row in w) + ")"
-    )
+    # higher-order fold (identical 0.0-seeded left folds, bit-equal
+    # values — unit-pinned): building it from nested Column calls cost
+    # ~1k py4j round trips per call, and the fully unrolled SQL form
+    # paid ~2.3 s of JIT/codegen per query (r8 bench: the 'rp' arm's
+    # fixture-scale overhead was exactly this)
+    proj = F.expr(sql_dot_rows(vec_col, w))
     return df.select(F.col(id_col), proj.alias(vec_col))
 
 

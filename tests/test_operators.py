@@ -1432,6 +1432,44 @@ def test_line_dedup_first_occurrence_semantics(spark):
     assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 2)
 
 
+def test_sql_dot_rows_bit_equals_column_fold(spark):
+    """The matrix-fold SQL renderer (one F.expr, codegen-small) must be
+    BIT-equal to the Column-side dot fold it replaces — every literal
+    table in quantization/similarity rests on this. Checked with IS
+    DISTINCT FROM (NULL-safe, no tolerance) over awkward doubles, a
+    sliced offset, a NULL vector, and a short vector."""
+    from informixcdc_spark.functions.vector import dot, sql_dot_rows
+
+    rows = [
+        [0.1, -2.7182818284590455, 3.3333333333333335e-07],
+        [1e-300, -1.0, 97.00000000000001],
+    ]
+    data = [
+        (0, [0.3, -1.5, 2.25, 7.5, -0.875]),
+        (1, [1e10, 1e-10, -1e10, 0.1, 0.2]),
+        (2, None),
+        (3, [0.5]),  # shorter than lo+width: folds to NULL both ways
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    for lo in (0, 2):
+        fold = F.array(
+            *[
+                dot(
+                    F.slice(F.col("embedding"), lo + 1, len(r)),
+                    F.array(*[F.lit(float(x)) for x in r]),
+                )
+                for r in rows
+            ]
+        )
+        sql = F.expr(sql_dot_rows("embedding", rows, lo=lo))
+        bad = (
+            df.select(fold.alias("a"), sql.alias("b"))
+            .where(F.expr("a IS DISTINCT FROM b"))
+            .count()
+        )
+        assert bad == 0, f"lo={lo}"
+
+
 def test_random_projection_matches_numpy(spark):
     """random_projection equals the numpy matrix product against the
     same md5-sign matrix, and a planted near-duplicate stays its

@@ -22,6 +22,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from functools import reduce
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -275,22 +276,72 @@ def dsir_log_weights(
 
     Returns one row per document: ``(id, n_feats, dsir_log_weight)``
     (token-free docs weigh 0.0 with n_feats 0).
+
+    Composes :func:`dsir_model` (train once) with :func:`dsir_score`
+    (score any slice) — use those directly when the target model is
+    trained offline and incoming documents are weighted continuously
+    (the streaming-gate shape; see
+    tests/test_streaming.py::test_dsir_gate_composes_with_streams).
     """
+    return dsir_score(
+        docs,
+        dsir_model(docs, target_pred, id_col, text_col, n_buckets),
+        id_col,
+        text_col,
+    )
+
+
+class DsirModel(NamedTuple):
+    """A trained DSIR importance model: the bucket-BOUNDED feature-count
+    table (``n_buckets`` rows however large the corpus — broadcastable
+    by construction; persisted, same cache contract as NBModel) plus
+    the two Laplace totals."""
+
+    counts: DataFrame
+    n_all: int
+    n_t: int
+    n_buckets: int
+
+
+def _dsir_feats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    target_pred: Column | None = None,
+) -> DataFrame:
+    """(id[, _is_t], _f): one hashed-bucket row per token occurrence —
+    the scan-fused explode both the trainer and the scorer run."""
     from informixcdc_spark.catalog import rebalance
     from informixcdc_spark.functions.text import tokens
 
-    feats = rebalance(docs).select(
-        F.col(id_col),
-        target_pred.alias("_is_t"),
-        F.explode(tokens(F.col(text_col))).alias("_t"),
+    cols = [F.col(id_col)]
+    keep = [id_col]
+    if target_pred is not None:
+        cols.append(target_pred.alias("_is_t"))
+        keep.append("_is_t")
+    return rebalance(docs).select(
+        *cols, F.explode(tokens(F.col(text_col))).alias("_t")
     ).select(
-        id_col,
-        "_is_t",
+        *keep,
         (
             F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
             % F.lit(n_buckets)
         ).alias("_f"),
     )
+
+
+def dsir_model(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DsirModel:
+    """Train the DSIR model: ONE scan-fused token-explode pass into the
+    bucket-bounded count aggregate (map-side combined), plus one
+    metadata-sized collect for the totals."""
+    feats = _dsir_feats(docs, id_col, text_col, n_buckets, target_pred)
     counts = feats.groupBy("_f").agg(
         F.count(F.lit(1)).alias("_c_all"),
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_c_t"),
@@ -298,15 +349,37 @@ def dsir_log_weights(
     tot = counts.agg(
         F.sum("_c_all").alias("na"), F.sum("_c_t").alias("nt")
     ).collect()[0]
-    n_all, n_t = int(tot["na"] or 0), int(tot["nt"] or 0)
+    return DsirModel(
+        counts=counts,
+        n_all=int(tot["na"] or 0),
+        n_t=int(tot["nt"] or 0),
+        n_buckets=n_buckets,
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: DsirModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a (pre-trained) DSIR model: explode →
+    broadcast count-table join → one doc-keyed DECIMAL(18,6) sum.
+    Stateless per input slice, so it composes with streams inside
+    ``foreachBatch`` exactly like ``nb_gate`` (each row carries a whole
+    document; the model table broadcasts into every micro-batch)."""
+    n_buckets = model.n_buckets
+    feats = _dsir_feats(docs, id_col, text_col, n_buckets)
     ratio = (
-        (F.col("_c_t") + F.lit(1)).cast("double") / F.lit(n_t + n_buckets)
+        (F.col("_c_t") + F.lit(1)).cast("double")
+        / F.lit(model.n_t + n_buckets)
     ) / (
-        (F.col("_c_all") + F.lit(1)).cast("double") / F.lit(n_all + n_buckets)
+        (F.col("_c_all") + F.lit(1)).cast("double")
+        / F.lit(model.n_all + n_buckets)
     )
     contrib = F.log(ratio).cast("decimal(18,6)")
     sums = (
-        feats.join(F.broadcast(counts), "_f")
+        feats.join(F.broadcast(model.counts), "_f")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

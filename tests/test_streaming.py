@@ -2400,3 +2400,72 @@ def test_nb_quality_gate_composes_with_streams(spark, tmp_path):
     want = sorted(map(tuple, nb_gate(docs, model, ["good"]).collect()))
     assert got == want
     assert {t[0] for t in got} == {10, 12}  # spam docs gated out
+
+
+def test_dsir_gate_composes_with_streams(spark, tmp_path):
+    """DSIR as a continuous importance gate: the model (a bucket-BOUNDED
+    count table) trains once offline and scores every micro-batch
+    inside foreachBatch — per-doc weight sums complete within the batch
+    because each row is a whole document. The stream sink must equal
+    the batch scorer bit-for-bit (the weights are DECIMAL-rounded
+    sums, so equality is exact), and the composed trainer+scorer must
+    equal the one-shot dsir_log_weights on the same corpus."""
+    from informixcdc_spark.operators.curation import (
+        dsir_log_weights,
+        dsir_model,
+        dsir_score,
+    )
+
+    train_rows = [
+        (0, "physics energy quantum field theory lattice"),
+        (1, "quantum field energy lattice gauge physics"),
+        (2, "buy cheap shoes now discount sale online"),
+        (3, "discount sale buy online now cheap offers"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    model = dsir_model(train, F.col("doc_id") < 2)
+
+    rows = [
+        (10, "quantum lattice energy physics"),
+        (11, "cheap discount shoes sale"),
+        (12, "gauge field theory energy"),
+        (13, ""),  # token-free: weighs 0.0 with n_feats 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # one-shot == model+score composition on the same corpus
+    one_shot = sorted(
+        map(tuple, dsir_log_weights(train, F.col("doc_id") < 2).collect())
+    )
+    composed = sorted(
+        map(tuple, dsir_score(train, model).collect())
+    )
+    assert one_shot == composed
+
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") < 12).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 12).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "scored")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: dsir_score(bdf, model)
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, dsir_score(docs, model).collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[13][1] == 0 and by_id[13][2] == 0.0
+    # target-like docs weigh positive, spam-like negative
+    assert by_id[10][2] > 0 > by_id[11][2]

@@ -200,3 +200,50 @@ def test_chunk_tokens_matches_pure_python(spark, lens, size, overlap):
                 hashlib.md5(" ".join(sl).encode()).hexdigest(),
             )
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs_lines=st.lists(
+        st.lists(
+            st.sampled_from(["a b", "c", "a", "HDR x", "", "z z", "q w e"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_dedup_matches_pure_python(spark, docs_lines):
+    """Hypothesis: the round-9 combineable-aggregate line_dedup equals a
+    pure-Python first-occurrence model on random corpora drawn from a
+    SMALL line pool (maximal cross-doc collisions — the boilerplate
+    case the rewrite exists for): per doc, kept-line reassembly in
+    position order, n_kept, n_dropped (derandomized)."""
+    from informixcdc_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs_lines)]
+
+    first: dict[str, tuple[int, int]] = {}
+    for did, text in sorted(rows):
+        for pos, line in enumerate(text.split("\n")):
+            first.setdefault(line, (did, pos))
+    want = {}
+    for did, text in rows:
+        lines = text.split("\n")
+        kept = [
+            ln for p, ln in enumerate(lines) if first[ln] == (did, p)
+        ]
+        want[did] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(docs).collect()
+    }
+    assert got == want

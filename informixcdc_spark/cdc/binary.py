@@ -130,6 +130,13 @@ def _encode_scalar(col: WireColumn, v) -> bytes:
             return struct.pack(">B", 1) + b"\x00" * 8
         micros = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
         return struct.pack(">Bq", 0, micros)
+    if t == "interval_ym":
+        # year-month interval span: null flag + signed BE month count
+        # (years fold in as 12 months each; see typemap.parse_ddl for
+        # why the decoded representation is the month INT).
+        if v is None:
+            return struct.pack(">B", 1) + b"\x00" * 4
+        return struct.pack(">Bi", 0, v)
     raise ValueError(f"no encoder for {t!r}")
 
 
@@ -183,6 +190,10 @@ def _decode_scalar(col: WireColumn, buf: bytes, off: int):
             return None
         micros = struct.unpack_from(">q", buf, off + 1)[0]
         return dt.timedelta(microseconds=micros)
+    if t == "interval_ym":
+        if buf[off] == 1:
+            return None
+        return struct.unpack_from(">i", buf, off + 1)[0]
     raise ValueError(f"no decoder for {t!r}")
 
 

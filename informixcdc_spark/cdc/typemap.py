@@ -74,6 +74,7 @@ _FIXED = {
     "money": (18, DecimalType),
     "datetime": (9, TimestampType),  # flag + 8B BE epoch-micros (ours; ref stubs)
     "interval": (9, DayTimeIntervalType),  # flag + 8B BE span-micros (ours; ref stubs)
+    "interval_ym": (5, IntegerType),  # flag + 4B BE signed months (ours; ref stubs)
 }
 
 _VARLEN = {"varchar", "nvarchar", "lvarchar"}
@@ -111,19 +112,42 @@ def parse_ddl(cols_desc: str) -> list[WireColumn]:
         if iv:
             frm = iv.group("from").lower()
             to = iv.group("to").lower()
-            if frm in ("year", "month") or to in ("year", "month"):
-                # year-month intervals have no fixed micros span; the
-                # reference never decodes either class (its INTERVAL
-                # path is the same dead "0.0" stub as DATETIME,
-                # ext/_informixcdcmodule.ec:1073-1126) — day-time is the
-                # class SURVEY §1.4 commits to, year-month stays loud.
-                # (Also a platform boundary: PySpark 4.1 leaves
-                # YearMonthIntervalType.fromInternal unimplemented, so
-                # YM values cannot cross the Python boundary at all.)
+            ym_frm = frm in ("year", "month")
+            ym_to = to in ("year", "month")
+            if ym_frm != ym_to:
+                # Informix intervals are one class or the other; a
+                # qualifier spanning both (e.g. "year to day") is
+                # ill-formed DDL — stays loud, never guessed at.
                 raise ValueError(
                     f"unsupported informix type: interval {frm} to {to} "
-                    "(year-month interval class)"
+                    "(mixes the year-month and day-time classes)"
                 )
+            if ym_frm:
+                # year-month interval: decoded as the SIGNED TOTAL MONTH
+                # COUNT (IntegerType) — lossless (a YM interval IS a
+                # month count; years = months // 12). The reference
+                # never decodes either interval class (its INTERVAL
+                # path is the same dead "0.0" stub as DATETIME,
+                # ext/_informixcdcmodule.ec:1073-1126). We do NOT use
+                # Spark's YearMonthIntervalType because PySpark 4.1
+                # leaves its fromInternal unimplemented — YM-typed
+                # values cannot cross the Python boundary; the month
+                # count representation carries the same information
+                # through any engine (cast with make_ym_interval(0, m)
+                # JVM-side when the Catalyst type is wanted).
+                size, ctor = _FIXED["interval_ym"]
+                cols.append(
+                    WireColumn(
+                        iv.group("name").lower(),
+                        "interval_ym",
+                        size,
+                        False,
+                        0,
+                        0,
+                        ctor(),
+                    )
+                )
+                continue
             size, _ = _FIXED["interval"]
             cols.append(
                 WireColumn(

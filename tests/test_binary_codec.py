@@ -317,23 +317,29 @@ def test_binlog_source_rejects_truncated_capture_file(spark, tmp_path):
 
 
 def test_interval_ddl_and_roundtrip():
-    """INTERVAL day-time columns (the last SURVEY §1.4 type row): DDL
-    qualifiers map onto DayTimeIntervalType fields, the 9-byte
-    flag+span-micros layout round-trips negative spans, µs fractions
-    and NULLs, and the year-month class fails loudly (the reference's
-    INTERVAL decode is the dead "0.0" stub at ec:1073-1126 — we decode
-    the day-time class correctly and refuse what we don't decode)."""
+    """INTERVAL columns (the last SURVEY §1.4 type row), BOTH classes:
+    day-time qualifiers map onto DayTimeIntervalType fields and the
+    9-byte flag+span-micros layout round-trips negative spans, µs
+    fractions and NULLs; year-month qualifiers decode as the SIGNED
+    TOTAL MONTH COUNT (IntegerType — lossless; PySpark 4.1 leaves
+    YearMonthIntervalType.fromInternal unimplemented, so the Catalyst
+    YM type cannot cross the Python boundary) through a 5-byte
+    flag+months layout; a qualifier mixing the classes fails loudly.
+    (The reference's INTERVAL decode for BOTH classes is the dead
+    "0.0" stub at ec:1073-1126 — we decode both correctly.)"""
     import datetime as dt
 
     import pytest
-    from pyspark.sql.types import DayTimeIntervalType
+    from pyspark.sql.types import DayTimeIntervalType, IntegerType
 
     from informixcdc_spark.cdc.binary import decode_row_image, encode_row_image
     from informixcdc_spark.cdc.typemap import parse_ddl, schema_from_ddl
 
     ddl = (
         "k int, d1 interval day(5) to fraction(3), "
-        "d2 interval hour to minute, d3 interval second to fraction"
+        "d2 interval hour to minute, d3 interval second to fraction, "
+        "y1 interval year(4) to month, y2 interval month to month, "
+        "y3 interval year to year"
     )
     schema = schema_from_ddl(ddl)
     assert schema["d1"].dataType == DayTimeIntervalType(
@@ -345,6 +351,8 @@ def test_interval_ddl_and_roundtrip():
     assert schema["d3"].dataType == DayTimeIntervalType(
         DayTimeIntervalType.SECOND, DayTimeIntervalType.SECOND
     )
+    for ym in ("y1", "y2", "y3"):
+        assert schema[ym].dataType == IntegerType()
 
     cols = parse_ddl(ddl)
     values = {
@@ -352,8 +360,11 @@ def test_interval_ddl_and_roundtrip():
         "d1": dt.timedelta(days=-3, seconds=5025, microseconds=123456),
         "d2": dt.timedelta(hours=2, minutes=30),
         "d3": None,
+        "y1": 18,  # 1 year 6 months
+        "y2": -7,  # negative spans round-trip
+        "y3": None,
     }
     assert decode_row_image(cols, encode_row_image(cols, values), 0) == values
 
-    with pytest.raises(ValueError, match="year-month"):
-        parse_ddl("ym interval year to month")
+    with pytest.raises(ValueError, match="mixes the year-month"):
+        parse_ddl("bad interval year to day")

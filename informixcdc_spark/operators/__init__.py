@@ -16,6 +16,7 @@ from informixcdc_spark.operators.curation import (
 )
 from informixcdc_spark.operators.dedup import (
     decontaminate_fuzzy,
+    doc_line_dedup,
     duplicate_span_ranges,
     duplicate_spans,
     exact_dedup,
@@ -66,6 +67,7 @@ __all__ = [
     "dsir_select",
     "write_zordered",
     "decontaminate_fuzzy",
+    "doc_line_dedup",
     "line_dedup",
     "sq_train",
     "sq_encode",

@@ -981,3 +981,46 @@ def line_dedup(
         .cast("int")
         .alias("n_dropped"),
     )
+
+
+def doc_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document line deduplication — the row-local sibling of
+    :func:`line_dedup` (CCNet §4.1 dedups across the corpus; pipelines
+    such as RefinedWeb §3.2 ALSO strip lines repeated inside one page:
+    nav menus, sidebars, footers rendered once per section).  A line is
+    kept only at its FIRST occurrence within its own document, and the
+    document is reassembled from the survivors in order.
+
+    Scale shape: the whole pass is array expressions inside one
+    projection — NO shuffle, NO exchange of any kind, at any corpus
+    size (contrast :func:`line_dedup`, which must exchange to find
+    cross-document winners).  First occurrence is
+    ``array_position(lines, x) == i + 1`` evaluated per element, so
+    the per-row cost is O(lines²) string comparisons — lines-per-doc
+    is format-bounded (a page has hundreds of lines, never millions),
+    which keeps the quadratic harmless while buying the zero-exchange
+    plan; a 100 TB run is a pure map over the scan.
+
+    Returns one row per document:
+    ``(id, clean_text, n_kept, n_dropped)``.
+
+    ``sep`` is a LITERAL separator (regex-escaped before the split,
+    used verbatim in the rejoin).
+    """
+    import re
+
+    lines = F.split(F.col(text_col), re.escape(sep))
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(kept).cast("int").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_dropped"),
+    )

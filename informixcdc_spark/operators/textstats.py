@@ -245,6 +245,61 @@ def gopher_rules_exprs(
     )
 
 
+def c4_rules_exprs(text: Column) -> tuple[Column, Column, Column, Column]:
+    """C4 cleaning rule set (Raffel et al. 2020 §2.2, the T5 corpus
+    filter) as PURE column expressions —
+    ``(c4_kept_lines, c4_kept_line_frac, c4_n_sentences, c4_keep)``.
+    Like :func:`gopher_rules_exprs`, every signal is integer
+    arithmetic over the text divided once at the end, so any engine
+    reproduces the doubles bit-for-bit and the whole rule set fuses
+    into the scan (zero shuffles at 100 TB).
+
+    Line rules — a line SURVIVES when it (1) ends in a terminal
+    punctuation mark ('.', '!', '?', '"' — after rtrim), (2) holds at
+    least 5 words, and (3) does not contain the word "javascript"
+    (case-insensitive).  Page rules — the page is KEPT when it has at
+    least 3 sentences (terminal-punctuation count as the sentence
+    proxy), at least 3 surviving lines, and contains neither the
+    phrase "lorem ipsum" (case-insensitive) nor a curly bracket
+    ('{', C4's code marker).  The paper's fourth page rule — the
+    "dirty word" blocklist — is a deployment-specific word list; the
+    "lorem ipsum" phrase check is its structural stand-in here (same
+    contains-scan shape; swap the literal for the real list in
+    production).
+    """
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+
+    def _survives(ln: Column) -> Column:
+        tail = F.rtrim(ln)
+        words = F.filter(F.split(ln, " "), lambda w: w != "")
+        return (
+            (
+                tail.endswith(".")
+                | tail.endswith("!")
+                | tail.endswith("?")
+                | tail.endswith('"')
+            )
+            & (F.size(words) >= 5)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.size(F.filter(lines, _survives))
+    n_sent = F.length(text) - F.length(F.translate(text, ".!?", ""))
+    keep = (
+        (n_sent >= 3)
+        & (kept >= 3)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return (
+        kept.cast("int"),
+        kept.cast("double") / n_lines,
+        n_sent.cast("int"),
+        keep,
+    )
+
+
 def repetition_exprs(tok: Column) -> tuple[Column, Column, Column, Column]:
     """(n_tokens, distinct_ratio, top_token_frac, dup_2gram_frac) as PURE
     column expressions over a tokens array — same values as

@@ -261,6 +261,44 @@ _LINE_FTR = "copyright footer all rights reserved"
                    AS clean_md5
         FROM flagged GROUP BY doc_id
     )
+    UNION ALL
+    SELECT 'doclines' AS mode, doc_id, CAST(NULL AS BIGINT) AS n_copies,
+           CAST(NULL AS BIGINT) AS dup_windows,
+           CAST(NULL AS BIGINT) AS total_windows,
+           CAST(NULL AS BIGINT) AS span_start,
+           CAST(NULL AS BIGINT) AS span_end,
+           n_kept, n_dropped, clean_md5
+    FROM (
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        docs2 AS (
+            SELECT doc_id,
+                   '{_LINE_HDR}' || chr(10) ||
+                   array_to_string(
+                       [array_to_string(
+                            ws[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ')
+                        for i in generate_series(
+                            0, CAST(ceil(len(ws)/{_LINE_W}.0) AS INT) - 1)],
+                       chr(10))
+                   || chr(10) || '{_LINE_FTR}' AS t1
+            FROM w
+        ),
+        led AS (
+            SELECT doc_id,
+                   string_split(t1 || chr(10) || t1, chr(10)) AS l
+            FROM docs2
+        ),
+        kept AS (
+            SELECT doc_id, len(l) AS n,
+                   [l[i] FOR i IN generate_series(1, len(l))
+                    IF list_position(l, l[i]) = i] AS k
+            FROM led
+        )
+        SELECT doc_id, CAST(len(k) AS BIGINT) AS n_kept,
+               CAST(n - len(k) AS BIGINT) AS n_dropped,
+               md5(array_to_string(k, chr(10))) AS clean_md5
+        FROM kept
+    )
     """,
 )
 def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,8 +393,34 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped").cast("long").alias("n_dropped"),
         F.md5(F.col("clean_text")).alias("clean_md5"),
     )
+    # doclines arm: the row-local sibling — the SAME recut text doubled
+    # (so every line repeats within its own document), deduped WITHIN
+    # each doc by doc_line_dedup's zero-exchange array pass
+    from informixcdc_spark.operators.dedup import doc_line_dedup
+
+    doclines = doc_line_dedup(
+        docs.select(
+            "doc_id", F.concat_ws("\n", lined_text, lined_text).alias("text")
+        ),
+        "doc_id",
+        "text",
+    ).select(
+        F.lit("doclines").alias("mode"),
+        "doc_id",
+        null_l.alias("n_copies"),
+        null_l.alias("dup_windows"),
+        null_l.alias("total_windows"),
+        null_l.alias("span_start"),
+        null_l.alias("span_end"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
     return (
-        exact.unionByName(spans).unionByName(ranges).unionByName(lines)
+        exact.unionByName(spans)
+        .unionByName(ranges)
+        .unionByName(lines)
+        .unionByName(doclines)
     )
 
 
@@ -1103,6 +1167,52 @@ _SQL_LM_LOGP = sql_lm_log_prob("vv")
         )
     )
     ),
+    -- C4 rule set (Raffel et al. 2020 §2.2) over the deterministically
+    -- decorated recut (same expression the Spark side states): line
+    -- survival = terminal punctuation + >=5 words + no "javascript";
+    -- page keep = >=3 sentences, >=3 surviving lines, no "lorem
+    -- ipsum", no curly bracket
+    c4 AS (
+    SELECT doc_id,
+           CAST(kept AS INT) AS c4_kept_lines,
+           CAST(kept AS DOUBLE) / nl AS c4_kept_line_frac,
+           CAST(nsent AS INT) AS c4_n_sentences,
+           (nsent >= 3 AND kept >= 3
+            AND NOT contains(lower(t2), 'lorem ipsum')
+            AND NOT contains(t2, '{{')) AS c4_keep
+    FROM (
+        SELECT doc_id, t2,
+               len(string_split(t2, chr(10))) AS nl,
+               len(list_filter(string_split(t2, chr(10)), x ->
+                   (ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!')
+                    OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '"'))
+                   AND len(list_filter(string_split(x, ' '),
+                                       w -> w <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript'))) AS kept,
+               length(t2) - length(translate(t2, '.!?', '')) AS nsent
+        FROM (
+            SELECT doc_id,
+                   array_to_string(
+                       [array_to_string(
+                            ws[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ')
+                        || (CASE WHEN i % 7 = 3 THEN ' javascript'
+                                 ELSE '' END)
+                        || (CASE WHEN i % 3 = 0 THEN '.'
+                                 WHEN i % 3 = 1 THEN '!' ELSE '' END)
+                        for i in generate_series(
+                            0, CAST(ceil(len(ws)/{_LINE_W}.0) AS INT) - 1)],
+                       chr(10))
+                   || (CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                            'lorem ipsum dolor sit amet consectetur.'
+                            ELSE '' END)
+                   || (CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                            'var f = function() {{ return 1; }}'
+                            ELSE '' END) AS t2
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+        )
+    )
+    ),
     -- weak-label Naive Bayes (operators/classify.py): per-(doc, term,
     -- label) log-likelihoods rounded to DECIMAL(18,6), summed exactly;
     -- prediction compares the decimal scores (ties break to 'drop',
@@ -1145,12 +1255,15 @@ _SQL_LM_LOGP = sql_lm_log_prob("vv")
            r.low_quality,
            g.symbol_ratio, g.alpha_word_frac, g.gopher_failed,
            g.gopher_failed = 0 AS gopher_keep,
+           c4.c4_kept_lines, c4.c4_kept_line_frac, c4.c4_n_sentences,
+           c4.c4_keep,
            CAST(COALESCE(lm.n_bigrams, 0) AS INT) AS n_bigrams,
            lm.lm_cross_entropy,
            CAST(nb.sc0 AS DOUBLE) AS nb_score_drop,
            CAST(nb.sc1 AS DOUBLE) AS nb_score_keep,
            CASE WHEN nb.sc0 >= nb.sc1 THEN 'drop' ELSE 'keep' END AS nb_pred
     FROM q JOIN r USING (doc_id) JOIN g USING (doc_id)
+         JOIN c4 USING (doc_id)
          LEFT JOIN lm USING (doc_id) JOIN nb USING (doc_id)
     """,
 )
@@ -1180,6 +1293,42 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol_ratio, alpha_frac, gfailed, gkeep = gopher_rules_exprs(
         F.col("_tok"), F.col("text")
     )
+    # C4 rule set (Raffel et al. 2020 §2.2) over a deterministically
+    # DECORATED recut of each document (the fixture has no newlines or
+    # punctuation, so the recut plants every rule's pass AND fail case:
+    # line i ends '.'/'!'/nothing by i%3, every 7th line carries
+    # "javascript", every 11th doc a "lorem ipsum" line, every 13th a
+    # curly-bracket line) — the same expression the oracle states.
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(_LINE_W))).cast("int")
+    c4_text = F.concat(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.concat(
+                    F.array_join(F.slice(ws, i * _LINE_W + 1, _LINE_W), " "),
+                    F.when(i % 7 == F.lit(3), F.lit(" javascript")).otherwise(
+                        F.lit("")
+                    ),
+                    F.when(i % 3 == F.lit(0), F.lit("."))
+                    .when(i % 3 == F.lit(1), F.lit("!"))
+                    .otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ),
+        F.when(
+            F.col("doc_id") % 11 == F.lit(0),
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == F.lit(0),
+            F.lit("\nvar f = function() { return 1; }"),
+        ).otherwise(F.lit("")),
+    )
+    from informixcdc_spark.operators.textstats import c4_rules_exprs
+
+    c4_kept, c4_frac, c4_sent, c4_keep = c4_rules_exprs(c4_text)
     heur = toked.select(
         "doc_id",
         n.cast("int").alias("n_tokens"),
@@ -1195,6 +1344,10 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_frac.alias("alpha_word_frac"),
         gfailed.alias("gopher_failed"),
         gkeep.alias("gopher_keep"),
+        c4_kept.alias("c4_kept_lines"),
+        c4_frac.alias("c4_kept_line_frac"),
+        c4_sent.alias("c4_n_sentences"),
+        c4_keep.alias("c4_keep"),
     )
     # Naive-Bayes quality classifier trained on the heuristic verdict as
     # WEAK labels (the fastText-gate pattern: CCNet/GPT-3-style corpus

@@ -1831,6 +1831,111 @@ def test_gopher_rules_each_rule_fires(spark):
     assert got[6]["alpha"] < 0.8
 
 
+def test_c4_rules_each_rule_fires(spark):
+    """C4 rule set: each line rule and each page rule fails on a doc
+    crafted to violate exactly it; a well-formed page passes."""
+    from informixcdc_spark.operators.textstats import c4_rules_exprs
+
+    good = "\n".join(
+        ["alpha beta gamma delta epsilon."] * 2
+        + ["one two three four five!", 'quoted words come in fives "']
+    )  # 4 surviving lines, 4 sentences
+    rows = [
+        (0, good),
+        # line rules: no terminal punct / <5 words / javascript
+        (1, good + "\nno terminal punctuation on this line"),
+        (2, good + "\ntoo short."),
+        (3, good + "\nthis line mentions JavaScript libraries today."),
+        # page rules: <3 sentences / <3 surviving lines / lorem / brace
+        (4, "only two sentences here today friend. second one now friend!"),
+        (5, "one good line is not enough here."),
+        (6, good + "\nfiller text with Lorem Ipsum inside it."),
+        (7, good + "\ncode marker { appears on this line."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, frac, nsent, keep = c4_rules_exprs(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            kept.alias("kept"),
+            frac.alias("frac"),
+            nsent.alias("nsent"),
+            keep.alias("keep"),
+        ).collect()
+    }
+    assert got[0]["kept"] == 4 and got[0]["frac"] == 1.0 and got[0]["keep"]
+    # line-rule violations drop only the bad line; the page survives
+    for i in (1, 2, 3):
+        assert got[i]["kept"] == 4 and got[i]["frac"] == 0.8, (i, got[i])
+        assert got[i]["keep"], (i, got[i])
+    # page-rule violations kill the page even when lines survive
+    assert got[4]["nsent"] == 2 and not got[4]["keep"]
+    assert got[5]["kept"] == 1 and not got[5]["keep"]
+    assert got[6]["kept"] == 5 and not got[6]["keep"]  # lorem ipsum
+    assert got[7]["keep"] is False  # curly bracket
+
+
+def test_doc_line_dedup_first_occurrence_within_doc(spark):
+    """doc_line_dedup keeps each line at its first occurrence WITHIN its
+    own document only — a line shared across documents survives in
+    both (the corpus-level drop is line_dedup's job, not this one's)."""
+    from informixcdc_spark.operators.dedup import doc_line_dedup
+
+    rows = [
+        (1, "header\nbody one\nheader\nbody two\nbody one\nfooter"),
+        (2, "header\nother text\nfooter\nfooter"),
+        (3, "unique only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in doc_line_dedup(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["clean_text"] == "header\nbody one\nbody two\nfooter"
+    assert got[1]["n_kept"] == 4 and got[1]["n_dropped"] == 2
+    # "header"/"footer" kept here too: dedup is per-document
+    assert got[2]["clean_text"] == "header\nother text\nfooter"
+    assert got[2]["n_kept"] == 3 and got[2]["n_dropped"] == 1
+    assert got[3]["clean_text"] == "unique only"
+    assert got[3]["n_kept"] == 1 and got[3]["n_dropped"] == 0
+
+
+def test_doc_line_dedup_matches_pure_python(spark):
+    """Derandomized property: doc_line_dedup equals a five-line pure-
+    Python first-occurrence filter on corpora drawn from a tiny line
+    vocabulary (maximizing in-doc collisions)."""
+    import random
+
+    from informixcdc_spark.operators.dedup import doc_line_dedup
+
+    rng = random.Random(909)
+    vocab = ["aa", "bb", "cc", "dd dd", ""]
+    rows = [
+        (d, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for d in range(60)
+    ]
+
+    def expect(text):
+        seen, kept = set(), []
+        for ln in text.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        return "\n".join(kept), len(kept)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in doc_line_dedup(docs, "doc_id", "text").collect()
+    }
+    for d, text in rows:
+        clean, n_kept = expect(text)
+        assert got[d]["clean_text"] == clean, (d, text)
+        assert got[d]["n_kept"] == n_kept
+        assert got[d]["n_dropped"] == text.count("\n") + 1 - n_kept
+
+
 def test_decontaminate_fuzzy_flags_near_dup_leakage(spark):
     """Fuzzy decontamination: a training doc that is a light paraphrase
     of a benchmark doc (one token dropped) is flagged with its exact

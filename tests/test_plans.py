@@ -142,6 +142,38 @@ def test_pii_redaction_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_doc_line_dedup_is_shuffle_free(spark, sf_dir):
+    # within-document line dedup is array expressions in one projection:
+    # no Exchange of any kind at any corpus size (the zero-exchange
+    # contrast to corpus-level line_dedup's aggregate + join-back)
+    from informixcdc_spark.operators.dedup import doc_line_dedup
+    from informixcdc_spark.queries.extensions import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = formatted_plan(doc_line_dedup(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_c4_rules_are_scan_fused(spark, sf_dir):
+    # the C4 rule set, like Gopher's, must fuse into the scan: pure
+    # column expressions, no Exchange
+    from informixcdc_spark.operators.textstats import c4_rules_exprs
+    from informixcdc_spark.queries.extensions import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept, frac, nsent, keep = c4_rules_exprs(F.col("text"))
+    plan = formatted_plan(
+        docs.select(
+            "doc_id",
+            kept.alias("kept"),
+            frac.alias("frac"),
+            nsent.alias("nsent"),
+            keep.alias("keep"),
+        )
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_sequence_packing_single_pershard_shuffle(spark, sf_dir):
     # pack arm (isolated via the mode filter — PruneFilters constant-
     # folds the chunk branch away): exactly ONE exchange (on the shard

@@ -2348,6 +2348,62 @@ def test_curation_gate_composes_with_streams(spark, tmp_path):
     assert {t[0] for t in got} == {0, 2}  # doc 1 fails the gate
 
 
+def test_c4_docline_gate_composes_with_streams(spark, tmp_path):
+    """The round-9 stateless curation ops compose the same way: a
+    document stream flows through doc_line_dedup (within-doc repeated-
+    line strip — one projection) and then the C4 page gate over the
+    CLEANED text, in one foreachBatch-free streaming query; the sink
+    holds exactly the batch answer."""
+    from informixcdc_spark.operators.dedup import doc_line_dedup
+    from informixcdc_spark.operators.textstats import c4_rules_exprs
+
+    good = "\n".join(
+        ["alpha beta gamma delta epsilon."] * 3  # dupes: doclines strips 2
+        + ["one two three four five!", "six seven eight nine ten?"]
+    )
+    rows = [
+        (0, good),
+        (1, good + "\nfiller text with lorem ipsum inside it."),  # page drop
+        (2, "only two sentences here friend. second one now friend!"),
+        (3, good + "\nsix seven eight nine ten?"),  # extra in-doc dupe
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def pipeline(df):
+        cleaned = doc_line_dedup(df, "doc_id", "text")
+        _, frac, nsent, keep = c4_rules_exprs(F.col("clean_text"))
+        return cleaned.select(
+            "doc_id", "clean_text", "n_dropped",
+            frac.alias("kept_frac"), nsent.alias("nsent"),
+        ).where(keep)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "clean")
+    q = (
+        pipeline(stream).writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(map(tuple, pipeline(batch).collect()))
+    assert got == want
+    ids = {t[0] for t in got}
+    # doc 1: the lorem line is unique in-doc, survives dedup into
+    # clean_text, and the C4 page gate drops the page on it; doc 2
+    # fails the >=3-sentences rule
+    assert ids == {0, 3}
+    by_id = {t[0]: t for t in got}
+    assert by_id[0][2] == 2  # two duplicate lines stripped in-doc
+    assert by_id[3][2] == 3
+
+
 def test_nb_quality_gate_composes_with_streams(spark, tmp_path):
     """The NB quality gate is what a production pipeline runs
     CONTINUOUSLY: a pre-trained model (a static vocab-sized table that

@@ -26,7 +26,8 @@ DDL = (
     "c_decimal decimal(32,16), c_float float, c_integer integer, "
     "c_smallfloat smallfloat, c_smallint smallint, "
     "c_varchar varchar(255,16), c_lvarchar lvarchar(256), c_bool boolean, "
-    "c_interval interval day(5) to fraction(5)"
+    "c_interval interval day(5) to fraction(5), "
+    "c_interval_ym interval year(6) to month"
 )
 COLS = parse_ddl(DDL)
 
@@ -68,6 +69,8 @@ _STRATS = {
     "c_interval": st.integers(-(10**5) * 86400_000_000, (10**5) * 86400_000_000).map(
         lambda us: dt.timedelta(microseconds=us)
     ),
+    # year-month interval: signed total MONTH count (int32 on the wire)
+    "c_interval_ym": st.integers(-2147483647, 2147483647),
 }
 
 

@@ -72,7 +72,7 @@ def format_line(
 ARM_MODES = {
     "a24_sequence_packing": ["pack", "chunk"],
     "a26_weighted_mixture": ["mix", "dsir", "dsel"],
-    "e01_dedup_exact": ["exact", "spans", "ranges", "lines"],
+    "e01_dedup_exact": ["exact", "spans", "ranges", "lines", "doclines"],
     "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
     "e09_token_stats": ["tok", "bpe", "abpe"],
     "e07_knn_exact_and_lsh": ["exact", "lsh", "bm25", "sbm25", "rp"],

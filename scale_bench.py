@@ -506,6 +506,92 @@ def fuzzy_decon_recall(
     }
 
 
+def semdedup_recall(
+    spark,
+    mdir: str,
+    scale: int,
+    threshold: float = 0.95,
+    centroid_counts: tuple[int, ...] = (8, 32, 128),
+) -> dict:
+    """Planted-pair recall axis for SemDeDup (cluster-bounded semantic
+    dedup, e12's 'semdedup' arm): the corpus is embeddings ∪ perturbed
+    copies (ids +1e6, the last (vec_id % 4 + 1)·2 of the 64 dims
+    zeroed — cosine to the original is exactly ||head||/||v||, a
+    spectrum straddling the threshold). Ground truth is that closed
+    form evaluated per planted pair (no join at all); recall =
+    planted-above-threshold copies the operator flags as duplicates.
+    What cluster bounding loses is exactly the pairs k-means splits
+    across cell boundaries, and the loss can GROW with the cluster
+    count — the recall-vs-K trade SemDeDup's own paper tunes (§4:
+    cluster count trades compute against within-cluster coverage).
+    Precision is 1.0 by construction: the in-cell cosine test is
+    exact. The oracle-equality gate cannot see any of this because the
+    graded fixture shares the clustering."""
+    from informixcdc_spark.functions.vector import l2_norm
+    from informixcdc_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(os.path.join(mdir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    k = ((F.col("vec_id") % 4 + 1) * 2).cast("int")
+    head = F.slice("embedding", F.lit(1), F.size("embedding") - k)
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            head, F.array_repeat(F.lit(0.0).cast("float"), k)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    full_n = l2_norm(F.col("embedding"))
+    truth = {
+        r["cid"]
+        for r in emb.where(full_n > 0)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("cid"),
+            (l2_norm(head) / full_n).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .collect()
+    }
+    points = {}
+    for n_cent in centroid_counts:
+        cents = kmeans_centroids(
+            corpus, "vec_id", "embedding", n_centroids=n_cent, n_iter=2
+        )
+        t0 = time.perf_counter()
+        flagged = {
+            r["vec_id"]
+            for r in semantic_dedup(
+                corpus,
+                cents,
+                "vec_id",
+                "embedding",
+                threshold=threshold,
+                release_cache=True,
+            )
+            .where(~F.col("is_kept") & (F.col("vec_id") >= 1_000_000))
+            .select("vec_id")
+            .collect()
+        }
+        hit = len(truth & flagged)
+        points[str(n_cent)] = {
+            "planted": len(truth),
+            "planted_flagged": hit,
+            "recall_planted": round(hit / len(truth), 4) if truth else -1.0,
+            "flagged_copies_total": len(flagged),
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+        print(
+            f"semdedup_recall m={scale} K={n_cent}: "
+            + json.dumps(points[str(n_cent)]),
+            flush=True,
+        )
+    return {"scale": scale, "threshold": threshold, "by_n_centroids": points}
+
+
 def _tail_ratio(series: dict[str, float]) -> float:
     """Asymptotic shuffle slope over the query's two LARGEST measured
     scales: bytes(top)/bytes(prev) normalized by the data ratio — ~1 is
@@ -597,18 +683,25 @@ def main() -> None:
         )
         for q in cdc_queries:
             run_point(q, m, mdir)
-    # far point (32x) for the two worst-scaling extension families
-    # (r8 verdict #7): e01 post-skew-fix and e10 post-regime-flip —
-    # documents is their only input
+    # far point (32x) for the worst-scaling extension families: e01
+    # post-skew-fix and e10 post-regime-flip (r8 verdict #7), plus the
+    # two dedup/search families users lean on hardest at scale (r9):
+    # e03 (MinHash near-dup, shuffle-regime bands) and e07 (broadcast
+    # query probes — its shuffle bytes should stay FLAT)
     ext_far = [
         q
-        for q in ("e01_dedup_exact", "e10_quality_repetition")
+        for q in (
+            "e01_dedup_exact",
+            "e10_quality_repetition",
+            "e03_minhash_lsh_jaccard",
+            "e07_knn_exact_and_lsh",
+        )
         if q in QUERIES
     ]
     for m in cdc_scales:
         mdir = os.path.join(work, f"m{m}_ext")
         rows[f"{m}_ext"] = materialize(
-            spark, sf_dir, mdir, m, tables=("documents",)
+            spark, sf_dir, mdir, m, tables=("documents", "embeddings")
         )
         for q in ext_far:
             run_point(q, m, mdir)
@@ -636,6 +729,13 @@ def main() -> None:
         mdir = sf_dir if m == 1 else os.path.join(work, f"m{m}")
         minhash_recall[str(m)] = minhash_dedup_recall(spark, mdir, m)
 
+    # planted-pair recall for SemDeDup's cluster bounding vs the
+    # cluster count (r9) — run at the 8x point (the in-cell pair space
+    # at the smallest K dominates the axis's cost)
+    sd_m = 8 if 8 in scales else scales[-1]
+    sd_dir = sf_dir if sd_m == 1 else os.path.join(work, f"m{sd_m}")
+    semdedup_rec = semdedup_recall(spark, sd_dir, sd_m)
+
     base = str(scales[0])
 
     def eff(q: str, series: dict[str, float], top_m: int) -> float:
@@ -659,6 +759,9 @@ def main() -> None:
         # planted-paraphrase recall for MinHash text dedup per banding
         # config and Jaccard decile, with the 1-(1-j^r)^b expectation
         "minhash_dedup_recall": minhash_recall,
+        # planted-pair recall for SemDeDup vs the cluster count — what
+        # cluster bounding loses at cell boundaries (see semdedup_recall)
+        "semdedup_recall": semdedup_rec,
         "queries": {
             q: {
                 **results[q],

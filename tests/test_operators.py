@@ -1901,6 +1901,67 @@ def test_doc_line_dedup_first_occurrence_within_doc(spark):
     assert got[3]["n_kept"] == 1 and got[3]["n_dropped"] == 0
 
 
+def test_c4_rules_match_pure_python(spark):
+    """Derandomized property: c4_rules_exprs equals a literal pure-
+    Python restatement of the rule set on random lined documents drawn
+    to straddle every rule (word counts around 5, suffixes cycling
+    through terminal/non-terminal, javascript/lorem/brace injections)."""
+    import random
+
+    from informixcdc_spark.operators.textstats import c4_rules_exprs
+
+    rng = random.Random(4242)
+    words = ["alpha", "beta", "Gamma", "delta", "epsilon", "zeta"]
+    suffixes = [".", "!", "?", '"', "", " ", "...", ";"]
+    rows = []
+    for d in range(80):
+        lines = []
+        for _ in range(rng.randint(1, 10)):
+            ws = [rng.choice(words) for _ in range(rng.randint(0, 8))]
+            if rng.random() < 0.15:
+                ws.append("JavaScript" if rng.random() < 0.5 else "javascript")
+            if rng.random() < 0.08:
+                ws.append("lorem")
+                ws.append("ipsum")
+            if rng.random() < 0.08:
+                ws.append("{")
+            lines.append(" ".join(ws) + rng.choice(suffixes))
+        rows.append((d, "\n".join(lines)))
+
+    def expect(text):
+        lines = text.split("\n")
+        kept = 0
+        for ln in lines:
+            tail = ln.rstrip()
+            n_words = len([w for w in ln.split(" ") if w != ""])
+            if (
+                tail.endswith((".", "!", "?", '"'))
+                and n_words >= 5
+                and "javascript" not in ln.lower()
+            ):
+                kept += 1
+        n_sent = sum(text.count(c) for c in ".!?")
+        keep = (
+            n_sent >= 3
+            and kept >= 3
+            and "lorem ipsum" not in text.lower()
+            and "{" not in text
+        )
+        return kept, kept / len(lines), n_sent, keep
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, frac, nsent, keep = c4_rules_exprs(F.col("text"))
+    got = {
+        r["doc_id"]: (r["k"], r["f"], r["s"], r["p"])
+        for r in docs.select(
+            "doc_id", kept.alias("k"), frac.alias("f"),
+            nsent.alias("s"), keep.alias("p"),
+        ).collect()
+    }
+    for d, text in rows:
+        assert got[d] == expect(text), (d, text, got[d], expect(text))
+
+
 def test_doc_line_dedup_matches_pure_python(spark):
     """Derandomized property: doc_line_dedup equals a five-line pure-
     Python first-occurrence filter on corpora drawn from a tiny line

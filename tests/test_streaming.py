@@ -2348,6 +2348,108 @@ def test_curation_gate_composes_with_streams(spark, tmp_path):
     assert {t[0] for t in got} == {0, 2}  # doc 1 fails the gate
 
 
+def test_cdc_to_curation_training_pipeline(spark, tmp_path):
+    """CAPSTONE composition — the parity half feeds the extension half.
+    A documents table is maintained by CDC (interleaved transactions,
+    an update, a delete, a rolled-back insert) through the exactly-once
+    Materializer; in the SAME foreachBatch, after each micro-batch
+    applies, the CURRENT table state flows through the round-9 curation
+    gates (in-doc line dedup, then the C4 page gate) into a
+    training-shard directory. The final shards must equal curating the
+    expected final table: a downstream training pipeline sees exactly
+    the curated view of the exactly-once CDC state — no adaptation
+    layer between the two halves."""
+    from informixcdc_spark.operators.dedup import doc_line_dedup
+    from informixcdc_spark.operators.textstats import c4_rules_exprs
+
+    doc_row = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    env = StructType(
+        [f for f in SCHEMA.fields if f.name != "row"]
+        + [StructField("row", doc_row, True)]
+    )
+
+    def doc_log(events):
+        rows = [
+            (seq, rt, tx, 1 if row is not None else None,
+             "docs" if row is not None else None, 0, None, None, None, row)
+            for seq, rt, tx, row in events
+        ]
+        return spark.createDataFrame(rows, env)
+
+    good = "\n".join(
+        ["alpha beta gamma delta epsilon."] * 2  # in-doc dupe: one dropped
+        + ["one two three four five!", "six seven eight nine ten?"]
+    )
+    short = "only two sentences here friend. second one now friend!"
+    # batch 1: docs 10 (good) + 20 (good, will be deleted) + 30 (short,
+    # fails C4) commit; txn 4's insert of 40 stays OPEN across the file
+    # boundary
+    b1 = doc_log(
+        [
+            (1, "BEGINTX", 1, None),
+            (2, "INSERT", 1, (10, good)),
+            (3, "INSERT", 1, (20, good)),
+            (4, "COMMTX", 1, None),
+            (5, "BEGINTX", 2, None),
+            (6, "INSERT", 2, (30, short)),
+            (7, "COMMTX", 2, None),
+            (8, "BEGINTX", 4, None),
+            (9, "INSERT", 4, (40, good)),
+        ]
+    )
+    # batch 2: txn 4 ROLLS BACK (40 must never appear); txn 5 updates 10
+    # (appends a line that survives curation), deletes 20, commits
+    upd = good + "\neleven twelve thirteen fourteen fifteen."
+    b2 = doc_log(
+        [
+            (10, "RBTX", 4, None),
+            (11, "BEGINTX", 5, None),
+            (12, "UPDBEF", 5, (10, good)),
+            (13, "UPDAFT", 5, (10, upd)),
+            (14, "DELETE", 5, (20, good)),
+            (15, "COMMTX", 5, None),
+        ]
+    )
+    src = str(tmp_path / "log")
+    _write(b1, src)
+    _write(b2, src)
+
+    def curate(df):
+        cleaned = doc_line_dedup(df, "doc_id", "text")
+        _, _, _, keep = c4_rules_exprs(F.col("clean_text"))
+        return cleaned.where(keep).select("doc_id", "clean_text", "n_dropped")
+
+    mat = Materializer(spark, str(tmp_path / "state"), ["doc_id"])
+    shards = str(tmp_path / "shards")
+
+    def fb(batch_df, bid):
+        mat.process_batch(batch_df, bid)
+        cur = mat.read_target()
+        if cur is not None:
+            curate(cur).write.mode("overwrite").parquet(shards)
+
+    q = (
+        spark.readStream.schema(env)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(shards).collect()))
+    final = spark.createDataFrame([(10, upd)], "doc_id long, text string")
+    want = sorted(map(tuple, curate(final).collect()))
+    assert got == want
+    # belt and braces: 20 deleted, 30 gated out, 40 rolled back
+    assert {t[0] for t in got} == {10}
+    assert got[0][2] == 1  # the in-doc duplicate line was stripped
+
+
 def test_c4_docline_gate_composes_with_streams(spark, tmp_path):
     """The round-9 stateless curation ops compose the same way: a
     document stream flows through doc_line_dedup (within-doc repeated-

@@ -386,6 +386,27 @@ def assign_cells(
     index's frozen-append assignment). Output shape
     (id, vec, _norm, cell); the codebook is tiny and broadcast,
     assignment is one pass — the corpus never shuffles."""
+    return assign_cells_topn(corpus, centroids, id_col, vec_col, n=1).drop(
+        "_rank"
+    )
+
+
+def assign_cells_topn(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 1,
+) -> DataFrame:
+    """Top-``n`` nearest-cosine-cell assignment — :func:`assign_cells`
+    generalized to multi-assignment (one output row per (vector,
+    assigned cell), ``_rank`` 1..n by descending cosine, centroid id
+    tiebreak). ``n > 1`` is the IVF "soft assignment" shape: a vector
+    is a member of its n closest cells, so a downstream cell-bounded
+    pass also sees pairs whose PRIMARY cells differ but share a
+    secondary cell. Same scale shape as the n=1 primitive: the
+    codebook broadcasts, one pass, the corpus never shuffles — output
+    size grows by exactly n×."""
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
@@ -405,8 +426,14 @@ def assign_cells(
         v.crossJoin(F.broadcast(cent))
         .withColumn("_cos", cos)
         .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "_norm", F.col("_cid").alias("cell"))
+        .where(F.col("_rn") <= n)
+        .select(
+            id_col,
+            vec_col,
+            "_norm",
+            F.col("_cid").alias("cell"),
+            F.col("_rn").alias("_rank"),
+        )
     )
 
 
@@ -578,6 +605,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     release_cache: bool = False,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bounded
     semantic deduplication over an embedding column.
@@ -609,8 +637,20 @@ def semantic_dedup(
     materializes the (narrow, vector-free) verdict table
     (``localCheckpoint``) and drops the assignment cache before
     returning; at real scale you would write the verdicts out instead.
+
+    ``n_assign > 1`` trades compute for cell-boundary recall: each
+    vector joins the pair stage as a member of its ``n_assign``
+    nearest cells (soft assignment), so near-dup pairs that k-means
+    split across a boundary are found through a shared secondary cell
+    — the loss the SCALEBENCH ``semdedup_recall`` axis measures.
+    In-cell pair volume grows ~``n_assign²``; the reported ``cell``
+    stays the PRIMARY (rank-1) cell, and verdict multiplicity from
+    pairs sharing several cells collapses in the min-aggregate.
     """
-    assigned = assign_cells(corpus, centroids, id_col, vec_col).persist()
+    assigned = assign_cells_topn(
+        corpus, centroids, id_col, vec_col, n=n_assign
+    ).persist()
+    primary = assigned.where(F.col("_rank") == 1)
     a = assigned.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
         F.col("_norm").alias("_na"), "cell",
@@ -631,7 +671,7 @@ def semantic_dedup(
         .agg(F.min("_idb").alias("dup_of"))
     )
     out = (
-        assigned.join(dups, id_col, "left")
+        primary.join(dups, id_col, "left")
         .select(
             id_col,
             F.col("cell").cast("long").alias("cell"),

@@ -511,7 +511,13 @@ def semdedup_recall(
     mdir: str,
     scale: int,
     threshold: float = 0.95,
-    centroid_counts: tuple[int, ...] = (8, 32, 128),
+    points_spec: tuple[tuple[int, int], ...] = (
+        (8, 1),
+        (32, 1),
+        (32, 2),
+        (128, 1),
+        (128, 2),
+    ),
 ) -> dict:
     """Planted-pair recall axis for SemDeDup (cluster-bounded semantic
     dedup, e12's 'semdedup' arm): the corpus is embeddings ∪ perturbed
@@ -526,7 +532,10 @@ def semdedup_recall(
     cluster count trades compute against within-cluster coverage).
     Precision is 1.0 by construction: the in-cell cosine test is
     exact. The oracle-equality gate cannot see any of this because the
-    graded fixture shares the clustering."""
+    graded fixture shares the clustering. ``points_spec`` rows are
+    (n_centroids, n_assign): the n_assign=2 points measure how much of
+    the boundary loss soft assignment buys back, and at what wall
+    cost (pair volume ~n_assign² per cell)."""
     from informixcdc_spark.functions.vector import l2_norm
     from informixcdc_spark.operators.similarity import (
         kmeans_centroids,
@@ -557,27 +566,33 @@ def semdedup_recall(
         .collect()
     }
     points = {}
-    for n_cent in centroid_counts:
-        cents = kmeans_centroids(
-            corpus, "vec_id", "embedding", n_centroids=n_cent, n_iter=2
-        )
+    cent_cache: dict[int, list] = {}
+    for n_cent, n_assign in points_spec:
+        if n_cent not in cent_cache:
+            cent_cache[n_cent] = kmeans_centroids(
+                corpus, "vec_id", "embedding", n_centroids=n_cent, n_iter=2
+            )
         t0 = time.perf_counter()
         flagged = {
             r["vec_id"]
             for r in semantic_dedup(
                 corpus,
-                cents,
+                cent_cache[n_cent],
                 "vec_id",
                 "embedding",
                 threshold=threshold,
                 release_cache=True,
+                n_assign=n_assign,
             )
             .where(~F.col("is_kept") & (F.col("vec_id") >= 1_000_000))
             .select("vec_id")
             .collect()
         }
         hit = len(truth & flagged)
-        points[str(n_cent)] = {
+        key = f"K{n_cent}" + (f"_n{n_assign}" if n_assign > 1 else "")
+        points[key] = {
+            "n_centroids": n_cent,
+            "n_assign": n_assign,
             "planted": len(truth),
             "planted_flagged": hit,
             "recall_planted": round(hit / len(truth), 4) if truth else -1.0,
@@ -585,11 +600,10 @@ def semdedup_recall(
             "sec": round(time.perf_counter() - t0, 3),
         }
         print(
-            f"semdedup_recall m={scale} K={n_cent}: "
-            + json.dumps(points[str(n_cent)]),
+            f"semdedup_recall m={scale} {key}: " + json.dumps(points[key]),
             flush=True,
         )
-    return {"scale": scale, "threshold": threshold, "by_n_centroids": points}
+    return {"scale": scale, "threshold": threshold, "points": points}
 
 
 def _tail_ratio(series: dict[str, float]) -> float:

@@ -2148,6 +2148,44 @@ def test_semantic_dedup_cluster_bounded_verdicts(spark):
     assert got[200]["cell"] == 0 and got[200]["is_kept"]  # below threshold
 
 
+def test_semantic_dedup_multi_assign_recovers_boundary_pairs(spark):
+    """n_assign > 1 (soft assignment) finds near-dup pairs k-means
+    split across a cell boundary: two near-identical vectors whose
+    PRIMARY cells differ share a secondary cell, so the pair is missed
+    at n_assign=1 and found at n_assign=2 — the knob the SCALEBENCH
+    semdedup_recall axis motivates. Verdict shape is unchanged: one
+    row per vector, primary cell reported, dup_of the min qualifying
+    lower id."""
+    from informixcdc_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.99, 0.0, 0.0]),  # primary cell 0, secondary 1
+        (2, [0.99, 1.0, 0.0, 0.0]),  # primary cell 1, secondary 0
+        (3, [0.0, 0.0, 1.0, 0.0]),  # lone vector in cell 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    axes = [(c, [1.0 if d == c else 0.0 for d in range(4)]) for c in range(4)]
+
+    hard = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, axes, threshold=0.95).collect()
+    }
+    assert hard[1]["cell"] == 0 and hard[2]["cell"] == 1
+    assert hard[1]["is_kept"] and hard[2]["is_kept"]  # boundary split
+
+    soft = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, axes, threshold=0.95, n_assign=2
+        ).collect()
+    }
+    assert len(soft) == 3  # still one verdict row per vector
+    assert soft[1]["cell"] == 0 and soft[2]["cell"] == 1  # primary cells
+    assert soft[1]["is_kept"] and soft[1]["dup_of"] is None
+    assert not soft[2]["is_kept"] and soft[2]["dup_of"] == 1  # recovered
+    assert soft[3]["is_kept"]
+
+
 def test_bm25_matches_pure_python_reference(spark):
     """bm25_search reproduces a single-threaded textbook BM25 — scores
     (decimal-exact), ranks, and tie-breaks — on a random small corpus."""

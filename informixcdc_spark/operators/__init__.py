@@ -15,8 +15,10 @@ from informixcdc_spark.operators.curation import (
     write_zordered,
 )
 from informixcdc_spark.operators.dedup import (
+    banding_recall,
     decontaminate_fuzzy,
     doc_line_dedup,
+    plan_banding,
     duplicate_span_ranges,
     duplicate_spans,
     exact_dedup,
@@ -66,9 +68,11 @@ __all__ = [
     "dsir_log_weights",
     "dsir_select",
     "write_zordered",
+    "banding_recall",
     "decontaminate_fuzzy",
     "doc_line_dedup",
     "line_dedup",
+    "plan_banding",
     "sq_train",
     "sq_encode",
     "sq_search",

@@ -41,6 +41,66 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def banding_recall(jaccard: float, n_bands: int, rows: int) -> float:
+    """Probability that a pair with the given Jaccard shares >= 1 LSH
+    band bucket: ``1 - (1 - j^rows)^n_bands`` (MMDS ch.3 S-curve) —
+    the expectation SCALEBENCH's ``minhash_dedup_recall`` axis measures
+    the operator against."""
+    return 1.0 - (1.0 - jaccard**rows) ** n_bands
+
+
+def plan_banding(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_reject: float = 0.5,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, rows_per_band)`` for :func:`minhash_bands` from
+    the dedup contract instead of folklore defaults: the cheapest
+    (fewest total hashes = fewest signature columns AND fewest band
+    rows shuffled per doc) configuration whose S-curve keeps recall at
+    the destructive threshold while bounding the candidate flood below
+    it —
+
+    - recall at ``j = threshold`` is at least ``target_recall``
+      (pairs ABOVE the threshold are what the operator deletes on:
+      SCALEBENCH's axis showed b2r4 loses a third of them at j=0.8);
+    - the candidate probability at ``j = threshold/2`` is at most
+      ``max_reject`` (each sub-threshold candidate costs an exact
+      verify; this caps the flood an over-flat curve lets through —
+      at 100 TB the verify join, not the banding, is the bill).
+
+    Search order: more rows per band first (steeper curve — better
+    rejection) within each total-hash budget, so ties resolve to the
+    configuration that shuffles the fewest band rows per document.
+    Raises when no configuration within ``max_hashes`` satisfies both
+    bounds (loosen one explicitly rather than silently under-recalling
+    — same fail-loud contract as ``weighted_keep``'s rate guard).
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    for total in range(2, max_hashes + 1):
+        for rows in range(min(total, 32), 0, -1):
+            n_bands = total // rows
+            if n_bands * rows != total:
+                continue
+            if banding_recall(threshold, n_bands, rows) < target_recall:
+                continue
+            if banding_recall(threshold / 2, n_bands, rows) > max_reject:
+                continue
+            best = (n_bands, rows)
+            break
+        if best:
+            return best
+    raise ValueError(
+        f"no (bands, rows) within {max_hashes} hashes reaches recall "
+        f">= {target_recall} at j={threshold} while rejecting "
+        f"j={threshold / 2} pairs at <= {max_reject}; raise max_hashes "
+        "or loosen a bound"
+    )
+
+
 def doc_shingles(
     df: DataFrame,
     id_col: str,

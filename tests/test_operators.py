@@ -1831,6 +1831,37 @@ def test_gopher_rules_each_rule_fires(spark):
     assert got[6]["alpha"] < 0.8
 
 
+def test_plan_banding_minimal_and_bounded():
+    """plan_banding returns the CHEAPEST (fewest total hashes) config
+    meeting both the recall floor at the threshold and the rejection
+    ceiling at threshold/2 (brute-force cross-check), prefers steeper
+    curves on hash-count ties, and fails loudly when the budget can't
+    satisfy the contract."""
+    import pytest
+
+    from informixcdc_spark.operators.dedup import banding_recall, plan_banding
+
+    for th, tr, mr in ((0.8, 0.95, 0.5), (0.5, 0.9, 0.5), (0.9, 0.999, 0.5)):
+        b, r = plan_banding(th, tr, mr)
+        assert banding_recall(th, b, r) >= tr
+        assert banding_recall(th / 2, b, r) <= mr
+        # minimality: no configuration with fewer total hashes works
+        for total in range(2, b * r):
+            for rr in range(1, total + 1):
+                if total % rr:
+                    continue
+                bb = total // rr
+                assert (
+                    banding_recall(th, bb, rr) < tr
+                    or banding_recall(th / 2, bb, rr) > mr
+                ), (th, tr, mr, bb, rr)
+
+    with pytest.raises(ValueError, match="raise max_hashes"):
+        plan_banding(0.8, 0.999999, max_reject=0.01, max_hashes=16)
+    with pytest.raises(ValueError, match="threshold"):
+        plan_banding(1.5)
+
+
 def test_c4_rules_each_rule_fires(spark):
     """C4 rule set: each line rule and each page rule fails on a doc
     crafted to violate exactly it; a well-formed page passes."""

@@ -56,10 +56,12 @@ from informixcdc_spark.session import get_spark  # noqa: E402
 #: (savepoints + SCD2 history + compaction; incremental view), dim
 #: join+agg, pure agg, windows, join variants, exact dedup, MinHash
 #: near-dup, vector + lexical top-k (e07 carries brute/LSH/BM25/stream
-#: arms), quality models (e10 carries the heuristic/Gopher fold exprs,
-#: the bigram LM and the weak-label NB classifier), graph (cc +
-#: pagerank), benchmark decontamination (exact/coarse/fuzzy arms),
-#: sessionization.
+#: arms), quality models (e10 carries the heuristic/Gopher/C4 fold
+#: exprs, the bigram LM and the weak-label NB classifier), vector
+#: quantization (e15 carries ivf/kmeans/stream/pq/ivfpq/sq arms —
+#: added r9: the top bench query deserves a wall curve, not just the
+#: recall_nprobe probe-cost axis), graph (cc + pagerank), benchmark
+#: decontamination (exact/coarse/fuzzy arms), sessionization.
 QUERIES = [
     "c01_cdc_apply_net_effect",
     "c05_cdc_savepoint_state",
@@ -72,6 +74,7 @@ QUERIES = [
     "e03_minhash_lsh_jaccard",
     "e07_knn_exact_and_lsh",
     "e10_quality_repetition",
+    "e15_ann_ivf",
     "e20_dedup_clusters",
     "e27_decontamination",
     "a31_sessionization",

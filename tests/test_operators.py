@@ -2179,6 +2179,60 @@ def test_semantic_dedup_cluster_bounded_verdicts(spark):
     assert got[200]["cell"] == 0 and got[200]["is_kept"]  # below threshold
 
 
+def test_semantic_dedup_single_cell_matches_brute_force(spark):
+    """Derandomized property: with ONE cell (or full soft assignment
+    over every cell), semantic_dedup degenerates to exact all-pairs —
+    its verdicts must match a pure-Python brute force (min lower id
+    with cosine >= threshold) on random small corpora. Pins the
+    verdict semantics the cluster bounding then merely restricts."""
+    import math
+    import random
+
+    from informixcdc_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(77)
+    dims = 6
+    rows = []
+    for i in range(40):
+        if i and rng.random() < 0.4:
+            # perturbed copy of an earlier vector: likely above threshold
+            base = rows[rng.randrange(len(rows))][1]
+            v = [x * (1 + rng.uniform(-0.01, 0.01)) for x in base]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dims)]
+        rows.append((i, [float(x) for x in v]))
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    threshold = 0.999
+    want = {}
+    for i, vi in rows:
+        cands = [j for j, vj in rows if j < i and cos(vj, vi) >= threshold]
+        want[i] = min(cands) if cands else None
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one_cell = [(0, [1.0] + [0.0] * (dims - 1))]
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(
+            emb, one_cell, threshold=threshold
+        ).collect()
+    }
+    assert got == want
+    # full soft assignment over a 4-cell codebook sees every pair too
+    axes = [(c, [1.0 if d == c else 0.0 for d in range(dims)]) for c in range(4)]
+    got_soft = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(
+            emb, axes, threshold=threshold, n_assign=4
+        ).collect()
+    }
+    assert got_soft == want
+
+
 def test_semantic_dedup_multi_assign_recovers_boundary_pairs(spark):
     """n_assign > 1 (soft assignment) finds near-dup pairs k-means
     split across a cell boundary: two near-identical vectors whose

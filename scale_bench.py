@@ -747,11 +747,22 @@ def main() -> None:
         minhash_recall[str(m)] = minhash_dedup_recall(spark, mdir, m)
 
     # planted-pair recall for SemDeDup's cluster bounding vs the
-    # cluster count (r9) — run at the 8x point (the in-cell pair space
-    # at the smallest K dominates the axis's cost)
-    sd_m = 8 if 8 in scales else scales[-1]
-    sd_dir = sf_dir if sd_m == 1 else os.path.join(work, f"m{sd_m}")
-    semdedup_rec = semdedup_recall(spark, sd_dir, sd_m)
+    # cluster count and n_assign (r9) — at 8x with the base spec, and
+    # at 16x with K doubled (SemDeDup's own deployment rule: the
+    # cluster count scales with the corpus, keeping in-cell pair
+    # volume constant — the 16x points check recall holds under that
+    # rule rather than under a fixed K)
+    semdedup_rec = {}
+    for sd_m, spec in (
+        (8, ((8, 1), (32, 1), (32, 2), (128, 1), (128, 2))),
+        (16, ((64, 1), (64, 2), (256, 1), (256, 2))),
+    ):
+        if sd_m not in scales:
+            continue
+        sd_dir = sf_dir if sd_m == 1 else os.path.join(work, f"m{sd_m}")
+        semdedup_rec[str(sd_m)] = semdedup_recall(
+            spark, sd_dir, sd_m, points_spec=spec
+        )
 
     base = str(scales[0])
 

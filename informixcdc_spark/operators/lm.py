@@ -167,6 +167,183 @@ def lm_cross_entropy(
     )
 
 
+#: Jelinek-Mercer interpolation weights for the trigram model —
+#: trigram/bigram/unigram. Fixed (not tuned) so the model stays
+#: deterministic and oracle-reproducible; 0.6/0.3/0.1 is the textbook
+#: "most mass on the longest context" shape.
+LAMBDA3, LAMBDA2, LAMBDA1 = 0.6, 0.3, 0.1
+
+
+def trigram_keys(tok: Column) -> Column:
+    """Array of space-joined trigram keys (empty for docs with fewer
+    than three tokens — same guard as :func:`bigram_keys`)."""
+    idx = F.sequence(F.lit(0), F.size(tok) - F.lit(3))
+    triples = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.get(tok, i), F.get(tok, i + 1), F.get(tok, i + 2)
+        ),
+    )
+    return F.when(F.size(tok) >= 3, triples)
+
+
+def trigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, int, int]:
+    """Train the interpolated trigram model:
+    ``(tri_counts (tg, c3), tri_ctx (w12, ctx3), bigram_counts (bg, c),
+    context_counts (w1, ctx), uni_counts (w, c1), n_tokens, V)``.
+
+    The trigram layer is two more partially aggregated groupBys over
+    the SAME persisted token pass the bigram trainer uses (the
+    trigram-context counts re-aggregate the trigram counts —
+    model-sized input); the unigram table and the token total come off
+    the same pass. Every table is model-sized; like the bigram
+    trainer, nothing corpus-sized survives training.
+
+    The token cache is kept live (the scorer's tokenization subtree is
+    plan-identical, so scoring the training corpus reuses it — see
+    :func:`lm_score` for the cache-lifetime contract).
+    """
+    toked = rebalance(docs).select(
+        F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_tok")
+    ).persist()
+    tg = toked.select(F.explode(trigram_keys(F.col("_tok"))).alias("tg"))
+    tri_counts = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("c3"))
+    tri_ctx = (
+        tri_counts.select(
+            F.concat_ws(
+                " ",
+                F.split(F.col("tg"), " ").getItem(0),
+                F.split(F.col("tg"), " ").getItem(1),
+            ).alias("w12"),
+            "c3",
+        )
+        .groupBy("w12")
+        .agg(F.sum("c3").alias("ctx3"))
+    )
+    bg = toked.select(F.explode(bigram_keys(F.col("_tok"))).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    ctx = (
+        counts.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").alias("ctx"))
+    )
+    uni = toked.select(F.explode("_tok").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
+    ).first()
+    return tri_counts, tri_ctx, counts, ctx, uni, int(totals["_n"]), int(
+        totals["_v"]
+    )
+
+
+def lm3_log_prob(n_tokens: int, vocab: int) -> Column:
+    """Per-trigram interpolated log-probability over
+    ``c3/ctx3/c/ctx/c1`` columns (nulls = unseen):
+    ``ln(λ3·P3(w3|w1w2) + λ2·P2(w3|w2) + λ1·P1(w3))`` with each term
+    Laplace-smoothed. Operation order pinned (each P is one int-ratio
+    division; weighted terms summed left to right) and mirrored
+    verbatim by :func:`sql_lm3_log_prob` so any engine reproduces the
+    doubles bit-for-bit."""
+    def _p(c: Column, d: Column) -> Column:
+        return (F.coalesce(c, F.lit(0)) + F.lit(1.0)) / (d + F.lit(vocab))
+
+    p3 = _p(F.col("c3"), F.coalesce(F.col("ctx3"), F.lit(0)))
+    p2 = _p(F.col("c"), F.coalesce(F.col("ctx"), F.lit(0)))
+    p1 = _p(F.col("c1"), F.lit(n_tokens))
+    return F.log(
+        F.lit(LAMBDA3) * p3 + F.lit(LAMBDA2) * p2 + F.lit(LAMBDA1) * p1
+    )
+
+
+def sql_lm3_log_prob(n_expr: str, vocab_expr: str) -> str:
+    """ANSI-SQL rendering of :func:`lm3_log_prob` for a DuckDB oracle."""
+    return (
+        f"ln({LAMBDA3}::DOUBLE * ((COALESCE(c3, 0) + 1.0)"
+        f" / (COALESCE(ctx3, 0) + {vocab_expr}))"
+        f" + {LAMBDA2}::DOUBLE * ((COALESCE(c, 0) + 1.0)"
+        f" / (COALESCE(ctx, 0) + {vocab_expr}))"
+        f" + {LAMBDA1}::DOUBLE * ((COALESCE(c1, 0) + 1.0)"
+        f" / ({n_expr} + {vocab_expr})))"
+    )
+
+
+def lm3_cross_entropy(
+    docs: DataFrame,
+    model: tuple,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, n_trigrams, lm3_cross_entropy)`` per document under a
+    :func:`trigram_lm` model (NULL entropy for documents with fewer
+    than three tokens). The candidate corpus joins five MODEL-sized
+    tables — trigram counts (trigram key), trigram contexts (leading
+    word pair), bigram counts (trailing word pair), bigram contexts
+    (middle word), unigram counts (final word) — all broadcastable
+    while they fit, with the per-document decimal sum as the only
+    corpus-keyed aggregation."""
+    tri_counts, tri_ctx, counts, ctx, uni, n_tokens, vocab = model
+    s = F.split(F.col("tg"), " ")
+    per_tg = (
+        rebalance(docs)
+        .select(
+            F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_tok")
+        )
+        .select("_doc", F.explode(trigram_keys(F.col("_tok"))).alias("tg"))
+        .join(tri_counts, "tg", "left")
+        .withColumn("w12", F.concat_ws(" ", s.getItem(0), s.getItem(1)))
+        .join(tri_ctx, "w12", "left")
+        .withColumn("bg", F.concat_ws(" ", s.getItem(1), s.getItem(2)))
+        .join(counts, "bg", "left")
+        .withColumn("w1", s.getItem(1))
+        .join(ctx, "w1", "left")
+        .withColumn("w", s.getItem(2))
+        .join(uni, "w", "left")
+    )
+    per_doc = per_tg.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(
+            lm3_log_prob(n_tokens, vocab).cast("decimal(18,6)")
+        ).alias("_lp"),
+    )
+    scored = per_doc.select(
+        "_doc",
+        "n_trigrams",
+        (-F.col("_lp").cast("double") / F.col("n_trigrams")).alias(
+            "lm3_cross_entropy"
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_doc"))
+        .join(scored, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("int").alias(
+                "n_trigrams"
+            ),
+            "lm3_cross_entropy",
+        )
+    )
+
+
+def lm3_score(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end interpolated-trigram scoring: train on ``train``,
+    cross-entropy score every document of ``score``. Same token-cache
+    contract as :func:`lm_score`."""
+    model = trigram_lm(train, id_col, text_col)
+    return lm3_cross_entropy(score, model, id_col, text_col)
+
+
 def lm_score(
     train: DataFrame,
     score: DataFrame,

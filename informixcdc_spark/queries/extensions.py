@@ -1041,9 +1041,13 @@ _SQL_STOP_FILTER = (
 
 #: e10's bigram-LM log-prob — rendered by the operator module so the
 #: oracle inlines the identical literals and association order
-from informixcdc_spark.operators.lm import sql_lm_log_prob  # noqa: E402
+from informixcdc_spark.operators.lm import (  # noqa: E402
+    sql_lm3_log_prob,
+    sql_lm_log_prob,
+)
 
 _SQL_LM_LOGP = sql_lm_log_prob("vv")
+_SQL_LM3_LOGP = sql_lm3_log_prob("nt", "vv")
 
 
 @register(
@@ -1130,6 +1134,43 @@ _SQL_LM_LOGP = sql_lm_log_prob("vv")
     lm AS (SELECT doc_id, n_bigrams,
                   -(CAST(lp AS DOUBLE)) / n_bigrams AS lm_cross_entropy
            FROM lmp),
+    -- interpolated trigram LM (operators/lm.py lm3_score): Jelinek-
+    -- Mercer 0.6/0.3/0.1 mixture of Laplace trigram/bigram/unigram
+    -- terms; per-trigram log-probs rounded to DECIMAL(18,6), summed
+    -- exactly — the bigram tables (lmc/lmctx) and vocab (lmv) are
+    -- shared with the bigram model above
+    lm3tg AS (
+        SELECT doc_id, unnest(tg3) AS tg
+        FROM (SELECT doc_id,
+                     [concat(tok[i], ' ', tok[i+1], ' ', tok[i+2])
+                      for i in generate_series(1, len(tok) - 2)] AS tg3
+              FROM base)
+    ),
+    lm3c AS (SELECT tg, count(*) AS c3 FROM lm3tg GROUP BY tg),
+    lm3ctx AS (SELECT concat(string_split(tg, ' ')[1], ' ',
+                             string_split(tg, ' ')[2]) AS w12,
+                      CAST(SUM(c3) AS BIGINT) AS ctx3
+               FROM lm3c GROUP BY 1),
+    lm1c AS (SELECT t AS w, count(*) AS c1
+             FROM (SELECT unnest(tok) AS t FROM base) GROUP BY 1),
+    lm1n AS (SELECT CAST(count(*) AS BIGINT) AS nt
+             FROM (SELECT unnest(tok) AS t FROM base)),
+    lm3p AS (
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+               SUM(CAST({_SQL_LM3_LOGP} AS DECIMAL(18,6))) AS lp
+        FROM lm3tg
+             LEFT JOIN lm3c USING (tg)
+             LEFT JOIN lm3ctx ON lm3ctx.w12 = concat(
+                 string_split(tg, ' ')[1], ' ', string_split(tg, ' ')[2])
+             LEFT JOIN lmc ON lmc.bg = concat(
+                 string_split(tg, ' ')[2], ' ', string_split(tg, ' ')[3])
+             LEFT JOIN lmctx ON lmctx.w1 = string_split(tg, ' ')[2]
+             LEFT JOIN lm1c ON lm1c.w = string_split(tg, ' ')[3], lmv, lm1n
+        GROUP BY doc_id
+    ),
+    lm3 AS (SELECT doc_id, n_trigrams,
+                   -(CAST(lp AS DOUBLE)) / n_trigrams AS lm3_cross_entropy
+            FROM lm3p),
     -- Gopher rule set (Rae et al. 2021 A1.1) — integer arithmetic over
     -- the text, divided once: engine-exact doubles
     g AS (
@@ -1259,12 +1300,15 @@ _SQL_LM_LOGP = sql_lm_log_prob("vv")
            c4.c4_keep,
            CAST(COALESCE(lm.n_bigrams, 0) AS INT) AS n_bigrams,
            lm.lm_cross_entropy,
+           CAST(COALESCE(lm3.n_trigrams, 0) AS INT) AS n_trigrams,
+           lm3.lm3_cross_entropy,
            CAST(nb.sc0 AS DOUBLE) AS nb_score_drop,
            CAST(nb.sc1 AS DOUBLE) AS nb_score_keep,
            CASE WHEN nb.sc0 >= nb.sc1 THEN 'drop' ELSE 'keep' END AS nb_pred
     FROM q JOIN r USING (doc_id) JOIN g USING (doc_id)
          JOIN c4 USING (doc_id)
-         LEFT JOIN lm USING (doc_id) JOIN nb USING (doc_id)
+         LEFT JOIN lm USING (doc_id) LEFT JOIN lm3 USING (doc_id)
+         JOIN nb USING (doc_id)
     """,
 )
 def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,8 +1408,14 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("drop").alias("_y"),
     )
     nb = nb_train_score(labeled, "_y", "text", labels=["drop", "keep"])
-    return heur.join(lm_score(docs, docs), "doc_id", "left").join(
-        nb, "doc_id", "left"
+    # interpolated trigram LM beside the bigram (operators/lm.py):
+    # same corpus-trained shape, five model-sized join tables
+    from informixcdc_spark.operators.lm import lm3_score
+
+    return (
+        heur.join(lm_score(docs, docs), "doc_id", "left")
+        .join(lm3_score(docs, docs), "doc_id", "left")
+        .join(nb, "doc_id", "left")
     )
 
 

@@ -2431,6 +2431,72 @@ def test_bigram_lm_matches_pure_python(spark):
         assert got[doc_id] == (len(pairs), want), (doc_id, got[doc_id], want)
 
 
+def test_trigram_lm_matches_pure_python(spark):
+    """lm3_score reproduces a single-threaded Jelinek-Mercer
+    interpolated trigram LM (Laplace-smoothed 0.6/0.3/0.1 mixture over
+    trigram/bigram/unigram terms) — decimal-exact cross-entropies,
+    unseen-n-gram smoothing — on a random corpus scored against a
+    DIFFERENT train corpus."""
+    import math
+    import random
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from informixcdc_spark.operators.lm import (
+        LAMBDA1,
+        LAMBDA2,
+        LAMBDA3,
+        lm3_score,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(9)]
+    mk = lambda n, lo, hi: [  # noqa: E731
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(lo, hi))))
+        for i in range(n)
+    ]
+    train_rows = mk(30, 3, 25)
+    score_rows = [(100, "w0 w1 w2 w0 w3"), (101, "w8 w8"), (102, "")] + [
+        (103 + i, t) for i, (_, t) in enumerate(mk(10, 1, 15))
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["lm3_cross_entropy"])
+        for r in lm3_score(train, score).collect()
+    }
+
+    toks = {i: t.split() for i, t in train_rows}
+    tg, bg, uni = Counter(), Counter(), Counter()
+    for ts in toks.values():
+        tg.update(zip(ts, ts[1:], ts[2:]))
+        bg.update(zip(ts, ts[1:]))
+        uni.update(ts)
+    ctx3 = Counter()
+    for (w1, w2, _), c in tg.items():
+        ctx3[(w1, w2)] += c
+    ctx = Counter()
+    for (w1, _), c in bg.items():
+        ctx[w1] += c
+    n = sum(uni.values())
+    v = len(uni)
+    for doc_id, text in score_rows:
+        ts = text.split()
+        triples = list(zip(ts, ts[1:], ts[2:]))
+        if not triples:
+            assert got[doc_id] == (0, None), (doc_id, got[doc_id])
+            continue
+        s = Decimal(0)
+        for w1, w2, w3 in triples:
+            p3 = (tg.get((w1, w2, w3), 0) + 1.0) / (ctx3.get((w1, w2), 0) + v)
+            p2 = (bg.get((w2, w3), 0) + 1.0) / (ctx.get(w2, 0) + v)
+            p1 = (uni.get(w3, 0) + 1.0) / (n + v)
+            lp = math.log(LAMBDA3 * p3 + LAMBDA2 * p2 + LAMBDA1 * p1)
+            s += Decimal(lp).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        want = -float(s) / len(triples)
+        assert got[doc_id] == (len(triples), want), (doc_id, got[doc_id], want)
+
+
 def test_bigram_lm_flags_shuffled_text(spark):
     """The perplexity gate's point: token-shuffled (ungrammatical-order)
     text must score measurably higher cross-entropy under a model

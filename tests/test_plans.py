@@ -242,12 +242,15 @@ def test_fused_doc_queries_are_single_pass(spark, sf_dir):
 
 def test_e10_lm_joins_stay_model_sized(spark, sf_dir):
     """e10's model extensions: the only allowed plan growth is the
-    bigram LM plus the weak-label NB classifier — partial→final count
-    aggregates, doc-keyed equi-joins, and ONE extra scoring pass whose
-    term-table side is a cached (model-sized) broadcast; nothing
-    quadratic, and the exchange count stays the fixed budget (9 for the
-    heuristic+LM paths, +6 for NB's scoring agg and doc-keyed joins),
-    not corpus-pass blowup."""
+    n-gram LMs plus the weak-label NB classifier — partial→final count
+    aggregates, doc-keyed equi-joins, and scoring passes whose
+    model-table sides broadcast; nothing quadratic, and the exchange
+    count stays the FIXED budget (9 for the heuristic+bigram-LM paths,
+    +6 for NB's scoring agg and doc-keyed joins, +9 for the trigram
+    LM's two extra training aggregates, unigram table, five-table
+    scoring pass and doc-keyed join — r9), not corpus-pass blowup:
+    every exchange is either a model-sized aggregate or ONE doc-keyed
+    shuffle, so the budget is scale-invariant."""
     import re
 
     from informixcdc_spark.queries.extensions import e10_quality_repetition
@@ -262,7 +265,7 @@ def test_e10_lm_joins_stay_model_sized(spark, sf_dir):
     assert "CartesianProduct" not in tree, plan
     assert "BroadcastNestedLoopJoin" not in tree, plan
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchange <= 15, f"{n_exchange} exchanges"
+    assert n_exchange <= 24, f"{n_exchange} exchanges"
     # every aggregate is hash-based (map-side combinable counts/sums)
     assert "SortAggregate" not in tree, plan
     # the NB term table reaches the corpus token stream via broadcast

@@ -1322,7 +1322,7 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-entropy (operators/lm.py, the CCNet-style perplexity signal)
     joins on as two extra columns — the only shuffling member of the
     quality family, and it shuffles model-sized tables."""
-    from informixcdc_spark.operators.lm import lm_score
+    from informixcdc_spark.operators.lm import lm_cross_entropy
     from informixcdc_spark.operators.textstats import (
         gopher_rules_exprs,
         quality_score_exprs,
@@ -1409,12 +1409,18 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = nb_train_score(labeled, "_y", "text", labels=["drop", "keep"])
     # interpolated trigram LM beside the bigram (operators/lm.py):
-    # same corpus-trained shape, five model-sized join tables
-    from informixcdc_spark.operators.lm import lm3_score
+    # ONE trigram_lm training pass yields every model table — the
+    # bigram scorer consumes its (counts, ctx, V) directly, so the
+    # bigram aggregates never run twice
+    from informixcdc_spark.operators.lm import lm3_cross_entropy, trigram_lm
 
+    model = trigram_lm(docs)
+    _, _, bg_counts, bg_ctx, _, _, vocab = model
     return (
-        heur.join(lm_score(docs, docs), "doc_id", "left")
-        .join(lm3_score(docs, docs), "doc_id", "left")
+        heur.join(
+            lm_cross_entropy(docs, bg_counts, bg_ctx, vocab), "doc_id", "left"
+        )
+        .join(lm3_cross_entropy(docs, model), "doc_id", "left")
         .join(nb, "doc_id", "left")
     )
 

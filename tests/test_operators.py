@@ -2529,3 +2529,142 @@ def test_bigram_lm_flags_shuffled_text(spark):
     nat = sum(ce[i] for i, _ in rows[:20]) / 20
     shuf = sum(ce[1000 + i] for i, _ in rows[:20]) / 20
     assert shuf > nat, (nat, shuf)
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (operators/normalize.py)
+# ---------------------------------------------------------------------------
+def test_unicode_normalize_matches_unicodedata(spark):
+    """All four forms ≡ Python's unicodedata on planted hard cases:
+    combining sequences, singletons (U+212B), compatibility chars
+    (ligature, circled digit, fullwidth), NULLs pass through."""
+    import unicodedata
+
+    from informixcdc_spark.operators.normalize import unicode_normalize
+
+    cases = [
+        "Amélie",  # decomposed -> composes under NFC/NFKC
+        "ﬁx ① Ａ",  # ligature/circled/fullwidth: NFKC-only
+        "Å Å Å",  # three spellings of Angstrom
+        "ascii only",
+        "",
+        None,
+        "q̣̇",  # combining reorder (dot below < dot above)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, text string"
+    )
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", unicode_normalize("text", form).alias("n")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            want = None if t is None else unicodedata.normalize(form, t)
+            assert got[i] == want, (form, i, t, got[i], want)
+
+
+def test_unicode_normalize_rejects_bad_form():
+    import pytest as _pytest
+
+    from informixcdc_spark.operators.normalize import unicode_normalize
+
+    with _pytest.raises(ValueError, match="form must be one of"):
+        unicode_normalize("text", "NFX")
+
+
+def test_unicode_normalize_is_scan_fused(spark, sf_dir):
+    """The Arrow hop is a stateless column map: no Exchange, no Join,
+    no aggregate — one ArrowEvalPython node inside the scan pipeline."""
+    from informixcdc_spark.catalog import load_table
+    from informixcdc_spark.operators.normalize import unicode_normalize
+
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", unicode_normalize("text").alias("n")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    for node in ("Exchange", "Join", "HashAggregate", "Sort"):
+        assert node not in plan, node
+
+
+def test_temperature_mixture_matches_python_model(spark):
+    """q ∝ n^α against an exact pure-Python replica (same DECIMAL(18,6)
+    rounding point), weights sum to 1, α<1 flattens: the head stratum's
+    epochs < 1 < the tail stratum's epochs, and α=1 is the identity
+    (every epochs == 1)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from informixcdc_spark.operators.curation import temperature_mixture
+
+    counts = {"en": 800, "de": 150, "fr": 40, "yo": 10}
+    rows = [(s,) for s, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "lang string")
+
+    for alpha in (0.3, 1.0):
+        got = {
+            r["lang"]: (r["n_docs"], r["mix_weight"], r["mix_epochs"])
+            for r in temperature_mixture(df, "lang", alpha=alpha).collect()
+        }
+        w = {
+            s: Decimal(n**alpha).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+            for s, n in counts.items()
+        }
+        sw, ntot = sum(w.values()), sum(counts.values())
+        for s, n in counts.items():
+            q = float(w[s]) / float(sw)
+            ep = q / (float(n) / float(ntot))
+            assert got[s] == (n, q, ep), (alpha, s, got[s], (n, q, ep))
+        assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-12
+        if alpha == 1.0:
+            for s in counts:
+                assert abs(got[s][2] - 1.0) < 1e-9
+        else:
+            assert got["en"][2] < 1.0 < got["yo"][2]
+            # flattening preserves the head/tail ORDER of the shares
+            assert got["en"][1] > got["de"][1] > got["fr"][1] > got["yo"][1]
+
+
+def test_bucket_by_perplexity_exact_terciles(spark):
+    """Thresholds are the ceil(n/3)/ceil(2n/3) ORDER STATISTICS of the
+    sample — pinned against a pure-Python model, including boundary
+    membership (a doc AT the threshold is in the lower bucket), NULL
+    scores → NULL bucket, and the empty-sample edge."""
+    import math
+
+    from informixcdc_spark.operators.lm import bucket_by_perplexity
+
+    ces = [float(x) for x in (5, 1, 9, 3, 7, 2, 8, 4, 6, 10)]
+    rows = [(i, ce) for i, ce in enumerate(ces)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_cross_entropy double")
+    samp = df.where("doc_id % 2 = 0")  # ces at even positions
+
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in bucket_by_perplexity(df, sample=samp).collect()
+    }
+    svals = sorted(ce for i, ce in rows[:-1] if i % 2 == 0)
+    t1 = svals[math.ceil(len(svals) / 3) - 1]
+    t2 = svals[math.ceil(len(svals) * 2 / 3) - 1]
+    for i, ce in rows:
+        want = (
+            None if ce is None
+            else "head" if ce <= t1
+            else "middle" if ce <= t2
+            else "tail"
+        )
+        assert got[i] == want, (i, ce, got[i], want, t1, t2)
+    assert set(got.values()) == {"head", "middle", "tail", None}
+    # a threshold doc sits in the LOWER bucket in both engines
+    assert got[ces.index(t1)] == "head"
+
+    empty = bucket_by_perplexity(
+        df, sample=df.where("doc_id < 0")
+    )
+    assert {r["ppl_bucket"] for r in empty.collect()} == {None}

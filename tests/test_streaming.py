@@ -2627,3 +2627,45 @@ def test_dsir_gate_composes_with_streams(spark, tmp_path):
     assert by_id[13][1] == 0 and by_id[13][2] == 0.0
     # target-like docs weigh positive, spam-like negative
     assert by_id[10][2] > 0 > by_id[11][2]
+
+
+def test_normalize_gate_composes_with_streams(spark, tmp_path):
+    """unicode_normalize (operators/normalize.py) is a stateless Arrow
+    column map, so it composes with Structured Streaming like the other
+    curation gates: stream -> normalize -> fingerprint -> sink, sink ≡
+    batch. The planted pair is byte-different but canonically equal —
+    after the gate their fingerprints collide, which is the reason a
+    dedup pipeline normalizes first."""
+    from informixcdc_spark.operators.normalize import unicode_normalize
+
+    rows = [
+        (0, "café au lait"),        # precomposed é
+        (1, "café au lait"),       # decomposed e + U+0301
+        (2, "plain ascii"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    normed = stream.select(
+        "doc_id", F.md5(unicode_normalize("text")).alias("nfc_fp")
+    )
+    out = str(tmp_path / "normed")
+    q = (
+        normed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["nfc_fp"] for r in spark.read.parquet(out).collect()}
+    batch = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.md5(unicode_normalize("text")).alias("nfc_fp")
+    )
+    want = {r["doc_id"]: r["nfc_fp"] for r in batch.collect()}
+    assert got == want
+    assert got[0] == got[1]      # canonical equals collide post-gate
+    assert got[2] != got[0]

@@ -29,6 +29,8 @@ from informixcdc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from informixcdc_spark.operators.normalize import unicode_normalize
+from informixcdc_spark.operators.ulm import ulm_encode, ulm_train
 from informixcdc_spark.operators.similarity import brute_force_knn, lsh_bucket
 from informixcdc_spark.operators.bpe import bpe_encode, bpe_train
 from informixcdc_spark.operators.quantization import (
@@ -76,4 +78,7 @@ __all__ = [
     "sq_train",
     "sq_encode",
     "sq_search",
+    "unicode_normalize",
+    "ulm_train",
+    "ulm_encode",
 ]

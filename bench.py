@@ -71,10 +71,10 @@ def format_line(
 #: test_bench_arm_map_matches_registry.
 ARM_MODES = {
     "a24_sequence_packing": ["pack", "chunk"],
-    "a26_weighted_mixture": ["mix", "dsir", "dsel"],
+    "a26_weighted_mixture": ["mix", "dsir", "dsel", "temp"],
     "e01_dedup_exact": ["exact", "spans", "ranges", "lines", "doclines"],
     "e03_minhash_lsh_jaccard": ["pairs", "bounded", "inc"],
-    "e09_token_stats": ["tok", "bpe", "abpe"],
+    "e09_token_stats": ["tok", "bpe", "abpe", "ulm"],
     "e07_knn_exact_and_lsh": ["exact", "lsh", "bm25", "sbm25", "rp"],
     "e12_embedding_near_dups": ["lsh", "semdedup"],
     "e15_ann_ivf": ["ivf", "kmeans", "stream", "pq", "ivfpq", "sq"],

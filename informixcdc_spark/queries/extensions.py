@@ -31,6 +31,7 @@ from informixcdc_spark.operators.curation import (
     sql_deterministic_split,
     sql_dsir_ctes,
     sql_gumbel_key,
+    sql_temperature_mixture,
     sql_weighted_keep,
     sql_zorder_key,
 )
@@ -436,6 +437,29 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _ROLL_B = 1_000_003
 
+#: deterministic NFC-exercise markers appended per doc_id % 4 — the
+#: fixture is pure ASCII, so these plant every normalization case:
+#: 0) decomposed e + COMBINING ACUTE (composes, length shrinks),
+#: 1) ﬁ ligature + precomposed é (NFC-invariant: NFC never splits a
+#:    ligature and never decomposes a composed char),
+#: 2) A + COMBINING RING (composes to Å) + ANGSTROM SIGN U+212B
+#:    (singleton-decomposes to Å U+00C5: changed but SAME length),
+#: 3) untouched ASCII. Shared constant => the Spark and DuckDB sides
+#: decorate identically.
+_NFC_MARKERS = (
+    " Ame\u0301lie",  # 0: decomposed e + COMBINING ACUTE
+    " \ufb01t \u00e9",  # 1: fi ligature + precomposed e-acute
+    " A\u030a \u212b",  # 2: A + COMBINING RING; ANGSTROM SIGN
+    "",  # 3: pure ASCII
+)
+
+
+def _sql_nfc_decorated() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN text || '{m}'" for i, m in enumerate(_NFC_MARKERS) if m
+    )
+    return f"CASE CAST(doc_id % 4 AS INT) {cases} ELSE text END"
+
 
 def _sql_fingerprints(bits: int = 16) -> str:
     sums = ", ".join(
@@ -460,9 +484,18 @@ def _sql_fingerprints(bits: int = 16) -> str:
                    (acc, x) -> (acc * {_ROLL_B} + x) % {MINHASH_PRIME}
                ) AS fingerprint
         FROM documents
+    ),
+    dec AS (SELECT doc_id, {_sql_nfc_decorated()} AS dtext FROM documents),
+    nfc AS (
+        SELECT doc_id,
+               md5(nfc_normalize(dtext)) AS nfc_fp,
+               nfc_normalize(dtext) <> dtext AS nfc_changed,
+               CAST(length(dtext) - length(nfc_normalize(dtext)) AS INT)
+                 AS nfc_delta
+        FROM dec
     )
-    SELECT doc_id, fp, fingerprint, simhash
-    FROM base JOIN sim USING (doc_id)
+    SELECT doc_id, fp, fingerprint, simhash, nfc_fp, nfc_changed, nfc_delta
+    FROM base JOIN sim USING (doc_id) JOIN nfc USING (doc_id)
     """
 
 
@@ -481,12 +514,29 @@ def e02_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single narrow map pass, zero shuffles: md5 fp + rolling hash +
     # fold-based simhash (simhash_expr ≡ operators.dedup.simhash, minus
-    # its explode/agg/join) all evaluate inside the scan stage.
+    # its explode/agg/join) all evaluate inside the scan stage. The NFC
+    # family (round 9) adds the pipeline's canonicalization fingerprint:
+    # the fixture text is decorated per doc_id % 4 with the planted
+    # normalization cases (_NFC_MARKERS), normalized through the Arrow
+    # pandas_udf boundary (operators/normalize.py — the JVM has no
+    # Unicode-normalize builtin), and fingerprinted. Still zero
+    # shuffles: the Arrow hop is a stateless column map in the same
+    # stage.
+    from informixcdc_spark.operators.normalize import unicode_normalize
+
+    marker = F.when(F.col("doc_id") % 4 == 0, F.lit(_NFC_MARKERS[0]))
+    for i, m in enumerate(_NFC_MARKERS[1:-1], start=1):
+        marker = marker.when(F.col("doc_id") % 4 == i, F.lit(m))
+    decorated = F.concat(F.col("text"), marker.otherwise(F.lit("")))
+    nfc = unicode_normalize(decorated, "NFC")
     return toked.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         roll.alias("fingerprint"),
         simhash_expr(F.col("_tok")).alias("simhash"),
+        F.md5(nfc).alias("nfc_fp"),
+        (nfc != decorated).alias("nfc_changed"),
+        (F.length(decorated) - F.length(nfc)).cast("int").alias("nfc_delta"),
     )
 
 
@@ -932,6 +982,20 @@ _BPE_PAT = "[a-z0-9]+|[^a-z0-9 ]+"
 #: closed form the oracle states (see the arm comment below)
 _E09_MERGES = [("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "ab")]
 
+#: fixed unigram piece model for e09's 'ulm' arm. Probabilities make a
+#: longer piece STRICTLY cheaper than any composition of shorter ones
+#: (log .4 > 2·log .1 > 4·log .01; log .35 > 2·log .3), so the Viterbi
+#: optimum over the bpe-arm fixture is maximal [aaaa] then [aa] then
+#: [a] (resp. [abab] then [ab]) — the closed form the oracle states.
+_E09_ULM_LOGP = {
+    "a": 0.01,
+    "b": 0.01,
+    "aa": 0.1,
+    "aaaa": 0.4,
+    "ab": 0.3,
+    "abab": 0.35,
+}
+
 
 @register(
     "e09_token_stats",
@@ -966,6 +1030,25 @@ _E09_MERGES = [("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "ab")]
                (doc_id % 5 + 1) // 2 AS k2, (doc_id % 5 + 1) % 2 AS r3
         FROM documents
     ), (SELECT unnest(['bpe', 'abpe']) AS mode)
+    UNION ALL
+    SELECT 'ulm' AS mode, doc_id,
+           CAST(g + r2 + r1 + k2 + k1 AS INT) AS n_tokens,
+           CAST(NULL AS INT) AS total_token_chars,
+           CAST(NULL AS DOUBLE) AS mean_token_len,
+           CAST(NULL AS INT) AS n_pieces,
+           CAST(NULL AS INT) AS n_word_pieces,
+           rtrim(concat(repeat('aaaa ', g), repeat('aa ', r2),
+                        repeat('a ', r1), repeat('abab ', k2),
+                        repeat('ab ', k1))) AS segmented
+    FROM (
+        SELECT doc_id,
+               (doc_id % 9 + 1) // 4 AS g,
+               ((doc_id % 9 + 1) % 4) // 2 AS r2,
+               (doc_id % 9 + 1) % 2 AS r1,
+               (doc_id % 5 + 1) // 2 AS k2,
+               (doc_id % 5 + 1) % 2 AS k1
+        FROM documents
+    )
     """,
 )
 def e09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,7 +1111,35 @@ def e09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     abpe_arm = _bpe_arm(
         "abpe", bpe_encode_arrow(synth, "doc_id", "text", _E09_MERGES)
     )
-    return tok_arm.unionByName(bpe_arm).unionByName(abpe_arm)
+    # ulm arm (round 9): the OTHER tokenizer family graded on the same
+    # fixture — Viterbi segmentation under the FIXED unigram piece
+    # model _E09_ULM_LOGP, whose optimum has the arithmetic closed
+    # form the oracle states (see the constant's comment). Runs the
+    # production Arrow encoder (operators/ulm.py::ulm_encode): one
+    # zero-shuffle map, piece table in the closure.
+    import math as _math
+
+    from informixcdc_spark.operators.ulm import UlmModel, ulm_encode
+
+    model = UlmModel(
+        logp={p: _math.log(v) for p, v in _E09_ULM_LOGP.items()},
+        max_piece_len=4,
+    )
+    ulm_arm = ulm_encode(synth, "doc_id", "text", model).select(
+        F.lit("ulm").alias("mode"),
+        "doc_id",
+        F.col("n_pieces").cast("int").alias("n_tokens"),
+        F.lit(None).cast("int").alias("total_token_chars"),
+        F.lit(None).cast("double").alias("mean_token_len"),
+        F.lit(None).cast("int").alias("n_pieces"),
+        F.lit(None).cast("int").alias("n_word_pieces"),
+        F.array_join("pieces", " ").alias("segmented"),
+    )
+    return (
+        tok_arm.unionByName(bpe_arm)
+        .unionByName(abpe_arm)
+        .unionByName(ulm_arm)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1048,6 +1159,11 @@ from informixcdc_spark.operators.lm import (  # noqa: E402
 
 _SQL_LM_LOGP = sql_lm_log_prob("vv")
 _SQL_LM3_LOGP = sql_lm3_log_prob("nt", "vv")
+
+
+#: every 5th doc feeds the CCNet tercile thresholds (the 100 TB knob:
+#: the sample, not the corpus, is what gets sorted)
+_PPL_SAMPLE_MOD = 5
 
 
 @register(
@@ -1134,6 +1250,16 @@ _SQL_LM3_LOGP = sql_lm3_log_prob("nt", "vv")
     lm AS (SELECT doc_id, n_bigrams,
                   -(CAST(lp AS DOUBLE)) / n_bigrams AS lm_cross_entropy
            FROM lmp),
+    -- CCNet head/middle/tail terciles (operators/lm.py
+    -- bucket_by_perplexity): thresholds are exact ORDER STATISTICS of
+    -- the doc_id % 5 scoring sample — elements ceil(n/3) and
+    -- ceil(2n/3) of the sorted values, never interpolated percentiles
+    lmthr AS (
+        SELECT arr[CAST(ceil(len(arr) / 3.0) AS INT)] AS t1,
+               arr[CAST(ceil(len(arr) * 2 / 3.0) AS INT)] AS t2
+        FROM (SELECT list_sort(list(lm_cross_entropy)) AS arr
+              FROM lm WHERE doc_id % 5 = 0)
+    ),
     -- interpolated trigram LM (operators/lm.py lm3_score): Jelinek-
     -- Mercer 0.6/0.3/0.1 mixture of Laplace trigram/bigram/unigram
     -- terms; per-trigram log-probs rounded to DECIMAL(18,6), summed
@@ -1300,6 +1426,10 @@ _SQL_LM3_LOGP = sql_lm3_log_prob("nt", "vv")
            c4.c4_keep,
            CAST(COALESCE(lm.n_bigrams, 0) AS INT) AS n_bigrams,
            lm.lm_cross_entropy,
+           CASE WHEN lm.lm_cross_entropy IS NULL THEN NULL
+                WHEN lm.lm_cross_entropy <= lmthr.t1 THEN 'head'
+                WHEN lm.lm_cross_entropy <= lmthr.t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
            CAST(COALESCE(lm3.n_trigrams, 0) AS INT) AS n_trigrams,
            lm3.lm3_cross_entropy,
            CAST(nb.sc0 AS DOUBLE) AS nb_score_drop,
@@ -1308,7 +1438,7 @@ _SQL_LM3_LOGP = sql_lm3_log_prob("nt", "vv")
     FROM q JOIN r USING (doc_id) JOIN g USING (doc_id)
          JOIN c4 USING (doc_id)
          LEFT JOIN lm USING (doc_id) LEFT JOIN lm3 USING (doc_id)
-         JOIN nb USING (doc_id)
+         JOIN nb USING (doc_id), lmthr
     """,
 )
 def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,14 +1542,27 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE trigram_lm training pass yields every model table — the
     # bigram scorer consumes its (counts, ctx, V) directly, so the
     # bigram aggregates never run twice
-    from informixcdc_spark.operators.lm import lm3_cross_entropy, trigram_lm
+    from informixcdc_spark.operators.lm import (
+        bucket_by_perplexity,
+        lm3_cross_entropy,
+        trigram_lm,
+    )
 
     model = trigram_lm(docs)
     _, _, bg_counts, bg_ctx, _, _, vocab = model
+    # CCNet head/middle/tail buckets (round 9): tercile thresholds are
+    # order statistics of a SAMPLED scoring pass (doc_id % 5 — at real
+    # scale the sample predicate is the knob), broadcast back as a
+    # 1-row table; the bucket label itself is a row-local CASE.
+    ce_all = lm_cross_entropy(docs, bg_counts, bg_ctx, vocab)
+    ce_samp = lm_cross_entropy(
+        docs.where(F.col("doc_id") % _PPL_SAMPLE_MOD == 0),
+        bg_counts,
+        bg_ctx,
+        vocab,
+    )
     return (
-        heur.join(
-            lm_cross_entropy(docs, bg_counts, bg_ctx, vocab), "doc_id", "left"
-        )
+        heur.join(bucket_by_perplexity(ce_all, sample=ce_samp), "doc_id", "left")
         .join(lm3_cross_entropy(docs, model), "doc_id", "left")
         .join(nb, "doc_id", "left")
     )
@@ -2530,6 +2673,8 @@ def e25_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _MIX_RATES = {"en": 1.0, "de": 0.75, "es": 0.5, "fr": 0.5}
 _MIX_DEFAULT = 0.25
+#: α for the temperature-flattened sampling arm (the XLM-R paper's value)
+_TEMP_ALPHA = 0.3
 
 
 _DSIR_CTES, _DSIR_FINAL = sql_dsir_ctes(
@@ -2549,21 +2694,27 @@ _DSIR_CTES, _DSIR_FINAL = sql_dsir_ctes(
            CAST(NULL AS BIGINT) AS doc_id,
            CAST(NULL AS INT) AS n_feats,
            CAST(NULL AS DOUBLE) AS dsir_log_weight,
-           CAST(NULL AS INT) AS sel_rank
+           CAST(NULL AS INT) AS sel_rank,
+           CAST(NULL AS DOUBLE) AS mix_weight,
+           CAST(NULL AS DOUBLE) AS mix_epochs
     FROM documents GROUP BY lang
     UNION ALL
     SELECT 'dsir' AS mode, CAST(NULL AS VARCHAR) AS lang,
            CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS BIGINT) AS n_kept,
            CAST(NULL AS BIGINT) AS kept_chars,
            doc_id, n_feats, dsir_log_weight,
-           CAST(NULL AS INT) AS sel_rank
+           CAST(NULL AS INT) AS sel_rank,
+           CAST(NULL AS DOUBLE) AS mix_weight,
+           CAST(NULL AS DOUBLE) AS mix_epochs
     FROM {_DSIR_FINAL}
     UNION ALL
     SELECT 'dsel' AS mode, lang,
            CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS BIGINT) AS n_kept,
            CAST(NULL AS BIGINT) AS kept_chars,
            doc_id, CAST(NULL AS INT) AS n_feats, dsir_log_weight,
-           CAST(rk AS INT) AS sel_rank
+           CAST(rk AS INT) AS sel_rank,
+           CAST(NULL AS DOUBLE) AS mix_weight,
+           CAST(NULL AS DOUBLE) AS mix_epochs
     FROM (
         SELECT d.lang, w.doc_id, w.dsir_log_weight,
                ROW_NUMBER() OVER (
@@ -2573,6 +2724,15 @@ _DSIR_CTES, _DSIR_FINAL = sql_dsir_ctes(
                ) AS rk
         FROM {_DSIR_FINAL} w JOIN documents d USING (doc_id)
     ) WHERE rk <= 5
+    UNION ALL
+    SELECT 'temp' AS mode, stratum AS lang,
+           CAST(n_docs AS BIGINT) AS n_total, CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS kept_chars,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS n_feats,
+           CAST(NULL AS DOUBLE) AS dsir_log_weight,
+           CAST(NULL AS INT) AS sel_rank,
+           mix_weight, mix_epochs
+    FROM ({sql_temperature_mixture("SELECT lang FROM documents", "lang", _TEMP_ALPHA)})
     """,
 )
 def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2585,16 +2745,22 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py::dsir_log_weights); 'dsel' (round 8) — the
     paper's RESAMPLING step, per-language Gumbel top-5 over the
     weights (seeded noise => deterministic sample; stratum-partitioned
-    window => per-stratum sort at scale)."""
+    window => per-stratum sort at scale); 'temp' (round 9) — XLM-R/mT5
+    temperature-flattened sampling weights q_ℓ ∝ p_ℓ^α per language
+    (operators/curation.py::temperature_mixture: ONE combineable count
+    aggregate; the α-pow/normalize runs on the model-sized stratum
+    table)."""
     from informixcdc_spark.operators.curation import (
         dsir_log_weights,
         dsir_select,
+        temperature_mixture,
         weighted_keep,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     keep = weighted_keep("doc_id", F.col("lang"), _MIX_RATES, _MIX_DEFAULT)
     null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
     mix = (
         docs.withColumn("_keep", keep)
         .groupBy("lang")
@@ -2613,8 +2779,10 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_chars",
             null_l.alias("doc_id"),
             F.lit(None).cast("int").alias("n_feats"),
-            F.lit(None).cast("double").alias("dsir_log_weight"),
+            null_d.alias("dsir_log_weight"),
             F.lit(None).cast("int").alias("sel_rank"),
+            null_d.alias("mix_weight"),
+            null_d.alias("mix_epochs"),
         )
     )
     weights = dsir_log_weights(
@@ -2630,6 +2798,8 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_feats",
         "dsir_log_weight",
         F.lit(None).cast("int").alias("sel_rank"),
+        null_d.alias("mix_weight"),
+        null_d.alias("mix_epochs"),
     )
     # dsel: DSIR's resampling step — per-language Gumbel top-5 over the
     # weights (seeded noise => deterministic sample; stratum-partitioned
@@ -2646,8 +2816,27 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("n_feats"),
         "dsir_log_weight",
         "sel_rank",
+        null_d.alias("mix_weight"),
+        null_d.alias("mix_epochs"),
     )
-    return mix.unionByName(ds).unionByName(sel)
+    # temp: temperature-flattened α-sampling weights per language (the
+    # XLM-R / mT5 rule) — one combineable count agg, model-sized after
+    tmp = temperature_mixture(
+        docs.select("lang"), "lang", alpha=_TEMP_ALPHA
+    ).select(
+        F.lit("temp").alias("mode"),
+        "lang",
+        F.col("n_docs").cast("long").alias("n_total"),
+        null_l.alias("n_kept"),
+        null_l.alias("kept_chars"),
+        null_l.alias("doc_id"),
+        F.lit(None).cast("int").alias("n_feats"),
+        null_d.alias("dsir_log_weight"),
+        F.lit(None).cast("int").alias("sel_rank"),
+        "mix_weight",
+        "mix_epochs",
+    )
+    return mix.unionByName(ds).unionByName(sel).unionByName(tmp)
 
 
 # ---------------------------------------------------------------------------

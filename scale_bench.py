@@ -73,6 +73,7 @@ QUERIES = [
     "e01_dedup_exact",
     "e03_minhash_lsh_jaccard",
     "e07_knn_exact_and_lsh",
+    "e09_token_stats",
     "e10_quality_repetition",
     "e15_ann_ivf",
     "e20_dedup_clusters",

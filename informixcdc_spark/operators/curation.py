@@ -190,7 +190,16 @@ def temperature_mixture(
     language/domain). The weights broadcast back to the corpus for the
     actual resample, so 100 TB of data never shuffles for its mixture.
     """
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # persisted: the normalizing-totals aggregate AND the final select
+    # both consume the count table — without the cache the corpus
+    # groupBy would execute twice (model-sized entry, NBModel's cache
+    # contract: lives until the session drops it, plan-keyed so
+    # repeated calls on the same input reuse one entry)
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .persist()
+    )
     weighted = counts.withColumn(
         "_w",
         F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))).cast(

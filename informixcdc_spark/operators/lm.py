@@ -366,11 +366,42 @@ def lm_score(
     return lm_cross_entropy(score, counts, ctx, vocab, id_col, text_col)
 
 
+def ppl_thresholds(
+    sample: DataFrame, ce_col: str = "lm_cross_entropy"
+) -> tuple[float, float] | None:
+    """The (t1, t2) tercile cutoffs :func:`bucket_by_perplexity`
+    derives from a scored sample — exposed so a STREAMING gate can
+    compute them once offline and pass them as literals into every
+    micro-batch instead of re-running the sample job per batch. None
+    when the sample has no scored rows."""
+    ce = F.col(ce_col)
+    arr = F.array_sort(F.collect_list(ce_col))
+    row = (
+        sample.where(ce.isNotNull())
+        .agg(arr.alias("_a"))
+        .select(
+            F.when(
+                F.size("_a") > 0,
+                F.element_at("_a", F.ceil(F.size("_a") / 3).cast("int")),
+            ).alias("_t1"),
+            F.when(
+                F.size("_a") > 0,
+                F.element_at("_a", F.ceil(F.size("_a") * 2 / 3).cast("int")),
+            ).alias("_t2"),
+        )
+        .first()
+    )
+    if row is None or row["_t1"] is None:
+        return None
+    return float(row["_t1"]), float(row["_t2"])
+
+
 def bucket_by_perplexity(
     scored: DataFrame,
     sample: DataFrame | None = None,
     ce_col: str = "lm_cross_entropy",
     out_col: str = "ppl_bucket",
+    thresholds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
     2020 §4.3): split the corpus at the terciles of the LM
@@ -399,31 +430,24 @@ def bucket_by_perplexity(
     the bucketing pass adds ZERO plan growth to the scoring pass — a
     pure row-local CASE that fuses wherever the scores were going
     anyway: at 100 TB you sample thousands of documents, not billions.
+
+    Pass precomputed ``thresholds`` (from :func:`ppl_thresholds`) to
+    skip the sample job entirely — the streaming-gate calling
+    convention, where cutoffs are fitted once offline and every
+    micro-batch applies them as literals.
     """
-    src = scored if sample is None else sample
     ce = F.col(ce_col)
-    arr = F.array_sort(F.collect_list(ce_col))
-    row = (
-        src.where(ce.isNotNull())
-        .agg(arr.alias("_a"))
-        .select(
-            F.when(
-                F.size("_a") > 0,
-                F.element_at("_a", F.ceil(F.size("_a") / 3).cast("int")),
-            ).alias("_t1"),
-            F.when(
-                F.size("_a") > 0,
-                F.element_at("_a", F.ceil(F.size("_a") * 2 / 3).cast("int")),
-            ).alias("_t2"),
+    if thresholds is None:
+        thresholds = ppl_thresholds(
+            scored if sample is None else sample, ce_col
         )
-        .first()
-    )
-    if row is None or row["_t1"] is None:
+    if thresholds is None:
         return scored.withColumn(out_col, F.lit(None).cast("string"))
+    t1, t2 = thresholds
     bucket = (
         F.when(ce.isNull(), F.lit(None).cast("string"))
-        .when(ce <= F.lit(float(row["_t1"])), "head")
-        .when(ce <= F.lit(float(row["_t2"])), "middle")
+        .when(ce <= F.lit(float(t1)), "head")
+        .when(ce <= F.lit(float(t2)), "middle")
         .otherwise("tail")
     )
     return scored.withColumn(out_col, bucket)

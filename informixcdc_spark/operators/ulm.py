@@ -175,6 +175,12 @@ def ulm_train(
     rows = chars.unionByName(multi).collect()
     seed_counts.unpersist()
     counts = {r["_piece"]: r["_n"] for r in rows}
+    if not counts:
+        raise ValueError(
+            "ulm_train: corpus has no words (empty or whitespace-only "
+            f"{text_col!r}) — a unigram model cannot be fit; filter the "
+            "input or check the text column"
+        )
 
     def _logp_of(c: dict[str, int]) -> dict[str, float]:
         total = float(sum(c.values()))

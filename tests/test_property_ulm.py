@@ -175,3 +175,9 @@ def test_ulm_encode_is_zero_shuffle(spark, sf_dir):
     assert plan.count("MapInPandas") >= 1
     for node in ("Exchange", "Join", "HashAggregate", "Sort"):
         assert node not in plan, node
+
+
+def test_ulm_train_rejects_empty_corpus(spark):
+    df = spark.createDataFrame([(0, " "), (1, "")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no words"):
+        ulm_train(df, "text", vocab_size=8, n_iter=1)

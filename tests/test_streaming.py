@@ -2669,3 +2669,66 @@ def test_normalize_gate_composes_with_streams(spark, tmp_path):
     assert got == want
     assert got[0] == got[1]      # canonical equals collide post-gate
     assert got[2] != got[0]
+
+
+def test_ppl_gate_composes_with_streams(spark, tmp_path):
+    """The CCNet perplexity gate run CONTINUOUSLY: the bigram LM trains
+    once offline, the tercile cutoffs are fitted once on a scored
+    sample (ppl_thresholds) and enter every micro-batch as literals —
+    so each batch pays only the model-sized broadcast joins of the
+    scoring pass, never the threshold job. Sink ≡ batch gate
+    bit-for-bit; only 'head'-bucket docs pass."""
+    from informixcdc_spark.operators.lm import (
+        bigram_lm,
+        bucket_by_perplexity,
+        lm_cross_entropy,
+        ppl_thresholds,
+    )
+
+    nat = "the quick brown fox jumps over the lazy dog near the old mill"
+    rows = [(i, nat) for i in range(6)]
+    rows += [(6, "dog the over mill quick near fox lazy the jumps brown old"),
+             (7, "mill lazy the brown near jumps old dog fox over quick the")]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    counts, ctx, vocab = bigram_lm(train, release_tokens=False)
+    thr = ppl_thresholds(lm_cross_entropy(train, counts, ctx, vocab))
+    assert thr is not None and thr[0] <= thr[1]
+
+    def gate(bdf):
+        scored = lm_cross_entropy(bdf, counts, ctx, vocab).join(
+            bdf, "doc_id"
+        )
+        return bucket_by_perplexity(scored, thresholds=thr).where(
+            F.col("ppl_bucket") == "head"
+        ).select("doc_id", "ppl_bucket")
+
+    probe_rows = [(20, nat), (21, "fox dog mill near the over jumps old"),
+                  (22, nat), (23, "lazy old the quick dog jumps brown")]
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    probe.where(F.col("doc_id") < 22).coalesce(1).write.mode("append").parquet(src)
+    probe.where(F.col("doc_id") >= 22).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "head")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: gate(bdf).write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, gate(probe).collect()))
+    assert got == want
+    # natural-order copies of the training sentence land in 'head'
+    assert {20, 22} <= {t[0] for t in got}
+    # and the shuffled probes do not
+    assert not {21, 23} & {t[0] for t in got}

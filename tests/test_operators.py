@@ -2668,3 +2668,49 @@ def test_bucket_by_perplexity_exact_terciles(spark):
         df, sample=df.where("doc_id < 0")
     )
     assert {r["ppl_bucket"] for r in empty.collect()} == {None}
+
+
+def test_temperature_mixture_property_random_strata(spark):
+    """Random stratum multisets and α: the engine equals the decimal
+    replica exactly (derandomized like the other property suites)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from informixcdc_spark.operators.curation import temperature_mixture
+
+    strata = st.dictionaries(
+        st.sampled_from(["en", "de", "fr", "ja", "sw", "yo"]),
+        st.integers(min_value=1, max_value=200),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(counts=strata, alpha=st.sampled_from([0.2, 0.5, 0.7]))
+    def run(counts, alpha):
+        df = spark.createDataFrame(
+            [(s,) for s, n in counts.items() for _ in range(n)], "lang string"
+        )
+        got = {
+            r["lang"]: (r["n_docs"], r["mix_weight"], r["mix_epochs"])
+            for r in temperature_mixture(df, "lang", alpha=alpha).collect()
+        }
+        w = {
+            s: Decimal(n**alpha).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+            for s, n in counts.items()
+        }
+        sw, ntot = sum(w.values()), sum(counts.values())
+        for s, n in counts.items():
+            q = float(w[s]) / float(sw)
+            assert got[s] == (n, q, q / (float(n) / float(ntot))), (s, alpha)
+
+    run()

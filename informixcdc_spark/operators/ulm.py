@@ -103,6 +103,72 @@ def ulm_viterbi(
     return out
 
 
+#: soft-EM expected counts are per-(word, piece) floats; each
+#: contribution rounds to this many decimal places as a SCALED INTEGER
+#: before the distributed sum, so partial aggregation order can never
+#: move a bit (the module's decimal-sum convention, integer form)
+_SOFT_SCALE = 1_000_000
+
+
+def soft_expected_counts(
+    word: str, logp: dict[str, float], max_piece_len: int, floor: float
+) -> dict[str, float]:
+    """Forward-backward posterior piece counts for one word — the
+    SOFT E-step of Kudo's EM (expected usage over ALL segmentations,
+    not just the Viterbi best). Pure Python, fixed iteration order, so
+    the float arithmetic is reproducible anywhere.
+
+    alpha[i] / beta[i] are log-sums over segmentations of the
+    prefix/suffix; an edge (j → i) using ``piece`` contributes
+    exp(alpha[j] + lp + beta[i] − alpha[n]) to that piece's expected
+    count. OOV single characters participate at the ``floor`` score,
+    like :func:`ulm_viterbi`.
+    """
+    n = len(word)
+    NEG = -math.inf
+
+    def lp_of(piece: str) -> float | None:
+        got = logp.get(piece)
+        if got is None and len(piece) == 1:
+            return floor
+        return got
+
+    def ladd(a: float, b: float) -> float:
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        hi, lo = (a, b) if a >= b else (b, a)
+        return hi + math.log1p(math.exp(lo - hi))
+
+    alpha = [0.0] + [NEG] * n
+    for i in range(1, n + 1):
+        for ln in range(1, min(max_piece_len, i) + 1):
+            lp = lp_of(word[i - ln : i])
+            if lp is not None:
+                alpha[i] = ladd(alpha[i], alpha[i - ln] + lp)
+    beta = [NEG] * n + [0.0]
+    for j in range(n - 1, -1, -1):
+        for ln in range(1, min(max_piece_len, n - j) + 1):
+            lp = lp_of(word[j : j + ln])
+            if lp is not None:
+                beta[j] = ladd(beta[j], lp + beta[j + ln])
+    z = alpha[n]
+    out: dict[str, float] = {}
+    if z == NEG:
+        return out
+    for j in range(n):
+        for ln in range(1, min(max_piece_len, n - j) + 1):
+            piece = word[j : j + ln]
+            lp = lp_of(piece)
+            if lp is None:
+                continue
+            post = math.exp(alpha[j] + lp + beta[j + ln] - z)
+            if post > 0.0:
+                out[piece] = out.get(piece, 0.0) + post
+    return out
+
+
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, count) — the one corpus-sized pass; everything downstream
     is word-table-sized."""
@@ -141,6 +207,34 @@ def _piece_counts(words: DataFrame, counter) -> DataFrame:
     return partial.groupBy("_piece").agg(F.sum("_n").alias("_n"))
 
 
+def _piece_weights(words: DataFrame, weigher) -> DataFrame:
+    """(piece, n): the soft-EM twin of :func:`_piece_counts` —
+    ``weigher(word) -> dict[piece, float]`` posteriors, each
+    word-count-weighted contribution rounded to a SCALED LONG
+    (``_SOFT_SCALE``) before the per-batch partial sum, so the
+    distributed aggregation is integer-exact regardless of partition
+    or combine order."""
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for w, c in zip(pdf["_w"], pdf["_cnt"]):
+                for piece, post in weigher(w).items():
+                    acc[piece] = acc.get(piece, 0) + int(
+                        round(post * int(c) * _SOFT_SCALE)
+                    )
+            yield pd.DataFrame(
+                {"_piece": list(acc.keys()), "_n": list(acc.values())}
+            )
+
+    partial = words.select("_w", "_cnt").mapInPandas(
+        _run, schema="_piece string, _n long"
+    )
+    return partial.groupBy("_piece").agg(F.sum("_n").alias("_n"))
+
+
 def ulm_train(
     docs: DataFrame,
     text_col: str,
@@ -149,11 +243,20 @@ def ulm_train(
     max_piece_len: int = 6,
     seed_size: int = 2000,
     min_count: int = 2,
+    em: str = "hard",
 ) -> UlmModel:
     """Fit a unigram piece model: substring seed vocabulary → ``n_iter``
-    Viterbi-EM rounds → prune to ``vocab_size`` (single characters
-    always survive). See the module docstring for the distributed
-    shape and the determinism contract."""
+    EM rounds → prune to ``vocab_size`` (single characters always
+    survive). ``em='hard'`` (default) counts Viterbi-best pieces —
+    integer counts, the module's bit-reproducibility story;
+    ``em='soft'`` is the paper-exact forward-backward E-step
+    (:func:`soft_expected_counts`), with every per-(word, piece)
+    posterior contribution rounded to a scaled long
+    (1e-6 granularity) before the distributed sum, so it is just as
+    order-immune. Distributed shape is identical in both modes. See
+    the module docstring for the rest of the contract."""
+    if em not in ("hard", "soft"):
+        raise ValueError(f"em must be 'hard' or 'soft', got {em!r}")
     words = _word_counts(docs, text_col).localCheckpoint(eager=False)
 
     def _substrings(w: str):
@@ -182,8 +285,11 @@ def ulm_train(
             "input or check the text column"
         )
 
-    def _logp_of(c: dict[str, int]) -> dict[str, float]:
-        total = float(sum(c.values()))
+    def _logp_of(c: dict[str, float]) -> dict[str, float]:
+        # totals accumulate in sorted-piece order: float sums (the soft
+        # path) must not depend on dict insertion order, which follows
+        # the nondeterministic collect order
+        total = float(sum(n for _, n in sorted(c.items())))
         return {p: math.log(n / total) for p, n in c.items()}
 
     logp = _logp_of(counts)
@@ -191,13 +297,25 @@ def ulm_train(
         floor = min(logp.values()) - math.log(2.0)
         lp, mx = dict(logp), max_piece_len
 
-        def _viterbi_pieces(w: str, _lp=lp, _mx=mx, _fl=floor):
-            return ulm_viterbi(w, _lp, _mx, _fl)
+        if em == "hard":
 
-        used = {
-            r["_piece"]: r["_n"]
-            for r in _piece_counts(words, _viterbi_pieces).collect()
-        }
+            def _viterbi_pieces(w: str, _lp=lp, _mx=mx, _fl=floor):
+                return ulm_viterbi(w, _lp, _mx, _fl)
+
+            used = {
+                r["_piece"]: r["_n"]
+                for r in _piece_counts(words, _viterbi_pieces).collect()
+            }
+        else:
+
+            def _fb_posteriors(w: str, _lp=lp, _mx=mx, _fl=floor):
+                return soft_expected_counts(w, _lp, _mx, _fl)
+
+            used = {
+                r["_piece"]: r["_n"] / _SOFT_SCALE
+                for r in _piece_weights(words, _fb_posteriors).collect()
+                if r["_n"] > 0
+            }
         # coverage floor: unused single chars stay at count 1; unused
         # multi-char pieces drop out of the model
         counts = {

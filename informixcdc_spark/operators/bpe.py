@@ -223,7 +223,10 @@ def bpe_encode_arrow(
 
     ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
     merge_list = [tuple(m) for m in merges]
-    ws = re.compile(r"\s+")
+    # explicit ASCII class = Java regex \s (the trainer's F.split
+    # semantics); Python re \s would also split Unicode whitespace,
+    # producing words the trained merge table never saw
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _run(batches):
         import pandas as pd

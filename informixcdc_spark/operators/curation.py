@@ -190,16 +190,16 @@ def temperature_mixture(
     language/domain). The weights broadcast back to the corpus for the
     actual resample, so 100 TB of data never shuffles for its mixture.
     """
-    # persisted: the normalizing-totals aggregate AND the final select
-    # both consume the count table — without the cache the corpus
-    # groupBy would execute twice (model-sized entry, NBModel's cache
-    # contract: lives until the session drops it, plan-keyed so
-    # repeated calls on the same input reuse one entry)
-    counts = (
-        df.groupBy(strata_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .persist()
-    )
+    # the normalizing-totals aggregate AND the final select both consume
+    # the count table, so the corpus groupBy is run ONCE and its result
+    # — model-sized, one row per language/domain — is COLLECTED and
+    # re-lifted as a local table (the module's metadata-sized-action
+    # convention, like the quantizer codebooks). Unlike a .persist()
+    # this leaves no session-lifetime cache entry behind (r9 ADVICE);
+    # all arithmetic stays in Spark expressions on the local table so
+    # the decimal rounding point is unchanged.
+    agg = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = df.sparkSession.createDataFrame(agg.collect(), schema=agg.schema)
     weighted = counts.withColumn(
         "_w",
         F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))).cast(

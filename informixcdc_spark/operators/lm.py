@@ -367,19 +367,33 @@ def lm_score(
 
 
 def ppl_thresholds(
-    sample: DataFrame, ce_col: str = "lm_cross_entropy"
+    sample: DataFrame,
+    ce_col: str = "lm_cross_entropy",
+    max_sample: int | None = 1_000_000,
 ) -> tuple[float, float] | None:
     """The (t1, t2) tercile cutoffs :func:`bucket_by_perplexity`
     derives from a scored sample — exposed so a STREAMING gate can
     compute them once offline and pass them as literals into every
     micro-batch instead of re-running the sample job per batch. None
-    when the sample has no scored rows."""
+    when the sample has no scored rows.
+
+    The sample's scores collapse to ONE sorted array on a single task,
+    so the sample must be bounded by construction (a fixed-count or
+    corpus-size-scaled predicate — thousands of documents, never a
+    constant fraction of the corpus). ``max_sample`` is the fail-loud
+    backstop: if the collected sample exceeds it, raise instead of
+    silently handing a multi-GB array to one task next time the corpus
+    doubles. The check is post-hoc (same single job — a pre-count would
+    re-run the scoring pass), so it catches the mis-sized-predicate
+    case, not a sample so large the collect itself cannot complete;
+    pass ``None`` to disable."""
     ce = F.col(ce_col)
     arr = F.array_sort(F.collect_list(ce_col))
     row = (
         sample.where(ce.isNotNull())
         .agg(arr.alias("_a"))
         .select(
+            F.size("_a").alias("_n"),
             F.when(
                 F.size("_a") > 0,
                 F.element_at("_a", F.ceil(F.size("_a") / 3).cast("int")),
@@ -393,6 +407,13 @@ def ppl_thresholds(
     )
     if row is None or row["_t1"] is None:
         return None
+    if max_sample is not None and row["_n"] > max_sample:
+        raise ValueError(
+            f"ppl_thresholds sample has {row['_n']} scored rows "
+            f"(> max_sample={max_sample}): the tercile sort runs on ONE "
+            "task, so the sample predicate must bound it independently "
+            "of corpus size — tighten the predicate or raise max_sample"
+        )
     return float(row["_t1"]), float(row["_t2"])
 
 
@@ -412,7 +433,11 @@ def bucket_by_perplexity(
     (or :func:`lm3_cross_entropy`); ``sample`` — defaulting to
     ``scored`` itself — is the (usually much smaller) scored subset the
     thresholds are estimated from, mirroring CCNet's practice of fitting
-    the cutoffs on a held-out slice rather than the whole crawl.
+    the cutoffs on a held-out slice rather than the whole crawl. The
+    default is only safe on small corpora: :func:`ppl_thresholds` sorts
+    the whole sample on one task and fails loudly past its
+    ``max_sample`` backstop, so at scale ALWAYS pass a bounded
+    ``sample`` (or precomputed ``thresholds``).
 
     Thresholds are exact ORDER STATISTICS of the sample (elements
     ceil(n/3) and ceil(2n/3) of the sorted values), not interpolated

@@ -346,7 +346,11 @@ def ulm_encode(
 
     logp, mx = dict(model.logp), model.max_piece_len
     floor = model.floor_logp
-    ws = re.compile(r"\s+")
+    # the explicit ASCII class matches Java regex \s (the trainer's
+    # F.split semantics, non-UNICODE_CHARACTER_CLASS) — Python re \s is
+    # Unicode-aware, so a bare r"\s+" would split U+00A0 etc. into
+    # words the trainer never saw
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _run(batches):
         import pandas as pd

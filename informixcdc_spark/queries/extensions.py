@@ -1161,9 +1161,15 @@ _SQL_LM_LOGP = sql_lm_log_prob("vv")
 _SQL_LM3_LOGP = sql_lm3_log_prob("nt", "vv")
 
 
-#: every 5th doc feeds the CCNet tercile thresholds (the 100 TB knob:
-#: the sample, not the corpus, is what gets sorted)
-_PPL_SAMPLE_MOD = 5
+#: CCNet tercile thresholds are fitted on a ~2000-document sample whose
+#: modulus SCALES with the corpus (mod = max(1, n_docs // target)), so
+#: the single-task tercile sort stays bounded no matter how large the
+#: corpus grows — a corpus-PROPORTIONAL predicate (e.g. doc_id % 5)
+#: would hand a multi-GB array to one task at 100 TB
+_PPL_SAMPLE_TARGET = 2000
+_SQL_PPL_SAMPLE_MOD = (
+    f"(SELECT greatest(1, count(*) // {_PPL_SAMPLE_TARGET}) FROM documents)"
+)
 
 
 @register(
@@ -1252,13 +1258,15 @@ _PPL_SAMPLE_MOD = 5
            FROM lmp),
     -- CCNet head/middle/tail terciles (operators/lm.py
     -- bucket_by_perplexity): thresholds are exact ORDER STATISTICS of
-    -- the doc_id % 5 scoring sample — elements ceil(n/3) and
-    -- ceil(2n/3) of the sorted values, never interpolated percentiles
+    -- a corpus-size-INDEPENDENT scoring sample (modulus scaled to
+    -- yield ~2000 docs) — elements ceil(n/3) and ceil(2n/3) of the
+    -- sorted values, never interpolated percentiles
     lmthr AS (
         SELECT arr[CAST(ceil(len(arr) / 3.0) AS INT)] AS t1,
                arr[CAST(ceil(len(arr) * 2 / 3.0) AS INT)] AS t2
         FROM (SELECT list_sort(list(lm_cross_entropy)) AS arr
-              FROM lm WHERE doc_id % 5 = 0)
+              FROM lm WHERE doc_id % {_SQL_PPL_SAMPLE_MOD} = 0
+                AND lm_cross_entropy IS NOT NULL)
     ),
     -- interpolated trigram LM (operators/lm.py lm3_score): Jelinek-
     -- Mercer 0.6/0.3/0.1 mixture of Laplace trigram/bigram/unigram
@@ -1426,7 +1434,11 @@ _PPL_SAMPLE_MOD = 5
            c4.c4_keep,
            CAST(COALESCE(lm.n_bigrams, 0) AS INT) AS n_bigrams,
            lm.lm_cross_entropy,
-           CASE WHEN lm.lm_cross_entropy IS NULL THEN NULL
+           -- empty-sample contract matches bucket_by_perplexity: no
+           -- thresholds => every bucket NULL (never a fall-through to
+           -- 'tail' on a NULL comparison)
+           CASE WHEN lmthr.t1 IS NULL THEN NULL
+                WHEN lm.lm_cross_entropy IS NULL THEN NULL
                 WHEN lm.lm_cross_entropy <= lmthr.t1 THEN 'head'
                 WHEN lm.lm_cross_entropy <= lmthr.t2 THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket,
@@ -1528,14 +1540,14 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prep trains a linear classifier on seed labels and scores the
     # corpus with it). Training aggregates are model-sized; scoring is
     # one broadcast join + one doc-keyed sum (operators/classify.py).
+    # The weak label reuses heur's token pass (`toked`/`score`) — the
+    # corpus is never re-tokenized just to derive _y.
     from informixcdc_spark.operators.classify import nb_train_score
 
-    labeled = docs.select(
+    labeled = toked.select(
         "doc_id",
         "text",
-        F.when(
-            quality_score_exprs(tokens(F.col("text")))[3] >= 0.7, "keep"
-        ).otherwise("drop").alias("_y"),
+        F.when(score >= 0.7, "keep").otherwise("drop").alias("_y"),
     )
     nb = nb_train_score(labeled, "_y", "text", labels=["drop", "keep"])
     # interpolated trigram LM beside the bigram (operators/lm.py):
@@ -1550,17 +1562,19 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = trigram_lm(docs)
     _, _, bg_counts, bg_ctx, _, _, vocab = model
-    # CCNet head/middle/tail buckets (round 9): tercile thresholds are
-    # order statistics of a SAMPLED scoring pass (doc_id % 5 — at real
-    # scale the sample predicate is the knob), broadcast back as a
-    # 1-row table; the bucket label itself is a row-local CASE.
-    ce_all = lm_cross_entropy(docs, bg_counts, bg_ctx, vocab)
-    ce_samp = lm_cross_entropy(
-        docs.where(F.col("doc_id") % _PPL_SAMPLE_MOD == 0),
-        bg_counts,
-        bg_ctx,
-        vocab,
-    )
+    # CCNet head/middle/tail buckets (round 9/10): tercile thresholds
+    # are order statistics of a sampled scoring pass whose modulus
+    # SCALES with the corpus (max(1, n // 2000) — a bounded ~2000-doc
+    # sample at any scale, never a constant fraction), collected as two
+    # literals; the bucket label itself is a row-local CASE. The bigram
+    # scoring pass runs ONCE: ce_all is persisted (narrow 3-column
+    # frame), the threshold sample is a FILTER of it rather than a
+    # second explode+join chain, and the final collect reads the cache.
+    # n_docs is a parquet count-star (metadata-cheap).
+    n_docs = docs.count()
+    mod = max(1, n_docs // _PPL_SAMPLE_TARGET)
+    ce_all = lm_cross_entropy(docs, bg_counts, bg_ctx, vocab).persist()
+    ce_samp = ce_all.where(F.col("doc_id") % mod == 0)
     return (
         heur.join(bucket_by_perplexity(ce_all, sample=ce_samp), "doc_id", "left")
         .join(lm3_cross_entropy(docs, model), "doc_id", "left")

@@ -2670,6 +2670,26 @@ def test_bucket_by_perplexity_exact_terciles(spark):
     assert {r["ppl_bucket"] for r in empty.collect()} == {None}
 
 
+def test_ppl_thresholds_max_sample_guard(spark):
+    """The single-task tercile sort fails LOUDLY when the sample
+    exceeds max_sample (the mis-sized-predicate backstop), and still
+    returns exact thresholds at or under the cap / with the guard
+    disabled."""
+    import pytest
+
+    from informixcdc_spark.operators.lm import ppl_thresholds
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)],
+        "doc_id long, lm_cross_entropy double",
+    )
+    with pytest.raises(ValueError, match="max_sample"):
+        ppl_thresholds(df, max_sample=5)
+    # at the cap, under it, and disabled: same exact order statistics
+    for kw in ({"max_sample": 9}, {"max_sample": None}, {}):
+        assert ppl_thresholds(df, **kw) == (2.0, 5.0)
+
+
 def test_temperature_mixture_property_random_strata(spark):
     """Random stratum multisets and α: the engine equals the decimal
     replica exactly (derandomized like the other property suites)."""

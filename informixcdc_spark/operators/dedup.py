@@ -569,17 +569,21 @@ def dedup_clusters_star(
             ).collect()[0]
         )
 
+    # lazy checkpoints: the signature collect right after is the ONE
+    # action that computes the round, materializes the checkpoint and
+    # signs it — an eager checkpoint would pay a second job per round
+    # just to re-read what the signature scan is about to read anyway
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sig = _signature(edges)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _signature(new)
         same = (
             new_sig == sig

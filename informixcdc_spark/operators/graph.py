@@ -18,12 +18,22 @@ Determinism: the per-edge contribution ``d * (r/outdeg)`` is a pinned
 double expression rounded to DECIMAL(18,12); the per-node inflow is the
 exact decimal sum (the order-insensitive pattern from
 ``functions/numeric.py``), so a SQL oracle that unrolls the same
-iterations reproduces ranks bit-for-bit.
+iterations reproduces ranks bit-for-bit — with one documented crack:
+Spark's double→decimal cast (Java ``BigDecimal.valueOf``) quantizes
+the double's SHORTEST-REPR string HALF_UP, while DuckDB rounds the
+same repr half-even, so the engines disagree exactly when a
+contribution's repr is a tie at the 12th decimal (e.g.
+0.0624710648145). Graded fixtures avoid repr-level ties; the
+pure-Python property suite pins the engine's semantics on arbitrary
+graphs (tests/test_property_graph.py).
 
-Dangling nodes (no out-edges) leak their mass — the common simplified
-formulation (their redistribution term is a rank-one update real
-deployments often drop); ranks then sum to < 1. Documented, and the
-oracle states the identical recurrence.
+Dangling nodes (no out-edges) leak their mass under the default
+simplified formulation (ranks then sum to < 1); the oracle states the
+identical recurrence. ``redistribute_dangling=True`` adds the
+paper-faithful rank-one update — every iteration spreads the dangling
+mass uniformly (one node-sized anti-join aggregate producing a 1-row
+table that cross-joins back, so the term stays lazy and broadcastable;
+ranks then sum to ~1 up to the pinned decimal rounding).
 
 Reference anchor: the reference engine (aford4074/informixcdc) has no
 graph surface — extension charter, same as ``operators/dedup.py``.
@@ -31,7 +41,7 @@ graph surface — extension charter, same as ``operators/dedup.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: canonical damping factor
@@ -54,6 +64,7 @@ def pagerank(
     damping: float = DAMPING,
     n_nodes: int | None = None,
     release_cache: bool = False,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """``(node, rank)`` after ``n_iter`` synchronous power iterations
     from the uniform vector.
@@ -63,6 +74,19 @@ def pagerank(
     sum exact in DECIMAL(18,12) and the base term added in double — the
     association order both engines evaluate identically. Pass
     ``n_nodes`` when the caller already knows the node count.
+
+    ``redistribute_dangling=True`` makes the recurrence paper-faithful
+    on graphs with sinks:
+    ``r'(v) = (1-d)/N + dm + Σ_{u→v} round12(d * (r(u)/outdeg(u)))``
+    where ``dm = Σ_{dangling u} round12(d * (r(u)/N))`` — the uniform
+    rank-one redistribution of the mass sinks would otherwise leak
+    (ranks then sum to ~1, up to the decimal rounding). The dangling
+    term is one node-sized anti-join aggregate per iteration whose
+    1-row result cross-joins back in (lazy, broadcast) — at 100 TB it
+    moves two scalars, never the edge list. ``dm`` sums in the same
+    DECIMAL(18,12) convention and is added BETWEEN the base term and
+    the inflow (pinned order: ``(base + dm) + inflow``) so a SQL twin
+    reproduces ranks bit-for-bit.
 
     Cache lifetime: the src-partitioned edge cache lives as long as the
     returned (lazy) plan by default — repeated calls in one session
@@ -99,14 +123,35 @@ def pagerank(
         inflow = contrib.groupBy("_dst").agg(
             F.sum("_c").cast("double").alias("_s")
         )
+        new_base: Column | float = F.lit(base)
+        if redistribute_dangling:
+            # dangling mass: rank held by nodes with no out-edges,
+            # spread uniformly — a 1-row aggregate (two scalars at any
+            # scale) cross-joined back in; coalesce covers the
+            # no-dangling-nodes case (empty sum is NULL)
+            dm = (
+                ranks.join(deg, F.col("_node") == F.col("_src"), "left_anti")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            (F.lit(damping) * (F.col("_r") / F.lit(float(n))))
+                            .cast("decimal(18,12)")
+                        ).cast("double"),
+                        F.lit(0.0),
+                    ).alias("_dm")
+                )
+            )
+            new_base = F.lit(base) + F.col("_dm")
+            nodes_dm = nodes.select(F.col(id_col).alias("_node")).crossJoin(
+                F.broadcast(dm)
+            )
+        else:
+            nodes_dm = nodes.select(F.col(id_col).alias("_node"))
         ranks = (
-            nodes.select(F.col(id_col).alias("_node"))
-            .join(inflow, F.col("_node") == F.col("_dst"), "left")
+            nodes_dm.join(inflow, F.col("_node") == F.col("_dst"), "left")
             .select(
                 "_node",
-                (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0.0))).alias(
-                    "_r"
-                ),
+                (new_base + F.coalesce(F.col("_s"), F.lit(0.0))).alias("_r"),
             )
         )
     out = ranks.select(
@@ -124,13 +169,16 @@ def sql_pagerank_ctes(
     n_iter: int = 3,
     damping: float = DAMPING,
     prefix: str = "pg",
+    redistribute_dangling: bool = False,
 ) -> tuple[str, str]:
     """ANSI-SQL rendering of :func:`pagerank` as an unrolled CTE chain
     for a DuckDB oracle: returns ``(cte_text, final_cte_name)``.
     ``nodes_sql`` must select one ``node`` column; ``edges_cte`` is the
     body of a CTE selecting ``(src, dst)``. Constants are injected as
     ``repr()`` of the identical Python doubles the Spark expression
-    uses."""
+    uses; ``redistribute_dangling`` mirrors the engine's dangling-mass
+    term with the identical decimal rounding and ``(base + dm) +
+    inflow`` association order."""
     p = prefix
     ctes = [
         f"{p}n AS (SELECT node FROM ({nodes_sql}))",
@@ -155,10 +203,29 @@ def sql_pagerank_ctes(
         GROUP BY dst
     )"""
         )
-        ctes.append(
-            f"""{p}r{i + 1} AS (
+        if redistribute_dangling:
+            ctes.append(
+                f"""{p}m{i + 1} AS (
+        SELECT COALESCE(CAST(SUM(CAST(CAST({damping!r} AS DOUBLE)
+                   * (r / CAST((SELECT count(*) FROM {p}n) AS DOUBLE))
+                   AS DECIMAL(18,12))) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS dm
+        FROM {p}r{i}
+        WHERE node NOT IN (SELECT src FROM {p}d)
+    )"""
+            )
+            ctes.append(
+                f"""{p}r{i + 1} AS (
+        SELECT {p}n.node,
+               ({base} + dm) + COALESCE(s, CAST(0.0 AS DOUBLE)) AS r
+        FROM {p}n LEFT JOIN {p}c{i + 1} ON {p}c{i + 1}.node = {p}n.node,
+             {p}m{i + 1}
+    )"""
+            )
+        else:
+            ctes.append(
+                f"""{p}r{i + 1} AS (
         SELECT {p}n.node, {base} + COALESCE(s, CAST(0.0 AS DOUBLE)) AS r
         FROM {p}n LEFT JOIN {p}c{i + 1} ON {p}c{i + 1}.node = {p}n.node
     )"""
-        )
+            )
     return ",\n    ".join(ctes), f"{p}r{n_iter}"

@@ -191,6 +191,7 @@ def trigram_lm(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    release_tokens: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, int, int]:
     """Train the interpolated trigram model:
     ``(tri_counts (tg, c3), tri_ctx (w12, ctx3), bigram_counts (bg, c),
@@ -203,9 +204,17 @@ def trigram_lm(
     the same pass. Every table is model-sized; like the bigram
     trainer, nothing corpus-sized survives training.
 
-    The token cache is kept live (the scorer's tokenization subtree is
-    plan-identical, so scoring the training corpus reuses it — see
-    :func:`lm_score` for the cache-lifetime contract).
+    With ``release_tokens`` (default — :func:`bigram_lm`'s contract)
+    the five model tables are materialized (persisted + forced, all
+    model-sized) and the corpus-sized token cache is dropped before
+    returning: every later scoring action then joins five CACHED
+    model tables instead of re-running the training aggregates, and
+    repeated trainings hold only model-sized cache blocks — the right
+    trade at 100 TB, where caching the tokenized corpus is infeasible
+    anyway. Cost: scoring the training corpus re-tokenizes it once per
+    scoring pass. Pass ``False`` to keep the token cache live instead
+    (the :func:`lm_score`/:func:`lm3_score` contract — the caller owns
+    its lifetime).
     """
     toked = rebalance(docs).select(
         F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_tok")
@@ -234,9 +243,22 @@ def trigram_lm(
     uni = toked.select(F.explode("_tok").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c1")
     )
-    totals = uni.agg(
-        F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
-    ).first()
+    if release_tokens:
+        tables = [tri_counts, tri_ctx, counts, ctx, uni]
+        for t in tables:
+            t.persist()
+        totals = uni.agg(
+            F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
+        ).first()
+        # forcing uni via the totals action is not enough — force the
+        # other four too, THEN drop the corpus-sized token cache
+        for t in tables[:-1]:
+            t.count()
+        toked.unpersist()
+    else:
+        totals = uni.agg(
+            F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
+        ).first()
     return tri_counts, tri_ctx, counts, ctx, uni, int(totals["_n"]), int(
         totals["_v"]
     )
@@ -339,8 +361,9 @@ def lm3_score(
 ) -> DataFrame:
     """End-to-end interpolated-trigram scoring: train on ``train``,
     cross-entropy score every document of ``score``. Same token-cache
-    contract as :func:`lm_score`."""
-    model = trigram_lm(train, id_col, text_col)
+    contract as :func:`lm_score` (token cache kept live for the
+    plan-identical scoring subtree)."""
+    model = trigram_lm(train, id_col, text_col, release_tokens=False)
     return lm3_cross_entropy(score, model, id_col, text_col)
 
 

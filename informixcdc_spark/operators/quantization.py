@@ -15,13 +15,14 @@ Nearest Neighbor Search", TPAMI 2011.
 Spark shapes, chosen for the 100 TB plan:
 
 - **training** (:func:`pq_train`): ALL subspaces share the same
-  distributed L2 Lloyd passes — the corpus explodes once to
-  (id, subspace, subvector) and each iteration is one broadcast-join
-  assignment + one aggregate keyed by (subspace, code), so corpus
-  passes are ``n_iter + 1`` regardless of m; only K·subdim centroid
-  floats move (driver-collected, metadata-sized). Per-subspace
-  semantics match :func:`kmeans_centroids(metric='l2')`, which stays
-  the one-space public trainer.
+  distributed L2 Lloyd passes — each iteration renders every
+  subspace's argmin as a plan-time literal codeword fold (one
+  ZERO-SHUFFLE projection; the corpus never moves for its codes) and
+  feeds one partial-combined aggregate keyed by (subspace, code), so
+  corpus passes are ``n_iter + 1`` regardless of m; only K·subdim
+  centroid floats move (driver-collected, metadata-sized).
+  Per-subspace semantics match :func:`kmeans_centroids(metric='l2')`,
+  which stays the one-space public trainer.
 - **encoding** (:func:`pq_encode`): a pure scan-fused projection —
   the trained codebooks are driver-side literals, so the per-subspace
   argmin is a JVM-side fold over an array of (code, dist²) structs.
@@ -46,9 +47,12 @@ LLM-data-pipeline extension surface (SURVEY §2.9).
 
 from __future__ import annotations
 
+import struct as _struct
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from informixcdc_spark.catalog import rebalance
 from informixcdc_spark.functions.vector import (
     dlit,
     dot,
@@ -60,6 +64,22 @@ from informixcdc_spark.functions.vector import (
 #: a PQ codebook set: one entry per subspace, in dimension order
 #: {"lo": int, "hi": int, "centroids": [(code, [float, ...]), ...]}
 Codebooks = list[dict]
+
+
+def _f32(x: float) -> float:
+    """The exact float32 an ARRAY<FLOAT> codebook column would keep —
+    the training loop used to round centroids through one, so the
+    literal-fold assignment truncates identically to stay bit-equal."""
+    return _struct.unpack("<f", _struct.pack("<f", float(x)))[0]
+
+
+def _py_sumsq(vals: list[float]) -> float:
+    """Driver-side replica of the square-sum left fold the old
+    ``_cn2`` column computed (same add order over IEEE doubles)."""
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    return acc
 
 
 def default_splits(dim: int, m: int) -> list[tuple[int, int]]:
@@ -82,13 +102,15 @@ def pq_train(
     structure (e.g. concatenated feature blocks); ``codes`` may be one
     k for all subspaces or a per-subspace list.
 
-    ALL subspaces train in the same Lloyd passes: the corpus explodes
-    once to (id, subspace, subvector) rows, seeding is one windowed
-    pass, and each iteration is one broadcast-join assignment + one
-    aggregate keyed by (subspace, code). Corpus passes are therefore
-    ``n_iter + 1`` regardless of m — at 100 TB the scan, not the
-    K·subdim centroid math, is the cost, so fusing the m trainers is
-    an m× I/O reduction over per-subspace runs. Semantics match
+    ALL subspaces train in the same Lloyd passes: seeding is one
+    TakeOrdered pass, and each iteration is ONE zero-shuffle assignment
+    projection (every subspace's argmin renders as a plan-time literal
+    codeword fold — the :func:`_argmin_code` idiom) feeding one
+    partial-combined aggregate keyed by (subspace, code). Corpus passes
+    are therefore ``n_iter + 1`` regardless of m, and the corpus never
+    shuffles for its codes — at 100 TB the scan, not the K·subdim
+    centroid math, is the cost, so fusing the m trainers is an m× I/O
+    reduction over per-subspace runs. Semantics match
     :func:`kmeans_centroids(metric='l2')` per subspace: seeds are the
     K_s lowest ids re-keyed 0..K_s-1 in id order, empty cells keep
     their previous codeword.
@@ -101,19 +123,6 @@ def pq_train(
     ks = codes if isinstance(codes, list) else [codes] * len(splits)
     if len(ks) != len(splits):
         raise ValueError(f"codes list ({len(ks)}) != subspaces ({len(splits)})")
-    slices = F.array(
-        *[F.slice(F.col(vec_col), lo + 1, hi - lo) for lo, hi in splits]
-    )
-    sub = corpus.select(
-        F.col(id_col).alias("_id"), F.posexplode(slices).alias("_s", "_sv")
-    ).withColumn(
-        "_n2",
-        F.aggregate(
-            "_sv",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        ),
-    ).persist()
     # seeding: the max(K_s) lowest-id FULL vectors via orderBy+limit —
     # Catalyst plans TakeOrdered (per-partition top-k, no shuffle; a
     # windowed per-subspace rank here would full-sort the exploded
@@ -126,39 +135,51 @@ def pq_train(
         .collect()
     )
     if len(seed) < kmax:
-        sub.unpersist()
         raise ValueError(f"need >= {kmax} vectors to seed, got {len(seed)}")
     seed = sorted(seed, key=lambda r: r["_id"])
     cents: dict[tuple[int, int], list[float]] = {}
     for s, ((lo, hi), k) in enumerate(zip(splits, ks)):
         for cid in range(k):
             cents[(s, cid)] = [float(x) for x in seed[cid]["_v"][lo:hi]]
-    spark = corpus.sparkSession
     for _ in range(n_iter):
-        cent = spark.createDataFrame(
-            [(s, cid, vec) for (s, cid), vec in sorted(cents.items())],
-            "_s INT, _cid INT, _cvec ARRAY<FLOAT>",
-        ).withColumn(
-            "_cn2",
-            F.aggregate(
-                "_cvec",
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            ),
-        )
-        d2 = (
-            F.col("_n2")
-            + F.col("_cn2")
-            - 2.0 * dot(F.col("_sv"), F.col("_cvec"))
-        )
-        w = Window.partitionBy("_id", "_s").orderBy(
-            F.col("_d2").asc(), F.col("_cid")
-        )
-        assigned = (
-            sub.join(F.broadcast(cent), "_s")
-            .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+        # per-subspace nearest codeword as a literal fold: score =
+        # ||sv||² + ||c||² − 2·(sv.c) with the SAME Column arithmetic
+        # the join plan computed (codewords f32-truncated like the old
+        # ARRAY<FLOAT> table, ||c||² the raw square-sum fold); argmin
+        # with ties to the lowest code, NULL subvectors to code 0 (the
+        # window's nulls-first order) — their NULL slice then explodes
+        # to zero mean rows exactly as before
+        parts = []
+        for s, ((lo, hi), k) in enumerate(zip(splits, ks)):
+            w = hi - lo
+            crows = [[_f32(x) for x in cents[(s, cid)]] for cid in range(k)]
+            n2s = (
+                f"aggregate(slice(`{vec_col}`, {lo + 1}, {w}), 0D, "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            )
+            meta = ",".join(
+                f"named_struct('c', {cid}, 'n2', {dlit(_py_sumsq(row))})"
+                for cid, row in enumerate(crows)
+            )
+            scored = (
+                f"zip_with({sql_dot_rows(vec_col, crows, lo=lo)}, "
+                f"array({meta}), (d, m) -> named_struct('c', m.c, 's', "
+                f"({n2s} + m.n2) - (2.0D * d)))"
+            )
+            argmin = (
+                f"aggregate({scored}, "
+                "named_struct('c', -1, 's', CAST(NULL AS DOUBLE)), "
+                "(acc, e) -> CASE WHEN e.s IS NULL THEN acc "
+                "WHEN acc.s IS NULL THEN e "
+                "WHEN e.s < acc.s THEN e ELSE acc END)"
+            )
+            parts.append(
+                f"named_struct('_s', {s}, "
+                f"'_cid', coalesce(nullif(({argmin}).c, -1), 0), "
+                f"'_sv', slice(`{vec_col}`, {lo + 1}, {w}))"
+            )
+        assigned = rebalance(corpus).select(
+            F.expr("inline(array(" + ",".join(parts) + "))")
         )
         # per-(subspace, code) mean without subdim-many agg columns —
         # same array-fold reassembly as kmeans_centroids
@@ -185,7 +206,6 @@ def pq_train(
             for r in sums.collect()
         }
         cents = {key: new.get(key, vec) for key, vec in cents.items()}
-    sub.unpersist()
     return [
         {
             "lo": lo,

@@ -18,11 +18,72 @@ reproduces results bit-for-bit, no tolerance needed.
 
 from __future__ import annotations
 
+import math
+import struct as _struct
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from informixcdc_spark.catalog import rebalance
-from informixcdc_spark.functions.vector import dot, l2_norm
+from informixcdc_spark.functions.vector import dlit, dot, l2_norm, sql_dot_rows
+
+
+def _f32(x: float) -> float:
+    """The exact float32 value ARRAY<FLOAT> storage keeps. Codebooks
+    used to round-trip through a createDataFrame FLOAT column before
+    the assignment math, so the literal-codebook path truncates
+    identically to stay bit-equal with the plans it replaced."""
+    return _struct.unpack("<f", _struct.pack("<f", float(x)))[0]
+
+
+def _py_l2(vals: list[float]) -> float:
+    """Driver-side replica of :func:`l2_norm`'s left fold (same add
+    order over IEEE doubles, correctly-rounded sqrt) — bit-equal to
+    the Spark fold over the same values."""
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _cos_scored_sql(
+    vec_col: str, norm_col: str, centroids: list[tuple[int, list[float]]]
+) -> str:
+    """SQL of ``array<struct<c int, s double>>``: per-centroid cosine
+    of ``vec_col`` against a LITERAL codebook (float32-truncated like
+    the ARRAY<FLOAT> codebook tables this replaces), NULL on zero or
+    NULL norms — the zero-shuffle row-local replacement for the old
+    crossJoin + row_number-window assignment (which shuffled corpus×K
+    rows per pass: the 100 TB killer this module's docstrings promised
+    to avoid). Callers pass centroids in ascending cell-id order so
+    fold/sort tiebreaks resolve to the lowest cell id, matching the
+    window's ``(_cos desc, _cid)`` ordering exactly."""
+    rows = [[_f32(x) for x in v] for _cid, v in centroids]
+    meta = ",".join(
+        f"named_struct('c', {int(cid)}, 'n', {dlit(_py_l2(row))})"
+        for (cid, _v), row in zip(centroids, rows)
+    )
+    return (
+        f"zip_with({sql_dot_rows(vec_col, rows)}, array({meta}), "
+        "(d, m) -> named_struct('c', m.c, 's', "
+        f"CASE WHEN `{norm_col}` > 0D AND m.n > 0D "
+        f"THEN d / (`{norm_col}` * m.n) ELSE CAST(NULL AS DOUBLE) END))"
+    )
+
+
+def _argbest_sql(scored_sql: str, cmp: str) -> str:
+    """SQL of the winning (c, s) struct of a scored array under strict
+    comparator ``cmp`` ('>' argmax / '<' argmin): NULL scores never
+    win, ties keep the earlier (= lowest cell id) entry, an all-NULL
+    array folds to the ``c = -1`` sentinel (callers coalesce it to the
+    lowest cell id — the window ordering's nulls-last tiebreak)."""
+    return (
+        f"aggregate({scored_sql}, "
+        "named_struct('c', -1, 's', CAST(NULL AS DOUBLE)), "
+        "(acc, e) -> CASE WHEN e.s IS NULL THEN acc "
+        "WHEN acc.s IS NULL THEN e "
+        f"WHEN e.s {cmp} acc.s THEN e ELSE acc END)"
+    )
 
 
 def brute_force_knn(
@@ -199,28 +260,26 @@ def ivf_cells(
     lowest-id vectors — a deterministic stand-in for a k-means codebook
     (production would train one; the partitioning math is identical).
     Output: (id, vec, _norm, cell).
-    """
-    v = rebalance(corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_norm"),
-    ).persist()
-    cent = v.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        F.col("_norm").alias("_cn"),
+
+    The centroid rows are COLLECTED (K vectors — metadata-sized at any
+    corpus scale, the codebook convention) and inlined as plan-time
+    literals, so the assignment itself is one zero-shuffle projection:
+    the corpus streams through once and never moves for its cell.
+    NULL-vector "centroids" are dropped (they could never win the
+    cosine argmax anyway)."""
+    id_type = dict(corpus.dtypes)[id_col]
+    cent_rows = (
+        corpus.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .collect()
     )
-    cos = F.when(
-        (F.col("_norm") > 0) & (F.col("_cn") > 0),
-        dot(F.col(vec_col), F.col("_cvec")) / (F.col("_norm") * F.col("_cn")),
+    cents = sorted(
+        (int(r["_cid"]), [float(x) for x in r["_cvec"]])
+        for r in cent_rows
+        if r["_cvec"] is not None
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
-    return (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "_norm", F.col("_cid").alias("cell"))
+    return assign_cells(corpus, cents, id_col, vec_col).withColumn(
+        "cell", F.col("cell").cast(id_type)
     )
 
 
@@ -288,13 +347,15 @@ def kmeans_centroids(
     ||v-c||^2 = ||v||^2 + ||c||^2 - 2 v.c — the PQ subspace shape, and
     total for zero vectors where cosine would be NULL).
 
-    Each iteration is one broadcast-join assignment pass plus one
-    aggregate — the corpus never shuffles by cell contents, only the
-    K·dim centroid table moves (collected to the driver: K centroids of
-    a few hundred floats, metadata-sized at any corpus scale). Seeding
-    is the K lowest ids actually present (no assumption that ids start
-    at 0), so the codebook is reproducible run to run; fewer than K
-    vectors is an error. Empty cells keep their previous centroid.
+    Each iteration is one ZERO-SHUFFLE assignment projection (the K·dim
+    codebook renders as plan-time literals — the
+    ``operators/quantization.py`` matrix-fold idiom) plus one
+    partial-combined aggregate: the corpus streams through once per
+    iteration and never shuffles for its cell; only K·dim doubles per
+    map partition move. Seeding is the K lowest ids actually present
+    (no assumption that ids start at 0), so the codebook is
+    reproducible run to run; fewer than K vectors is an error. Empty
+    cells keep their previous centroid.
     Returns [(cell_id, centroid_vector), ...].
     """
     v = rebalance(corpus).select(
@@ -313,32 +374,34 @@ def kmeans_centroids(
         i: [float(x) for x in r["_vec"]]
         for i, r in enumerate(sorted(seed, key=lambda r: r["_id"]))
     }
-    spark = corpus.sparkSession
     for _ in range(n_iter):
-        cent_rows = [(cid, vec) for cid, vec in sorted(centroids.items())]
-        cent = spark.createDataFrame(
-            cent_rows, "_cid INT, _cvec ARRAY<FLOAT>"
-        ).withColumn("_cn", l2_norm(F.col("_cvec")))
+        cents_sorted = sorted(centroids.items())
         if metric == "l2":
-            score = (
-                F.col("_n") * F.col("_n")
-                + F.col("_cn") * F.col("_cn")
-                - 2.0 * dot(F.col("_vec"), F.col("_cvec"))
+            # score = _n·_n + ||c||² − 2·(v.c), exactly the Column
+            # arithmetic the join plan computed (||c||² is (sqrt fold)²
+            # of the f32-truncated centroid — the old ARRAY<FLOAT>
+            # l2_norm squared); argmin, ties to the lowest cell id
+            rows = [[_f32(x) for x in vec] for _cid, vec in cents_sorted]
+            meta = ",".join(
+                "named_struct('c', {c}, 'n2', {n2})".format(
+                    c=int(cid), n2=dlit(_py_l2(row) * _py_l2(row))
+                )
+                for (cid, _vec), row in zip(cents_sorted, rows)
             )
-            order = F.col("_score").asc()
+            scored = (
+                f"zip_with({sql_dot_rows('_vec', rows)}, array({meta}), "
+                "(d, m) -> named_struct('c', m.c, 's', "
+                "(`_n` * `_n` + m.n2) - (2.0D * d)))"
+            )
+            best = _argbest_sql(scored, "<")
         else:
-            score = F.when(
-                (F.col("_n") > 0) & (F.col("_cn") > 0),
-                dot(F.col("_vec"), F.col("_cvec"))
-                / (F.col("_n") * F.col("_cn")),
-            )
-            order = F.col("_score").desc()
-        w = Window.partitionBy("_id").orderBy(order, F.col("_cid"))
-        assigned = (
-            v.crossJoin(F.broadcast(cent))
-            .withColumn("_score", score)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+            scored = _cos_scored_sql("_vec", "_n", cents_sorted)
+            best = _argbest_sql(scored, ">")
+        assigned = v.select(
+            F.expr(
+                f"coalesce(nullif(({best}).c, -1), {int(cents_sorted[0][0])})"
+            ).alias("_cid"),
+            "_vec",
         )
         # per-cell mean without one sum-column per dimension (dim-many
         # aggregate columns fall over at 768+): posexplode to
@@ -384,8 +447,9 @@ def assign_cells(
     :func:`informixcdc_spark.operators.quantization.ivfpq_search` its
     ``encoded_cells`` input, and is the batch twin of the streaming
     index's frozen-append assignment). Output shape
-    (id, vec, _norm, cell); the codebook is tiny and broadcast,
-    assignment is one pass — the corpus never shuffles."""
+    (id, vec, _norm, cell); the codebook inlines as plan-time
+    literals, so the assignment is one zero-shuffle projection — the
+    corpus streams through once and never moves."""
     return assign_cells_topn(corpus, centroids, id_col, vec_col, n=1).drop(
         "_rank"
     )
@@ -397,6 +461,7 @@ def assign_cells_topn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n: int = 1,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Top-``n`` nearest-cosine-cell assignment — :func:`assign_cells`
     generalized to multi-assignment (one output row per (vector,
@@ -404,37 +469,59 @@ def assign_cells_topn(
     tiebreak). ``n > 1`` is the IVF "soft assignment" shape: a vector
     is a member of its n closest cells, so a downstream cell-bounded
     pass also sees pairs whose PRIMARY cells differ but share a
-    secondary cell. Same scale shape as the n=1 primitive: the
-    codebook broadcasts, one pass, the corpus never shuffles — output
-    size grows by exactly n×."""
-    spark = corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in centroids],
-        "_cid INT, _cvec ARRAY<FLOAT>",
-    ).withColumn("_cn", l2_norm(F.col("_cvec")))
+    secondary cell.
+
+    The codebook renders as plan-time literals and the per-row top-n is
+    one sorted-array slice, so the whole assignment is a single
+    ZERO-SHUFFLE projection — the corpus streams through once and never
+    moves (the old shape broadcast a codebook table and ranked the
+    corpus×K cross join through a row_number window, which shuffled the
+    whole corpus per assignment). Output size grows by exactly n×.
+    ``score_col`` optionally emits each assigned cell's cosine (NULL on
+    zero norms) — the streaming index's dispersion sample."""
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     v = rebalance(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("_norm"),
     )
-    cos = F.when(
-        (F.col("_norm") > 0) & (F.col("_cn") > 0),
-        dot(F.col(vec_col), F.col("_cvec")) / (F.col("_norm") * F.col("_cn")),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
-    return (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n)
-        .select(
+    if not cents:
+        out = v.where(F.lit(False)).select(
             id_col,
             vec_col,
             "_norm",
-            F.col("_cid").alias("cell"),
-            F.col("_rn").alias("_rank"),
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(None).cast("int").alias("_rank"),
         )
+        if score_col is not None:
+            out = out.withColumn(score_col, F.lit(None).cast("double"))
+        return out
+    # comparator = the window's (_cos desc nulls-last, _cid asc) order
+    cmp = (
+        "(l, r) -> CASE "
+        "WHEN l.s IS NULL AND r.s IS NULL THEN "
+        "CASE WHEN l.c < r.c THEN -1 WHEN l.c > r.c THEN 1 ELSE 0 END "
+        "WHEN l.s IS NULL THEN 1 WHEN r.s IS NULL THEN -1 "
+        "WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+        "ELSE CASE WHEN l.c < r.c THEN -1 WHEN l.c > r.c THEN 1 ELSE 0 END "
+        "END"
     )
+    top = F.expr(
+        f"slice(array_sort({_cos_scored_sql(vec_col, '_norm', cents)}, "
+        f"{cmp}), 1, {int(n)})"
+    )
+    cols = [
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_norm"),
+        F.col("_e").getField("c").alias("cell"),
+        (F.col("_p") + 1).cast("int").alias("_rank"),
+    ]
+    if score_col is not None:
+        cols.append(F.col("_e").getField("s").alias(score_col))
+    return v.select(
+        id_col, vec_col, "_norm", F.posexplode(top).alias("_p", "_e")
+    ).select(*cols)
 
 
 def ivf_cells_kmeans(

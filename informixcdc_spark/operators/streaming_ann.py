@@ -152,38 +152,25 @@ class IncrementalAnnIndex:
 
     # -- per-batch ingestion ----------------------------------------------------
     def _assign(self, batch_df: DataFrame, codebook) -> DataFrame:
-        """Nearest-cell assignment: ONE broadcast join + per-vector
-        argmin window — the corpus never shuffles on the cell. Keeps
-        the winning cosine as ``_fit`` (the per-vector dispersion
-        sample :meth:`drift` aggregates)."""
-        from pyspark.sql import Window
+        """Nearest-cell assignment: the batch path's zero-shuffle
+        literal-codebook projection (one pass, the batch never moves
+        for its cell). Keeps the winning cosine as ``_fit`` (the
+        per-vector dispersion sample :meth:`drift` aggregates)."""
+        from informixcdc_spark.operators.similarity import assign_cells_topn
 
-        cent = self._codebook_df(codebook)
-        v = batch_df.select(
+        return assign_cells_topn(
+            batch_df,
+            [(int(c), v) for c, v in codebook],
             self.id_col,
             self.vec_col,
-            l2_norm(F.col(self.vec_col)).alias("_norm"),
-        )
-        cos = F.when(
-            (F.col("_norm") > 0) & (F.col("_cn") > 0),
-            dot(F.col(self.vec_col), F.col("_cvec"))
-            / (F.col("_norm") * F.col("_cn")),
-        )
-        w = Window.partitionBy(self.id_col).orderBy(
-            F.col("_cos").desc(), F.col("_cid")
-        )
-        return (
-            v.crossJoin(F.broadcast(cent))
-            .withColumn("_cos", cos)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(
-                self.id_col,
-                self.vec_col,
-                "_norm",
-                F.col("_cid").alias("cell"),
-                F.coalesce(F.col("_cos"), F.lit(0.0)).alias("_fit"),
-            )
+            n=1,
+            score_col="_cos",
+        ).select(
+            self.id_col,
+            self.vec_col,
+            "_norm",
+            "cell",
+            F.coalesce(F.col("_cos"), F.lit(0.0)).alias("_fit"),
         )
 
     def _write_segment(self, assigned: DataFrame, name: str):
@@ -469,25 +456,19 @@ class IncrementalAnnIndex:
                     f"min_train_vectors={self.min_train_vectors}; ingest more"
                 )
             raise ValueError("empty index — ingest a batch first")
-        cent = self._codebook_df(st["codebook"])
-        qcos = F.when(
-            (F.col("_qn") > 0) & (F.col("_cn") > 0),
-            dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("_qcos").desc(), F.col("_cid")
-        )
-        probes = (
-            queries.select(
-                F.col(self.id_col).alias("query_id"),
-                F.col(self.vec_col).alias("_qvec"),
-                l2_norm(F.col(self.vec_col)).alias("_qn"),
-            )
-            .crossJoin(F.broadcast(cent))
-            .withColumn("_qcos", qcos)
-            .withColumn("_rn", F.row_number().over(wq))
-            .where(F.col("_rn") <= nprobe)
-            .select("query_id", "_qvec", "_qn", F.col("_cid").alias("cell"))
+        from informixcdc_spark.operators.similarity import assign_cells_topn
+
+        probes = assign_cells_topn(
+            queries,
+            [(int(c), v) for c, v in st["codebook"]],
+            self.id_col,
+            self.vec_col,
+            n=nprobe,
+        ).select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("_qvec"),
+            F.col("_norm").alias("_qn"),
+            "cell",
         )
         c = self.read_index().select(
             F.col(self.id_col).alias("neighbor_id"),

@@ -2061,22 +2061,33 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cosine"),
         F.col("cell").cast("long").alias("cell"),
     )
-    # stream arm (r5 verdict: driver-grade the incremental index): the
-    # SAME synth fixture ingested through IncrementalAnnIndex in two
-    # micro-batches under a PRE-TRAINED codebook (the FAISS-style
-    # "train offline, load, add forever" production shape — one-hot
-    # cell axes, so cells match the kmeans arm's closed form; the
-    # in-stream TRAINING path is separately graded by that arm and by
-    # the pytest twins); full-probe search (nprobe = n_centroids) must
-    # equal exact brute-force top-3, which the oracle states over the
-    # synthesized corpus capped at 2048 vectors. The arm grades
+    # stream arm (r5 verdict: driver-grade the incremental index; r10:
+    # driven through a REAL readStream rather than direct process_batch
+    # calls, so the graded arm exercises the actual checkpointed
+    # micro-batch loop — r9 verdict #7): the SAME synth fixture lands
+    # as two one-file parquet batches in a scratch source dir, a
+    # maxFilesPerTrigger=1 availableNow stream ingests them through
+    # IncrementalAnnIndex.ingest_stream under a PRE-TRAINED codebook
+    # (the FAISS-style "train offline, load, add forever" production
+    # shape — one-hot cell axes, so cells match the kmeans arm's
+    # closed form; the in-stream TRAINING path is separately graded by
+    # that arm and by the pytest twins); full-probe search
+    # (nprobe = n_centroids) must equal exact brute-force top-3, which
+    # the oracle states over the synthesized corpus capped at 2048
+    # vectors. Search is order-independent over the segment union, so
+    # grading never depends on micro-batch arrival order; bench reps
+    # reuse the populated checkpoint (no new files → the restarted
+    # stream is a no-op, the _scratch contract). The arm grades
     # append/search SEMANTICS — throughput of the incremental path is
     # STREAMBENCH's axis (PERF.md §13).
+    import os as _os
+
     from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
 
+    scratch = _scratch("e15_stream", sf_dir)
     idx = IncrementalAnnIndex(
         spark,
-        _scratch("e15_stream", sf_dir),
+        scratch,
         n_centroids=8,
         track_dispersion=False,
         codebook=[
@@ -2084,8 +2095,19 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     vid = F.col("vec_id")
-    idx.process_batch(synth.where(vid < 1024), 0)
-    idx.process_batch(synth.where((vid >= 1024) & (vid < 2048)), 1)
+    src = _os.path.join(scratch, "stream_src")
+    ckpt = _os.path.join(scratch, "stream_ckpt")
+    if not _os.path.exists(src):
+        synth.where(vid < 1024).coalesce(1).write.mode("append").parquet(src)
+        synth.where((vid >= 1024) & (vid < 2048)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    vec_stream = (
+        spark.readStream.schema(synth.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx.ingest_stream(vec_stream, ckpt).awaitTermination(300)
     stream = idx.search(synth.where(vid < 10), k=3, nprobe=8).select(
         F.lit("stream").alias("mode"),
         "query_id",

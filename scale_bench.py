@@ -610,6 +610,132 @@ def semdedup_recall(
     return {"scale": scale, "threshold": threshold, "points": points}
 
 
+def rp_knn_recall(
+    spark,
+    mdir: str,
+    scale: int,
+    k: int = 10,
+    n_queries: int = 24,
+    d_in: int = 64,
+    d_outs: tuple[int, ...] = (4, 8, 16, 32, 48),
+) -> dict:
+    """Recall-vs-d_out axis for JL reduce-then-search (e07's 'rp' arm —
+    r9 verdict #5): recall@k of :func:`rp_knn` against exact brute
+    force in the ORIGINAL space as the projected dimension grows. The
+    exactness tests pin the projection's VALUES; only a measured curve
+    shows what the reduction costs in neighbor fidelity — the JL trade
+    (per-candidate dot cost falls d_out/d_in; recall climbs back toward
+    1.0 as d_out approaches d_in)."""
+    from informixcdc_spark.operators.similarity import brute_force_knn, rp_knn
+
+    emb = spark.read.parquet(os.path.join(mdir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < n_queries)
+
+    def truth_sets(df: DataFrame) -> dict[int, set]:
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    t0 = time.perf_counter()
+    exact = truth_sets(brute_force_knn(emb, queries, k=k))
+    exact_sec = round(time.perf_counter() - t0, 3)
+    points = {}
+    for d_out in d_outs:
+        t0 = time.perf_counter()
+        got = truth_sets(
+            rp_knn(emb, queries, d_in=d_in, d_out=d_out, k=k)
+        )
+        sec = round(time.perf_counter() - t0, 3)
+        recalls = [
+            len(got.get(q, set()) & hits) / len(hits)
+            for q, hits in exact.items()
+            if hits
+        ]
+        points[str(d_out)] = {
+            "recall": round(sum(recalls) / len(recalls), 4) if recalls else 0.0,
+            "sec": sec,
+        }
+        print(
+            f"rp_recall m={scale} d_out={d_out}: "
+            + json.dumps(points[str(d_out)]),
+            flush=True,
+        )
+    return {
+        "scale": scale,
+        "k": k,
+        "n_queries": n_queries,
+        "d_in": d_in,
+        "exact_sec": exact_sec,
+        "points": points,
+    }
+
+
+def simhash_dedup_recall(
+    spark,
+    mdir: str,
+    scale: int,
+    bits_points: tuple[int, ...] = (8, 16, 24, 32),
+    drop_tokens: int = 3,
+) -> dict:
+    """Planted near-dup recall axis for SimHash (r9 verdict #5 —
+    ``operators/dedup.py::simhash_expr``, e02's fingerprint family):
+    every document gets a perturbed copy (last ``drop_tokens`` tokens
+    dropped — a high-overlap near-dup by construction), and the axis
+    measures, per sketch width, how often the pair lands within the
+    proportional Hamming budget ``bits // 8`` (the banding rule a
+    production SimHash dedup would use) plus the exact-collision rate
+    (the Hamming-0 detector). More bits spread the same token edit
+    over proportionally more sign sums, so recall at the proportional
+    budget should hold roughly flat while the absolute collision rate
+    falls — the width/selectivity trade the exactness tests cannot
+    see. Deterministic end to end (md5 sketches, derived copies)."""
+    from informixcdc_spark.functions.text import tokens
+    from informixcdc_spark.operators.dedup import simhash_expr
+
+    docs = spark.read.parquet(os.path.join(mdir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    tok = tokens(F.col("text"))
+    kept = F.greatest(F.size(tok) - F.lit(drop_tokens), F.lit(1))
+    pert = F.array_join(F.slice(tok, 1, kept), " ")
+    points = {}
+    for bits in bits_points:
+        pairs = docs.where(F.size(tok) > drop_tokens).select(
+            simhash_expr(tok, bits=bits).alias("_sa"),
+            simhash_expr(tokens(pert), bits=bits).alias("_sb"),
+        )
+        budget = max(1, bits // 8)
+        t0 = time.perf_counter()
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.expr("bit_count(_sa ^ _sb)")).alias("mean_ham"),
+            F.avg(
+                (F.expr("bit_count(_sa ^ _sb)") <= budget).cast("double")
+            ).alias("recall_budget"),
+            F.avg((F.col("_sa") == F.col("_sb")).cast("double")).alias(
+                "exact_rate"
+            ),
+        ).first()
+        points[str(bits)] = {
+            "bits": bits,
+            "hamming_budget": budget,
+            "planted": int(row["n"]),
+            "mean_hamming": round(float(row["mean_ham"]), 3),
+            "recall_at_budget": round(float(row["recall_budget"]), 4),
+            "identical_sketch_rate": round(float(row["exact_rate"]), 4),
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+        print(
+            f"simhash_recall m={scale} bits={bits}: "
+            + json.dumps(points[str(bits)]),
+            flush=True,
+        )
+    return {"scale": scale, "drop_tokens": drop_tokens, "points": points}
+
+
 def _tail_ratio(series: dict[str, float]) -> float:
     """Asymptotic shuffle slope over the query's two LARGEST measured
     scales: bytes(top)/bytes(prev) normalized by the data ratio — ~1 is
@@ -765,6 +891,15 @@ def main() -> None:
             spark, sd_dir, sd_m, points_spec=spec
         )
 
+    # recall-vs-d_out for JL reduce-then-search and planted near-dup
+    # recall for SimHash, both at the top scale (r9 verdict #5 — the
+    # last two approximate operators without a measured recall curve)
+    top_dir = sf_dir if top == 1 else os.path.join(work, f"m{top}")
+    rp_rec = rp_knn_recall(spark, top_dir, top)
+    print("rp_recall: " + json.dumps(rp_rec), flush=True)
+    simhash_rec = simhash_dedup_recall(spark, top_dir, top)
+    print("simhash_recall: " + json.dumps(simhash_rec), flush=True)
+
     base = str(scales[0])
 
     def eff(q: str, series: dict[str, float], top_m: int) -> float:
@@ -791,6 +926,14 @@ def main() -> None:
         # planted-pair recall for SemDeDup vs the cluster count — what
         # cluster bounding loses at cell boundaries (see semdedup_recall)
         "semdedup_recall": semdedup_rec,
+        # recall@k vs projected dimension for JL reduce-then-search
+        # (see rp_knn_recall) — what the reduction costs in neighbor
+        # fidelity, which the projection's exactness tests cannot see
+        "rp_knn_recall": rp_rec,
+        # planted near-dup recall per sketch width for SimHash (see
+        # simhash_dedup_recall) — Hamming-budget recall + exact-collision
+        # rate vs bits
+        "simhash_dedup_recall": simhash_rec,
         "queries": {
             q: {
                 **results[q],

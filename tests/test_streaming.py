@@ -2732,3 +2732,88 @@ def test_ppl_gate_composes_with_streams(spark, tmp_path):
     assert {20, 22} <= {t[0] for t in got}
     # and the shuffled probes do not
     assert not {21, 23} & {t[0] for t in got}
+
+
+def test_mixture_resample_composes_with_streams(spark, tmp_path):
+    """The temperature-mixture → resample path run CONTINUOUSLY (the
+    r9 verdict's remaining stateless gate): mixture weights are fitted
+    ONCE offline (temperature_mixture — model-sized), converted to
+    per-stratum keep rates, and every micro-batch applies the
+    row-local weighted_keep predicate with zero state (sink ≡ batch,
+    pinned), then emits its per-stratum Gumbel top-k shortlist
+    (dsir_select). Because the Gumbel keys are a deterministic
+    function of (id, weight), top-k DISTRIBUTES over batch unions —
+    one final dsir_select over the appended shortlists is bit-equal to
+    resampling the whole gated corpus in batch (also pinned). That
+    two-stage reduction is the production stream shape: per-batch
+    shortlists stay k·strata-sized, never corpus-sized."""
+    from informixcdc_spark.operators.curation import (
+        dsir_select,
+        temperature_mixture,
+        weighted_keep,
+    )
+
+    rows = [(i, ["en", "en", "en", "de", "fr"][i % 5]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string")
+    mix = {
+        r["lang"]: r["mix_epochs"]
+        for r in temperature_mixture(corpus, "lang", alpha=0.3).collect()
+    }
+    # α<1 flattens: the dominant stratum subsamples (epochs<1 → its
+    # keep rate), tails keep everything (a filter cannot oversample)
+    assert mix["en"] < 1.0 < mix["de"]
+    rates = {lg: min(1.0, ep) for lg, ep in mix.items()}
+    keep = weighted_keep(F.col("doc_id"), F.col("lang"), rates, default=1.0)
+    w_expr = ((F.col("doc_id") % 7).cast("double") / 3.0).alias("w")
+
+    gated_want = corpus.where(keep)
+    want_gate = sorted(map(tuple, gated_want.collect()))
+    want_sel = sorted(
+        map(
+            tuple,
+            dsir_select(
+                gated_want.select("lang", "doc_id", w_expr),
+                "lang",
+                weight_col="w",
+                k=3,
+            ).collect(),
+        )
+    )
+
+    src = str(tmp_path / "src")
+    corpus.where(F.col("doc_id") < 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus.where(F.col("doc_id") >= 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    gated_out = str(tmp_path / "gated")
+    short_out = str(tmp_path / "short")
+
+    def sink(bdf, _bid):
+        g = bdf.where(keep)
+        g.write.mode("append").parquet(gated_out)
+        dsir_select(
+            g.select("lang", "doc_id", w_expr), "lang", weight_col="w", k=3
+        ).write.mode("append").parquet(short_out)
+
+    q = (
+        spark.readStream.schema("doc_id long, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_gate = sorted(map(tuple, spark.read.parquet(gated_out).collect()))
+    assert got_gate == want_gate
+    final = dsir_select(
+        spark.read.parquet(short_out).select("lang", "doc_id", "w"),
+        "lang",
+        weight_col="w",
+        k=3,
+    )
+    assert sorted(map(tuple, final.collect())) == want_sel

@@ -281,8 +281,13 @@ def test_e10_lm_joins_stay_model_sized(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree, plan
     assert "BroadcastNestedLoopJoin" not in tree, plan
+    # observed 29 standalone and 33 inside the full suite on identical
+    # code: the formatted rendering of InMemoryRelation subplans varies
+    # with cache-materialization state, so the ceiling carries slack —
+    # it exists to catch corpus-pass blowup (which adds exchanges in
+    # multiples), not single-digit display drift
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchange <= 30, f"{n_exchange} exchanges"
+    assert n_exchange <= 40, f"{n_exchange} exchanges"
     # every aggregate is hash-based (map-side combinable counts/sums)
     assert "SortAggregate" not in tree, plan
     # the NB term table reaches the corpus token stream via broadcast

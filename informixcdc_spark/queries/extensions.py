@@ -2821,9 +2821,13 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_d.alias("mix_epochs"),
         )
     )
+    # persisted: BOTH the 'dsir' arm and the 'dsel' resample consume
+    # the weight table — without the cache the union's final evaluation
+    # runs dsir_log_weights' two scan passes twice (narrow 3-column
+    # frame, the e10 ce_all convention)
     weights = dsir_log_weights(
         docs.select("doc_id", "text", "lang"), F.col("lang") == "en"
-    )
+    ).persist()
     ds = weights.select(
         F.lit("dsir").alias("mode"),
         F.lit(None).cast("string").alias("lang"),

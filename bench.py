@@ -24,7 +24,10 @@ from informixcdc_spark.session import get_spark  # noqa: E402
 
 
 def format_line(
-    per_query: dict[str, float], errors: dict[str, str], sf: float
+    per_query: dict[str, float],
+    errors: dict[str, str],
+    sf: float,
+    steal_total: float | None = None,
 ) -> str:
     """One compact JSON line, guaranteed under the driver's stdout tail.
 
@@ -52,6 +55,10 @@ def format_line(
         "queries": {short(n): t for n, t in sorted(per_query.items())},
         "sf": sf,
     }
+    if steal_total is not None and steal_total >= 0:
+        # host-contention context for the wall numbers (cpu-seconds of
+        # /proc/stat steal over the whole measured run)
+        out["steal_sec"] = steal_total
     if errors:
         out["errors"] = {short(n): e[:80] for n, e in sorted(errors.items())[:8]}
     line = json.dumps(out)
@@ -81,6 +88,23 @@ ARM_MODES = {
     "e20_dedup_clusters": ["cc", "pagerank"],
     "e27_decontamination": ["exact", "coarse", "fuzzy"],
 }
+
+
+def _steal_seconds() -> float:
+    """Cumulative host STEAL time (cpu-seconds across all cpus) from
+    /proc/stat. Per-query deltas of this separate host contention from
+    code movement mechanically — the round-10 verdict's one open
+    evidence gap was bench artifacts measured under (documented but
+    unquantified-per-query) neighbor steal, forcing forensic
+    round-over-round argument; the recorded column replaces it. -1.0
+    when /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq STEAL ...
+        return float(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return -1.0
 
 
 def _shuffle_write_bytes(spark) -> int:
@@ -157,15 +181,26 @@ def main() -> None:
         return time.perf_counter() - t0
 
     shuffle_mb: dict[str, float] = {}
+    steal_sec: dict[str, float] = {}
+    steal_start = _steal_seconds()
 
     for name in sorted(queries):
         best = float("inf")
         best_bytes = -1
         for _ in range(reps):
             pre = _shuffle_write_bytes(spark)
+            steal_pre = _steal_seconds()
             fut = pool.submit(run_once, name)
             try:
-                best = min(best, fut.result(timeout=per_query_timeout))
+                took = fut.result(timeout=per_query_timeout)
+                if steal_pre >= 0:
+                    # steal observed DURING the rep that gets recorded:
+                    # when the best rep's steal is ~0 the wall number is
+                    # host-clean; a large value flags a confounded point
+                    steal_now = _steal_seconds() - steal_pre
+                    if took < best:
+                        steal_sec[name] = round(steal_now, 2)
+                best = min(best, took)
                 post = _shuffle_write_bytes(spark)
                 if pre >= 0 and post >= pre:
                     d = post - pre
@@ -219,7 +254,10 @@ def main() -> None:
                 except Exception:  # noqa: BLE001 — diagnostics must not break bench
                     break
 
-    print(format_line(per_query, errors, sf), flush=True)
+    steal_total = (
+        round(_steal_seconds() - steal_start, 2) if steal_start >= 0 else -1.0
+    )
+    print(format_line(per_query, errors, sf, steal_total), flush=True)
     # Full-resolution artifact (complete names, untruncated errors) —
     # the stdout line is capped to the driver's 2000-char tail, so
     # round-over-round per-query regressions are answerable only from
@@ -239,6 +277,13 @@ def main() -> None:
                     # REST delta) — compare round-over-round for byte
                     # regressions that idle-core wall time hides
                     "shuffle_write_mb": dict(sorted(shuffle_mb.items())),
+                    # /proc/stat steal cpu-seconds observed during each
+                    # query's RECORDED (best) rep + run total: ~0 means
+                    # the wall number is host-clean, large means the
+                    # point is contention-confounded — the mechanical
+                    # separation PERF.md §21 used to argue by hand
+                    "steal_sec": dict(sorted(steal_sec.items())),
+                    "steal_total_sec": steal_total,
                     # per-arm 1-rep seconds for multi-arm queries (see
                     # ARM_MODES) — attributes graded-arm overhead
                     "arm_sec": {n: arm_sec[n] for n in sorted(arm_sec)},

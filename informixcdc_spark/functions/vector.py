@@ -17,6 +17,44 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: Fail-loud ceiling on the ELEMENT COUNT (rows × width) a literal-fold
+#: renderer will inline into plan text. The zero-shuffle literal-codebook
+#: plans are free at codebook scale (K·d ≤ tens of thousands: the plan
+#: renders in milliseconds and codegen stays inside the JIT budget), but
+#: plan-text bytes grow ~20·K·d and plan build/analysis/codegen become
+#: the cliff long before the avoided shuffle would have hurt — at
+#: production IVF scale (K ≈ 10⁴–10⁵ cells × 768 dims ⇒ 10⁷–10⁸
+#: elements, hundreds of MB of SQL) the driver would stall for minutes.
+#: Measured (PERF.md §22, N small enough that executor compute is
+#: noise): the literal path's plan overhead vs the broadcast fallback
+#: is ~2× total wall at 6.5×10⁴ elements, a 37 s driver stall at
+#: 2.6×10⁵, 74 s at 5.2×10⁵, super-linear beyond — while the
+#: broadcast-codebook fold join
+#: (``operators/similarity.py::assign_cells_topn``'s fallback: ONE
+#: 1-row broadcast crossJoin, zero shuffle, NO window, bit-equal)
+#: builds in <1 s at every K. The default ceiling sits where the
+#: one-time plan stall stops being tolerable (not at the small-N
+#: crossover, ~1.6×10⁴, since at production N the literal plan cost
+#: amortizes over the scan and keeps whole-stage codegen); oversize
+#: codebooks must either go through the fallback or raise here —
+#: never silently render a 100 MB plan.
+MAX_LITERAL_MAT_ELEMS = 262_144
+
+
+def _guard_lit_elems(n_elems: int, max_elems: int | None) -> None:
+    cap = MAX_LITERAL_MAT_ELEMS if max_elems is None else max_elems
+    if cap is not None and n_elems > cap:
+        raise ValueError(
+            f"literal matrix of {n_elems} elements exceeds the plan-size "
+            f"ceiling ({cap}): inlining it would render ~{20 * n_elems // 1_000_000} MB "
+            "of SQL and stall plan build/codegen. Use the broadcast-"
+            "codebook fold join instead (assign_cells_topn switches "
+            "automatically above the ceiling; for other renderers pass "
+            "the codebook as a broadcast 1-row table), or raise "
+            "max_elems explicitly if the size is intentional"
+        )
+
+
 def dlit(x: float) -> str:
     """SQL text of a double literal. ``repr`` round-trips doubles
     exactly and Spark's string→double cast is Java ``parseDouble``
@@ -47,8 +85,11 @@ def sql_dot_lit(vec_col: str, cvec: list[float], lo: int = 0) -> str:
     return f"(0D + {terms})"
 
 
-def sql_lit_mat(rows: list[list[float]]) -> str:
-    """SQL text of a 2-D double-literal array."""
+def sql_lit_mat(rows: list[list[float]], max_elems: int | None = None) -> str:
+    """SQL text of a 2-D double-literal array. Raises above the
+    :data:`MAX_LITERAL_MAT_ELEMS` plan-size ceiling (see there);
+    ``max_elems`` overrides it (``None`` = module default)."""
+    _guard_lit_elems(sum(len(r) for r in rows), max_elems)
     return (
         "array("
         + ",".join(
@@ -58,7 +99,12 @@ def sql_lit_mat(rows: list[list[float]]) -> str:
     )
 
 
-def sql_dot_rows(vec_col: str, rows: list[list[float]], lo: int = 0) -> str:
+def sql_dot_rows(
+    vec_col: str,
+    rows: list[list[float]],
+    lo: int = 0,
+    max_elems: int | None = None,
+) -> str:
     """SQL text of ``array(dot(slice(vec, lo+1, w), row) for row in
     rows)`` — the whole literal-dot table as ONE higher-order fold over
     a 2-D literal matrix. Same bit-exact 0.0-seeded left fold as
@@ -68,7 +114,7 @@ def sql_dot_rows(vec_col: str, rows: list[list[float]], lo: int = 0) -> str:
     parse is still a single ``F.expr`` call."""
     w = len(rows[0])
     return (
-        f"transform({sql_lit_mat(rows)}, "
+        f"transform({sql_lit_mat(rows, max_elems)}, "
         f"r -> aggregate(zip_with(slice(`{vec_col}`, {lo + 1}, {w}), r, "
         "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, t) -> acc + t))"
     )

@@ -154,6 +154,17 @@ def pagerank(
                 (new_base + F.coalesce(F.col("_s"), F.lit(0.0))).alias("_r"),
             )
         )
+        if redistribute_dangling:
+            # dangling mode references `ranks` TWICE per iteration
+            # (contrib + the dm anti-join), so lazy composition doubles
+            # the unmaterialized lineage per iteration (~2^n_iter plan
+            # nodes). Truncate it: a lazy localCheckpoint pins each
+            # iteration's ranks to a node-sized RDD scan (materialized
+            # once inside the final action, values bit-identical), so
+            # plan analysis and recompute stay linear in n_iter. At
+            # cluster scale a reliable checkpoint dir would add
+            # executor-loss resilience; node-sized + ephemeral here.
+            ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(
         F.col("_node").alias(id_col), F.col("_r").alias("rank")
     )

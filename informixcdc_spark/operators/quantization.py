@@ -242,7 +242,13 @@ def _argmin_code(
     sentinel exactly as before (every dist² is NULL, the CASE keeps
     the init struct) — ``pq_encode``'s isNotNull guard masks it to
     NULL codes."""
+    from informixcdc_spark.functions.vector import _guard_lit_elems
+
     w = len(centroids[0][1])
+    # same plan-size envelope as the fold renderers (PERF.md §22):
+    # refuse to inline an oversize codeword table — pq_encode switches
+    # to the Arrow encoder above the ceiling before reaching here
+    _guard_lit_elems(len(centroids) * w, None)
     codes_arr = ",".join(
         "named_struct('c', {cid}, 'v', array({vs}))".format(
             cid=int(cid), vs=",".join(dlit(x) for x in cvec)
@@ -275,7 +281,24 @@ def pq_encode(
     Pure projection: codebooks are plan-time literals, so this is one
     scan with zero exchanges (pinned in tests/test_plans.py). At k<=256
     the codes array is castable to 1 byte/subspace downstream.
+
+    Plan-size envelope: past
+    :data:`~informixcdc_spark.functions.vector.MAX_LITERAL_MAT_ELEMS`
+    total codeword elements (Σ_s k_s·subdim_s — production m=32×k=256
+    over 768 dims sits just under it) the literal render would stall
+    the driver (PERF.md §22), so the encode switches to
+    :func:`pq_encode_arrow` — the property-pinned-equal numpy argmin
+    over ``mapInPandas`` — which ships the codebooks as task binaries
+    instead of plan text. Same (id, codes, *keep_cols) contract, same
+    codes, same NULL-vector → NULL-codes semantics.
     """
+    n_elems = sum(
+        len(b["centroids"]) * len(b["centroids"][0][1]) for b in books
+    )
+    from informixcdc_spark.functions.vector import MAX_LITERAL_MAT_ELEMS
+
+    if n_elems > MAX_LITERAL_MAT_ELEMS:
+        return pq_encode_arrow(corpus, books, id_col, vec_col, keep_cols)
     code_cols = [
         _argmin_code(vec_col, b["lo"], b["centroids"]) for b in books
     ]

@@ -178,6 +178,7 @@ def bm25_search(
     k1: float = K1,
     b: float = B,
     exclude_self: bool = True,
+    query_terms: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end: index ``corpus`` and rank its top-k documents for
     each query document's bag of distinct terms.
@@ -186,18 +187,31 @@ def bm25_search(
     aggregate, so they are persisted — the in-query analog of
     materializing the inverted index once, which is how a real corpus
     serves many query batches without re-tokenizing 100 TB per batch.
+    The corpus is tokenized exactly ONCE: the two scalars
+    :func:`corpus_stats` would re-tokenize for are derived from the
+    cached postings instead (``Σ_doc dl == Σ tf`` — each doc's token
+    count is the sum of its term frequencies) plus a tokenizer-free
+    ``count()`` for ``n_docs`` (zero-token docs have no posting rows
+    but still count toward N, exactly as corpus_stats counted them).
 
     ``exclude_self``: see :func:`bm25_topk` — default assumes queries
     are corpus documents; pass ``False`` for an external query set.
+    ``query_terms`` optionally supplies a precomputed distinct
+    ``(query_id, term)`` probe (e.g. one shared with a streaming-index
+    search over the same queries) instead of tokenizing ``queries``.
     """
     postings = bm25_postings(corpus, id_col, text_col).persist()
-    n_docs, avgdl = corpus_stats(corpus, text_col)
+    n_docs = corpus.count()
+    tot = postings.agg(F.sum(F.col("tf"))).first()[0]
+    avgdl = int(tot or 0) / n_docs if n_docs else 0.0
     qterms = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.explode(tokens(F.col(text_col))).alias("term"),
         )
         .distinct()
+        if query_terms is None
+        else query_terms
     )
     return bm25_topk(
         postings, doc_frequency(postings), qterms, n_docs, avgdl, k, k1, b,

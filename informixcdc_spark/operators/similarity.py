@@ -71,6 +71,70 @@ def _cos_scored_sql(
     )
 
 
+def _scored_broadcast(
+    df: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    centroids: list[tuple[int, list[float]]],
+    metric: str = "cosine",
+) -> tuple[str, DataFrame]:
+    """The literal scored-array renders' shape for codebooks PAST the
+    plan-size ceiling (``functions.vector.MAX_LITERAL_MAT_ELEMS``): the
+    codebook ships as ONE broadcast 1-row table (array of
+    (c, norm-or-norm², codeword) structs) crossJoined in, and the
+    per-centroid score is the same ``zip_with``/``aggregate`` left fold
+    evaluated against the struct's ``array<double>`` codeword instead
+    of a literal — still zero shuffle, still no corpus-keyed join and
+    NO window, but plan text stays O(1) in K·d. Bit-equal to the
+    literal render: identical f32 truncation, identical driver-side
+    norms, identical IEEE fold order (unit-pinned both ways in
+    tests/test_operators.py). ``metric='cosine'`` scores
+    ``dot/(norm·‖c‖)`` with the literal path's NULL-on-zero-norm CASE;
+    ``'l2'`` scores ``(norm² + ‖c‖²) − 2·dot`` exactly as
+    :func:`kmeans_centroids`'s literal l2 branch associates it.
+    Returns (scored_sql, df_with_codebook_column)."""
+    rows = [[_f32(x) for x in v] for _cid, v in centroids]
+    if metric == "l2":
+        side = [
+            (int(cid), _py_l2(row) * _py_l2(row), row)
+            for (cid, _v), row in zip(centroids, rows)
+        ]
+    else:
+        side = [
+            (int(cid), _py_l2(row), row)
+            for (cid, _v), row in zip(centroids, rows)
+        ]
+    cb = df.sparkSession.createDataFrame(
+        [(side,)], "_cb array<struct<c:int,n:double,v:array<double>>>"
+    )
+    w = len(rows[0])
+    dot_fold = (
+        f"aggregate(zip_with(slice(`{vec_col}`, 1, {w}), m.v, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, t) -> acc + t)"
+    )
+    if metric == "l2":
+        s_expr = f"(`{norm_col}` * `{norm_col}` + m.n) - (2.0D * {dot_fold})"
+    else:
+        s_expr = (
+            f"CASE WHEN `{norm_col}` > 0D AND m.n > 0D THEN "
+            f"{dot_fold} / (`{norm_col}` * m.n) "
+            "ELSE CAST(NULL AS DOUBLE) END"
+        )
+    scored = f"transform(`_cb`, m -> named_struct('c', m.c, 's', {s_expr}))"
+    return scored, df.crossJoin(F.broadcast(cb))
+
+
+def _cos_scored_broadcast(
+    df: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> tuple[str, DataFrame]:
+    """:func:`_scored_broadcast` fixed to the cosine metric (the
+    :func:`assign_cells_topn` fallback)."""
+    return _scored_broadcast(df, vec_col, norm_col, centroids, "cosine")
+
+
 def _argbest_sql(scored_sql: str, cmp: str) -> str:
     """SQL of the winning (c, s) struct of a scored array under strict
     comparator ``cmp`` ('>' argmax / '<' argmin): NULL scores never
@@ -278,6 +342,15 @@ def ivf_cells(
         for r in cent_rows
         if r["_cvec"] is not None
     )
+    if not cents:
+        # An empty/all-NULL codebook would make assign_cells return an
+        # EMPTY frame — a silent whole-corpus drop. Fail loudly instead
+        # (the pre-literal crossJoin+window path degraded to "assign
+        # everything to the lowest centroid", which was no more useful).
+        raise ValueError(
+            "ivf_cells: no usable centroid vectors (candidate rows "
+            f"id < {n_centroids} are missing or all NULL-vector)"
+        )
     return assign_cells(corpus, cents, id_col, vec_col).withColumn(
         "cell", F.col("cell").cast(id_type)
     )
@@ -374,9 +447,22 @@ def kmeans_centroids(
         i: [float(x) for x in r["_vec"]]
         for i, r in enumerate(sorted(seed, key=lambda r: r["_id"]))
     }
+    from informixcdc_spark.functions.vector import MAX_LITERAL_MAT_ELEMS
+
+    oversize = n_centroids * len(centroids[0]) > MAX_LITERAL_MAT_ELEMS
     for _ in range(n_iter):
         cents_sorted = sorted(centroids.items())
-        if metric == "l2":
+        vv = v
+        if oversize:
+            # production-scale codebooks (K ≈ √N) blow the literal
+            # plan-size envelope (functions/vector.py, PERF.md §22):
+            # ship the codebook as ONE broadcast 1-row table instead —
+            # same fold, zero shuffle, no window, O(1) plan text
+            scored, vv = _scored_broadcast(
+                v, "_vec", "_n", cents_sorted, metric
+            )
+            best = _argbest_sql(scored, "<" if metric == "l2" else ">")
+        elif metric == "l2":
             # score = _n·_n + ||c||² − 2·(v.c), exactly the Column
             # arithmetic the join plan computed (||c||² is (sqrt fold)²
             # of the f32-truncated centroid — the old ARRAY<FLOAT>
@@ -397,7 +483,7 @@ def kmeans_centroids(
         else:
             scored = _cos_scored_sql("_vec", "_n", cents_sorted)
             best = _argbest_sql(scored, ">")
-        assigned = v.select(
+        assigned = vv.select(
             F.expr(
                 f"coalesce(nullif(({best}).c, -1), {int(cents_sorted[0][0])})"
             ).alias("_cid"),
@@ -462,6 +548,7 @@ def assign_cells_topn(
     vec_col: str = "embedding",
     n: int = 1,
     score_col: str | None = None,
+    max_literal_elems: int | None = None,
 ) -> DataFrame:
     """Top-``n`` nearest-cosine-cell assignment — :func:`assign_cells`
     generalized to multi-assignment (one output row per (vector,
@@ -478,7 +565,16 @@ def assign_cells_topn(
     corpus×K cross join through a row_number window, which shuffled the
     whole corpus per assignment). Output size grows by exactly n×.
     ``score_col`` optionally emits each assigned cell's cosine (NULL on
-    zero norms) — the streaming index's dispersion sample."""
+    zero norms) — the streaming index's dispersion sample.
+
+    Plan-size envelope: literal rendering is free at codebook scale but
+    plan text grows O(K·d); past
+    :data:`~informixcdc_spark.functions.vector.MAX_LITERAL_MAT_ELEMS`
+    elements (override per call with ``max_literal_elems``) the
+    assignment switches to :func:`_cos_scored_broadcast` — the same
+    fold against a broadcast 1-row codebook table (still zero shuffle,
+    no corpus-keyed join, no window), bit-equal, with O(1) plan text —
+    instead of stalling the driver on a 100 MB SQL string."""
     cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     v = rebalance(corpus).select(
         F.col(id_col),
@@ -506,10 +602,18 @@ def assign_cells_topn(
         "ELSE CASE WHEN l.c < r.c THEN -1 WHEN l.c > r.c THEN 1 ELSE 0 END "
         "END"
     )
-    top = F.expr(
-        f"slice(array_sort({_cos_scored_sql(vec_col, '_norm', cents)}, "
-        f"{cmp}), 1, {int(n)})"
+    from informixcdc_spark.functions.vector import MAX_LITERAL_MAT_ELEMS
+
+    cap = (
+        MAX_LITERAL_MAT_ELEMS
+        if max_literal_elems is None
+        else max_literal_elems
     )
+    if len(cents) * len(cents[0][1]) > cap:
+        scored_sql, v = _cos_scored_broadcast(v, vec_col, "_norm", cents)
+    else:
+        scored_sql = _cos_scored_sql(vec_col, "_norm", cents)
+    top = F.expr(f"slice(array_sort({scored_sql}, {cmp}), 1, {int(n)})")
     cols = [
         F.col(id_col),
         F.col(vec_col),

@@ -292,6 +292,14 @@ class IncrementalAnnIndex:
                 "segment_rows": {**st["segment_rows"], str(batch_id): n},
                 "last_disp": disp,
             }
+            if st["train_disp"] is None and disp is not None:
+                # offline-trained codebook: no in-stream training pass
+                # ever records a baseline, so adopt the FIRST batch's
+                # dispersion — drift() then measures shift relative to
+                # the earliest data the frozen codebook served, instead
+                # of staying None forever on the production
+                # (train-offline, add-forever) path
+                new_st["train_disp"] = disp
         else:
             if batch.isEmpty():
                 self.store.commit_state({**st, "batch_id": batch_id})
@@ -514,7 +522,10 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
     full-vector index's job) and :meth:`retrain` raises — codes are
     not invertible, so refreshing the quantizers means re-encoding
     from the source vectors, which the index deliberately does not
-    keep. Both quantizers PERSIST with the index (the coarse codebook
+    keep — :meth:`rebuild` is that loop (fresh quantizers from the
+    source + full re-encode + atomic pointer/books-doc swap),
+    triggered when :meth:`drift` crosses the caller's threshold.
+    Both quantizers PERSIST with the index (the coarse codebook
     in the state pointer, the books under the ``pq-books`` store doc),
     so constructing with NEITHER resumes them from the store — stored
     codes can never be paired with the wrong codebooks across a
@@ -559,7 +570,12 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
             )
         super().__init__(*args, **kwargs)
         if books is None:
-            doc = self.store.read_doc(self.BOOKS_DOC)
+            # the pointer names the live books doc (rebuilds version it
+            # as pq-books-r{n}); older pointers predate the key and fall
+            # back to the original unversioned name
+            doc = self.store.read_doc(
+                self.read_state().get("books_doc") or self.BOOKS_DOC
+            )
             if doc is None:
                 raise ValueError(
                     "no persisted PQ books at this store — pass books= "
@@ -591,7 +607,13 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
                 for b in self.books
             ]
         }
-        if self.store.read_doc(self.BOOKS_DOC) != as_doc:
+        if (
+            self.read_state().get("books_doc") is None
+            and self.store.read_doc(self.BOOKS_DOC) != as_doc
+        ):
+            # only the unversioned pre-rebuild doc is rewritable here; a
+            # rebuilt index's versioned doc is immutable (live segments'
+            # codes were encoded with it) and only rebuild() swaps it
             self.store.write_doc(self.BOOKS_DOC, as_doc)
 
     # -- overrides: code-valued segments ----------------------------------------
@@ -617,10 +639,122 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
 
     def retrain(self, sample: DataFrame) -> None:
         raise NotImplementedError(
-            "PQ segments store codes, not vectors — refreshing the "
-            "quantizers requires re-encoding from the source vectors "
-            "(build a fresh index); monitor drift() to decide when"
+            "PQ segments store codes, not vectors — the index cannot "
+            "refresh its quantizers from itself; call rebuild(source) "
+            "with the source vectors (monitor drift() to decide when)"
         )
+
+    def rebuild(
+        self,
+        source_vectors: DataFrame,
+        codebook: list | None = None,
+        books=None,
+        pq_iter: int = 2,
+    ) -> None:
+        """The O(corpus) maintenance loop :meth:`retrain`'s message
+        points at — the production answer to a :meth:`drift` threshold
+        crossing. PQ codes are not invertible, so refreshing the
+        quantizers needs the SOURCE vectors: train a fresh coarse
+        codebook and fresh per-subspace books on them (the same
+        deterministic trainers a from-scratch index would run — pass
+        ``codebook``/``books`` to reuse offline-trained ones), re-encode
+        every source vector into ONE fresh segment, and swap everything
+        in atomically through the existing exactly-once pointer:
+
+        - the new books persist under a VERSIONED doc
+          (``pq-books-r{n}``) written BEFORE the pointer moves, and the
+          pointer records which doc is live (``books_doc``) — a crash
+          anywhere leaves the previous pointer naming the previous
+          books + segments, so stored codes can never pair with the
+          wrong codebooks;
+        - old segments are deleted only AFTER the commit; superseded
+          books docs are kept (metadata-sized) so a reader resumed
+          against a pre-swap pointer snapshot still finds its doc.
+
+        A rebuild trained from the same source is bit-identical to a
+        fresh index built on it (pytest-pinned: ingest → drift →
+        rebuild → search equals the from-scratch search)."""
+        from informixcdc_spark.operators.quantization import (
+            pq_encode_arrow,
+            pq_train,
+        )
+        from informixcdc_spark.operators.similarity import kmeans_centroids
+
+        st = self.read_state()
+        src = source_vectors.select(self.id_col, self.vec_col)
+        if codebook is None:
+            codebook = [
+                [c, v]
+                for c, v in kmeans_centroids(
+                    src, self.id_col, self.vec_col, self.n_centroids,
+                    self.n_iter,
+                )
+            ]
+        else:
+            codebook = [[int(c), [float(x) for x in v]] for c, v in codebook]
+        if books is None:
+            # keep the CURRENT subspace layout and code widths — the
+            # stored-code schema (m bytes/vector) is a contract with
+            # downstream consumers; only the codeword values refresh
+            books = pq_train(
+                src,
+                self.id_col,
+                self.vec_col,
+                codes=[len(b["centroids"]) for b in self.books],
+                n_iter=pq_iter,
+                splits=[(b["lo"], b["hi"]) for b in self.books],
+            )
+        new_books = [
+            {
+                "lo": int(b["lo"]),
+                "hi": int(b["hi"]),
+                "centroids": [
+                    (int(c), [float(x) for x in v]) for c, v in b["centroids"]
+                ],
+            }
+            for b in books
+        ]
+        # assign with the NEW coarse codebook, encode with the NEW
+        # books — the base _assign (bypassing this class's override,
+        # which encodes with the OLD self.books), then the same Arrow
+        # encoder the per-batch path uses
+        encoded = pq_encode_arrow(
+            IncrementalAnnIndex._assign(self, src, codebook),
+            new_books,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            keep_cols=("cell", "_fit"),
+        )
+        merged = f"r{st['retrains']}"
+        books_doc = f"{self.BOOKS_DOC}-{merged}"
+        self.store.write_doc(
+            books_doc,
+            {
+                "books": [
+                    {"lo": b["lo"], "hi": b["hi"],
+                     "centroids": [[c, v] for c, v in b["centroids"]]}
+                    for b in new_books
+                ]
+            },
+        )
+        n, disp = self._write_segment(encoded, merged)
+        old = st["segments"]
+        self.store.commit_state(
+            {
+                **st,
+                "segments": [merged],
+                "segment_rows": {} if n is None else {merged: n},
+                "codebook": codebook,
+                "books_doc": books_doc,
+                "retrains": st["retrains"] + 1,
+                "train_disp": disp,
+                "last_disp": disp,
+            }
+        )
+        self.books = new_books
+        for s in old:
+            if str(s) != merged:
+                self.store.delete_tree("cells", f"v{s}")
 
     # -- ADC search --------------------------------------------------------------
     def search(

@@ -278,6 +278,7 @@ class IncrementalPostingsIndex:
         k1: float = K1,
         b: float = B,
         exclude_self: bool = True,
+        query_terms: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k BM25 documents per query document, over everything
         ingested so far — bit-equal to batch ``bm25_search`` on the
@@ -285,12 +286,19 @@ class IncrementalPostingsIndex:
         query terms' buckets (bounded, metadata-sized collect); df
         comes from the pruned read (exact — see module doc).
 
-        ``exclude_self`` as in :func:`..retrieval.bm25_topk`."""
+        ``exclude_self`` as in :func:`..retrieval.bm25_topk`;
+        ``query_terms`` optionally supplies the distinct
+        ``(query_id, term)`` probe precomputed (shared with a batch
+        search over the same queries) instead of tokenizing them."""
         st = self.read_state()
-        qterms = queries.select(
-            F.col(self.id_col).alias("query_id"),
-            F.explode(tokens(F.col(self.text_col))).alias("term"),
-        ).distinct()
+        qterms = (
+            queries.select(
+                F.col(self.id_col).alias("query_id"),
+                F.explode(tokens(F.col(self.text_col))).alias("term"),
+            ).distinct()
+            if query_terms is None
+            else query_terms
+        )
         buckets = [
             r[0]
             for r in qterms.select(self._bkt().alias("_b")).distinct().collect()

@@ -680,10 +680,12 @@ def e03_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated admission verdicts against the two-level closed form."""
     corpus = _docs_corpus(spark, sf_dir)
     # shingles + bands feed three consumers (uncapped verify, bounded
-    # verify, and both arms' candidate pairs) — persist once instead of
-    # recomputing the scan-side minhash per arm
-    shingled = doc_shingles(corpus, "doc_id", "text").persist()
-    bands = minhash_bands(shingled, "doc_id").persist()
+    # verify, and both arms' candidate pairs) — materialize once instead
+    # of recomputing the scan-side minhash per arm. Eager localCheckpoint
+    # rather than .persist() so the blocks are GC'd with these frames
+    # instead of leaking a session-lifetime CacheManager entry.
+    shingled = doc_shingles(corpus, "doc_id", "text").localCheckpoint()
+    bands = minhash_bands(shingled, "doc_id").localCheckpoint()
     pairs = lsh_candidate_pairs(bands, "doc_id")
     scored = ngram_jaccard_pairs(pairs, shingled, "doc_id", threshold=0.0)
     uncapped = scored.withColumn("is_dup", F.col("jaccard") >= 0.8).select(
@@ -891,7 +893,14 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-sign bucket, ~1/2^planes of the corpus) in one tagged
     result (r1's e07 + e08 merged for the driver's grading window)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
+    # the query fixture is 10 rows by construction: collect it ONCE and
+    # re-lift as a LocalRelation so the exact/lsh/rp arms each broadcast
+    # it without re-scanning the embeddings parquet per arm (round-10
+    # verdict item #5 — e07 arm-overhead sharing); float32 values
+    # round-trip the Row boundary bit-exactly under the same schema
+    queries = spark.createDataFrame(
+        emb.where(F.col("vec_id") < 10).collect(), emb.schema
+    )
     exact = brute_force_knn(emb, queries, k=5).select(
         F.lit("exact").alias("mode"),
         "query_id",
@@ -912,8 +921,23 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dense arms, over the documents table (query docs retrieve
     # their top-5 BM25 neighbors; scores ride in the score column)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE query-side tokenize shared by the batch and streaming BM25
+    # arms: the distinct (query_id, term) probe of the 5 query docs is
+    # bounded by construction, so collect and re-lift it — both arms'
+    # searches then consume the same LocalRelation instead of each
+    # re-tokenizing the query docs from parquet
+    qdocs = docs.where(F.col("doc_id") < 5)
+    qterms = spark.createDataFrame(
+        qdocs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .distinct()
+        .collect(),
+        "query_id long, term string",
+    )
     sparse = bm25_search(
-        docs, docs.where(F.col("doc_id") < 5), k=5
+        docs, qdocs, k=5, query_terms=qterms
     ).select(
         F.lit("bm25").alias("mode"),
         "query_id",
@@ -935,7 +959,7 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
     idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
     idx.process_batch(docs.where(F.col("doc_id") > half), 1)
-    stream_sparse = idx.search(docs.where(F.col("doc_id") < 5), k=5).select(
+    stream_sparse = idx.search(qdocs, k=5, query_terms=qterms).select(
         F.lit("sbm25").alias("mode"),
         "query_id",
         "rank",
@@ -1573,7 +1597,12 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_docs is a parquet count-star (metadata-cheap).
     n_docs = docs.count()
     mod = max(1, n_docs // _PPL_SAMPLE_TARGET)
-    ce_all = lm_cross_entropy(docs, bg_counts, bg_ctx, vocab).persist()
+    # eager localCheckpoint, NOT .persist(): both consumers (threshold
+    # sample collect + the final bucket join) read the one materialized
+    # pass, and the blocks are ContextCleaner-GC'd when this frame goes
+    # out of scope — a session-lifetime CacheManager entry is not
+    # (round-10 ADVICE: repeated e10 calls accumulated cache blocks).
+    ce_all = lm_cross_entropy(docs, bg_counts, bg_ctx, vocab).localCheckpoint()
     ce_samp = ce_all.where(F.col("doc_id") % mod == 0)
     return (
         heur.join(bucket_by_perplexity(ce_all, sample=ce_samp), "doc_id", "left")
@@ -2107,7 +2136,11 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    idx.ingest_stream(vec_stream, ckpt).awaitTermination(300)
+    if not idx.ingest_stream(vec_stream, ckpt).awaitTermination(300):
+        # availableNow terminates on its own; a False return means the
+        # ingest is STILL RUNNING after 300 s — fail loudly instead of
+        # silently grading a partially ingested index.
+        raise TimeoutError("e15 stream arm: ingest did not finish in 300 s")
     stream = idx.search(synth.where(vid < 10), k=3, nprobe=8).select(
         F.lit("stream").alias("mode"),
         "query_id",
@@ -2821,13 +2854,15 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_d.alias("mix_epochs"),
         )
     )
-    # persisted: BOTH the 'dsir' arm and the 'dsel' resample consume
-    # the weight table — without the cache the union's final evaluation
-    # runs dsir_log_weights' two scan passes twice (narrow 3-column
-    # frame, the e10 ce_all convention)
+    # eager localCheckpoint: BOTH the 'dsir' arm and the 'dsel' resample
+    # consume the weight table — without sharing a materialized pass the
+    # union's final evaluation runs dsir_log_weights' two scan passes
+    # twice (narrow 3-column frame, the e10 ce_all convention). A lazy
+    # .persist() would leak a session-lifetime CacheManager entry
+    # (round-10 ADVICE); checkpoint blocks are GC'd with the frame.
     weights = dsir_log_weights(
         docs.select("doc_id", "text", "lang"), F.col("lang") == "en"
-    ).persist()
+    ).localCheckpoint()
     ds = weights.select(
         F.lit("dsir").alias("mode"),
         F.lit(None).cast("string").alias("lang"),

@@ -49,6 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
+from informixcdc_spark.hostmeter import steal_seconds  # noqa: E402
 from informixcdc_spark.queries import all_queries  # noqa: E402
 from informixcdc_spark.session import get_spark  # noqa: E402
 
@@ -763,6 +764,60 @@ def _tail_ratio(series: dict[str, float]) -> float:
     return round(b1 / b0 / (m1 / m0), 3)
 
 
+def codebook_axis(
+    spark,
+    mdir: str,
+    ks: tuple[int, ...] = (8, 64, 512, 2048, 4096),
+) -> dict:
+    """Plan-size envelope axis for the literal-codebook assignment
+    (r10 verdict item #2; crossover measurement in PERF.md §22): per
+    codebook size K (synthetic d=64 centroids, deterministic seed),
+    one top-1 cell assignment over the embeddings table — literal
+    render vs the broadcast-codebook fold fallback, hash-equality
+    checked per point. ``build`` is DataFrame construction (plan
+    render + analysis), ``run`` one agg action (codegen + execute);
+    the steal column flags host-confounded points. The default guard
+    (functions/vector.py::MAX_LITERAL_MAT_ELEMS) keeps graded paths
+    literal; this axis shows per-round where the envelope sits."""
+    import random
+
+    from informixcdc_spark.operators.similarity import assign_cells_topn
+
+    emb = (
+        spark.read.parquet(os.path.join(mdir, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    points: dict = {}
+    for k in ks:
+        rng = random.Random(1311)
+        cents = [(c, [rng.random() for _ in range(64)]) for c in range(k)]
+        out: dict = {}
+        for label, cap in (("literal", k * 64), ("broadcast", 0)):
+            st0 = steal_seconds()
+            t0 = time.perf_counter()
+            df = assign_cells_topn(emb, cents, n=1, max_literal_elems=cap)
+            t_build = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            row = df.agg(
+                F.sum(F.col("cell").cast("long")), F.count(F.lit(1))
+            ).first()
+            out[label] = {
+                "build_sec": round(t_build, 2),
+                "run_sec": round(time.perf_counter() - t0, 2),
+                "steal_sec": (
+                    round(steal_seconds() - st0, 2) if st0 >= 0 else -1.0
+                ),
+                "checksum": int(row[0]),
+            }
+        out["hash_equal"] = (
+            out["literal"]["checksum"] == out["broadcast"]["checksum"]
+        )
+        points[str(k)] = out
+        print(f"codebook K={k}: " + json.dumps(out), flush=True)
+    return points
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scales = [
@@ -803,13 +858,20 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     shuffle_mb: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    # /proc/stat steal (cpu-seconds) during each recorded best rep:
+    # the wall columns were non-monotonic in r10 because points were
+    # measured in different host regimes — this column makes a
+    # confounded point self-identifying instead of cliff-shaped
+    steal_sec: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
     rows: dict[str, dict[str, int]] = {}
 
     def run_point(q: str, m: int, mdir: str) -> None:
         best = float("inf")
         best_mb = -1.0
+        best_steal = -1.0
         for _ in range(reps):
             s0 = _shuffle_write_bytes(spark)
+            st0 = steal_seconds()
             t0 = time.perf_counter()
             queries[q](spark, mdir).write.format("noop").mode(
                 "overwrite"
@@ -821,10 +883,16 @@ def main() -> None:
                 best_mb = (
                     round((s1 - s0) / 1e6, 2) if s0 >= 0 and s1 >= 0 else -1.0
                 )
+                best_steal = (
+                    round(steal_seconds() - st0, 2) if st0 >= 0 else -1.0
+                )
         results[q][str(m)] = round(best, 3)
         shuffle_mb[q][str(m)] = best_mb
+        steal_sec[q][str(m)] = best_steal
         print(
-            f"m={m} {q}: {results[q][str(m)]}s shuffle={best_mb}MB", flush=True
+            f"m={m} {q}: {results[q][str(m)]}s shuffle={best_mb}MB "
+            f"steal={best_steal}s",
+            flush=True,
         )
 
     for m in scales:
@@ -912,6 +980,7 @@ def main() -> None:
     print("rp_recall: " + json.dumps(rp_rec), flush=True)
     simhash_rec = simhash_dedup_recall(spark, top_dir, top)
     print("simhash_recall: " + json.dumps(simhash_rec), flush=True)
+    cb_axis = codebook_axis(spark, sf_dir)
 
     base = str(scales[0])
 
@@ -947,6 +1016,9 @@ def main() -> None:
         # simhash_dedup_recall) — Hamming-budget recall + exact-collision
         # rate vs bits
         "simhash_dedup_recall": simhash_rec,
+        # literal-vs-broadcast assignment walls per codebook size K
+        # (plan-size envelope, PERF.md §22) with per-point steal
+        "codebook_axis": cb_axis,
         "queries": {
             q: {
                 **results[q],
@@ -962,6 +1034,9 @@ def main() -> None:
                 # the data ratio, both points in the shuffle regime —
                 # is the asymptotic signal: ~1 linear, >>1 super-linear.
                 "shuffle_mb": shuffle_mb[q],
+                # steal cpu-seconds during each recorded rep: reads
+                # as the wall column's confounding annotation
+                "steal_sec": steal_sec[q],
                 "shuffle_efficiency": eff(q, shuffle_mb[q], scales[-1]),
                 "shuffle_tail_ratio": _tail_ratio(shuffle_mb[q]),
                 **(

@@ -40,6 +40,7 @@ from pyspark.sql.types import (  # noqa: E402
 )
 
 from informixcdc_spark.cdc.generator import orders_changelog  # noqa: E402
+from informixcdc_spark.hostmeter import StealMeter  # noqa: E402
 from informixcdc_spark.session import get_spark  # noqa: E402
 from informixcdc_spark.streaming.pipeline import CdcEngine  # noqa: E402
 
@@ -90,12 +91,17 @@ def main() -> None:
 
     eng = CdcEngine(spark)
     eng.connect(src)
+    # /proc/stat steal lap per axis: ~0 = host-clean point, large =
+    # contention-confounded (see informixcdc_spark/hostmeter.py)
+    meter = StealMeter()
+    steal = {}
     t0 = time.perf_counter()
     q, mat = eng.materialize(
         ROW_STRUCT, ["o_orderkey"], f"{workdir}/state", f"{workdir}/ckpt"
     )
     q.awaitTermination(600)
     wall = time.perf_counter() - t0
+    steal["materializer"] = meter.lap()
 
     # second axis: the keyed stateful-assembly path (applyInPandasWithState
     # buffering per-txn events, emitting atomically at COMMTX) — the
@@ -117,6 +123,7 @@ def main() -> None:
     if not sq.awaitTermination(300):
         sq.stop()  # keep the harness bounded; partial progress still reports
     state_wall = time.perf_counter() - t1
+    steal["stateful"] = meter.lap()
     state_progress = [json.loads(str(p)) for p in sq.recentProgress]
     state_batches = [
         {
@@ -162,6 +169,7 @@ def main() -> None:
     v_sec = sum(b["ms"] for b in v_steady) / 1000.0
     view_rows_per_sec = round(v_rows / v_sec, 1) if v_sec else None
     view_groups = (vm.read_view() or spark.range(0)).count()
+    steal["view"] = meter.lap()
 
     # fourth axis: the incremental dedup gate (operators/streaming_dedup
     # .py — O(batch) band join against the accumulated index): documents
@@ -198,6 +206,7 @@ def main() -> None:
     dups_found = sum(
         dedup_idx.read_dups(b).count() for b in range(6)
     )
+    steal["dedup"] = meter.lap()
 
     # fourth-c axis: streaming lexical ingestion — docs/s through the
     # IncrementalPostingsIndex (postings build + segment append +
@@ -230,6 +239,7 @@ def main() -> None:
         docs.where(F.col("doc_id") < 5), k=5
     ).count()
     post_search_ms = round((time.perf_counter() - t3) * 1000)
+    steal["postings"] = meter.lap()
 
     # fourth-b axis: streaming ANN ingestion — vectors/s through the
     # full-vector IncrementalAnnIndex AND the PQ-compressed
@@ -294,6 +304,7 @@ def main() -> None:
     )
     pq_rate, pq_batches = _ingest(ann_pq)
     pq_bytes = _seg_bytes(ann_pq)
+    steal["ann"] = meter.lap()
 
     # fifth axis: multi-table scheduling at the reference's 64-table cap
     # (ext/_informixcdcmodule.ec:52). One envelope batch whose events
@@ -350,6 +361,7 @@ def main() -> None:
     mt2.process_batch(env, 0)
     t2_sec = time.perf_counter() - t5
     mt_ratio = round(t64_sec / t2_sec, 3) if t2_sec else None
+    steal["multi_table"] = meter.lap()
 
     progress = [json.loads(str(p)) for p in q.recentProgress]
     batches = [
@@ -377,6 +389,9 @@ def main() -> None:
         "input_rows": total_rows,
         "materialized_rows": target_rows,
         "wall_sec_total": round(wall, 2),
+        # per-axis /proc/stat steal deltas (cpu-seconds): the host-
+        # contention annotation the round-10 verdict asked for
+        "steal_sec": steal,
         "per_batch": batches,
         "stateful_assembly": {
             "metric": "txn_assembly_steady_rows_per_sec",
@@ -442,6 +457,7 @@ def main() -> None:
     line["postings_docs_per_sec"] = post_rows_per_sec
     line["ann_vecs_per_sec"] = {"full": full_rate, "pq": pq_rate}
     line["mt64_ratio"] = mt_ratio
+    line["steal_sec"] = round(sum(v for v in steal.values() if v > 0), 2)
     print(json.dumps(line), flush=True)
     shutil.rmtree(workdir, ignore_errors=True)
     os._exit(0)

@@ -2734,3 +2734,119 @@ def test_temperature_mixture_property_random_strata(spark):
             assert got[s] == (n, q, q / (float(n) / float(ntot))), (s, alpha)
 
     run()
+
+
+def test_literal_matrix_plan_size_guard_raises(spark):
+    """Round-10 verdict item #2 (fail-loud half): the literal-fold
+    renderers refuse a matrix past the plan-size ceiling instead of
+    silently rendering a ~20·K·d-byte SQL string, and the error names
+    the broadcast fallback."""
+    from informixcdc_spark.functions.vector import sql_dot_rows, sql_lit_mat
+
+    big = [[float(i + j) for j in range(64)] for i in range(8)]
+    with pytest.raises(ValueError, match="broadcast"):
+        sql_lit_mat(big, max_elems=256)
+    with pytest.raises(ValueError, match="broadcast"):
+        sql_dot_rows("v", big, max_elems=256)
+    # under the ceiling both render fine
+    assert sql_lit_mat(big, max_elems=512).startswith("array(")
+
+
+def test_assign_cells_broadcast_fallback_bit_equal(spark):
+    """Round-10 verdict item #2 (fallback half): past the ceiling
+    assign_cells_topn switches to the broadcast-codebook fold join —
+    results must be BIT-EQUAL to the literal render across the edge
+    cases the literal path defines (NULL vector, zero norm, short
+    vector zip_with padding, top-n ties), and the plan must stay free
+    of windows and corpus-keyed exchanges (the codebook arrives through
+    one broadcast nested-loop join of a 1-row side)."""
+    from informixcdc_spark.operators.similarity import assign_cells_topn
+
+    rows = [
+        (0, [1.0, 0.0, 0.25]),
+        (1, [0.0, 2.0, -1.5]),
+        (2, [0.3, 0.3, 0.3]),
+        (3, None),  # NULL vector: all scores NULL, ties resolve by cell id
+        (4, [0.0, 0.0, 0.0]),  # zero norm: NULL scores
+        (5, [1.0]),  # shorter than the codewords: zip_with NULL padding
+        (6, [0.5, 0.1, 0.9]),  # exactly centroid 0
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = [
+        (0, [0.5, 0.1, 0.9]),
+        (1, [0.9, -0.4, 0.2]),
+        (2, [0.05, 0.8, 0.1]),
+        (3, [0.5, 0.1, 0.9]),  # duplicate of 0: exercises the id tiebreak
+    ]
+    lit = assign_cells_topn(corpus, cents, n=2, score_col="cos")
+    bc = assign_cells_topn(
+        corpus, cents, n=2, score_col="cos", max_literal_elems=4
+    )
+    got_lit = sorted(map(tuple, lit.collect()))
+    got_bc = sorted(map(tuple, bc.collect()))
+    assert got_lit == got_bc
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_kmeans_broadcast_fallback_bit_equal(spark, monkeypatch):
+    """kmeans_centroids past the plan-size ceiling routes every Lloyd
+    assignment through the broadcast-codebook fold — trained centroids
+    must be BIT-EQUAL to the literal path's for both metrics (the
+    oversize path is the production K ≈ √N regime; equality means the
+    envelope guard never changes results, only plan shape)."""
+    import informixcdc_spark.functions.vector as vec
+    from informixcdc_spark.operators.similarity import kmeans_centroids
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(6)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want_cos = kmeans_centroids(corpus, n_centroids=4, n_iter=2)
+    want_l2 = kmeans_centroids(corpus, n_centroids=4, n_iter=2, metric="l2")
+    monkeypatch.setattr(vec, "MAX_LITERAL_MAT_ELEMS", 8)
+    got_cos = kmeans_centroids(corpus, n_centroids=4, n_iter=2)
+    got_l2 = kmeans_centroids(corpus, n_centroids=4, n_iter=2, metric="l2")
+    assert got_cos == want_cos
+    assert got_l2 == want_l2
+
+
+def test_pq_encode_arrow_fallback_above_ceiling(spark, monkeypatch):
+    """pq_encode past the ceiling dispatches to the Arrow encoder
+    (property-pinned equal) instead of rendering an oversize literal
+    plan; codes must match the literal render, and the literal
+    codeword-table builder itself refuses oversize input."""
+    import pytest as _pytest
+
+    import informixcdc_spark.functions.vector as vec
+    from informixcdc_spark.operators.quantization import (
+        _argmin_code,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [
+        (i, [float((i * 5 + j) % 7) for j in range(8)]) for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(corpus, m=2, codes=4, n_iter=1)
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(corpus, books).collect()
+    )
+    monkeypatch.setattr(vec, "MAX_LITERAL_MAT_ELEMS", 8)
+    fell_back = pq_encode(corpus, books)
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in fell_back.collect()
+    )
+    assert got == want
+    # the fallback is the Arrow path (mapInPandas), not a literal plan
+    assert "mapInPandas" in fell_back._jdf.queryExecution().analyzed().toString() or \
+        "MapInPandas" in fell_back._jdf.queryExecution().executedPlan().toString()
+    with _pytest.raises(ValueError, match="broadcast"):
+        _argmin_code("embedding", 0, books[0]["centroids"])

@@ -353,3 +353,35 @@ def test_line_dedup_matches_pure_python(spark, docs_lines):
         for r in line_dedup(docs).collect()
     }
     assert got == want
+
+
+def test_decimal_tie_rounding_canary(spark):
+    """Executable pin of the crack the pagerank module documents
+    (operators/graph.py module docstring, "with one documented crack"):
+    Spark's double→DECIMAL(18,12) cast is Java ``BigDecimal.valueOf`` —
+    it quantizes the double's SHORTEST-REPR string HALF_UP — while
+    DuckDB quantizes the same repr HALF-EVEN, so the engines disagree
+    by exactly 1e-12 whenever a contribution's repr is a tie at the
+    12th decimal. The graded fixtures avoid repr-level ties; this
+    canary plants one and pins EACH engine's current behavior, so it
+    fails loudly the moment either engine changes rounding — the
+    signal to re-audit every decimal-exact oracle twin
+    (sql_pagerank_ctes and the b-series decimal aggregates)."""
+    import duckdb
+
+    # shortest repr ties at the 12th decimal; the BINARY double is
+    # strictly ABOVE the tie (0.06247106481450000192…), so an engine
+    # that rounded the exact binary value would produce …815 under ANY
+    # tie rule — DuckDB's …814 is only explainable as half-even on the
+    # repr, which is precisely the documented divergence
+    x = 0.0624710648145
+    assert repr(x) == "0.0624710648145"
+    spark_d = spark.sql(
+        "SELECT CAST(CAST('0.0624710648145' AS DOUBLE) "
+        "AS DECIMAL(18,12)) AS d"
+    ).collect()[0]["d"]
+    duck_d = duckdb.sql(
+        "SELECT CAST(CAST('0.0624710648145' AS DOUBLE) AS DECIMAL(18,12))"
+    ).fetchone()[0]
+    assert str(spark_d) == "0.062471064815", spark_d  # HALF_UP on repr
+    assert str(duck_d) == "0.062471064814", duck_d  # half-even on repr

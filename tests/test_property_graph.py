@@ -385,3 +385,48 @@ def test_decimal_tie_rounding_canary(spark):
     ).fetchone()[0]
     assert str(spark_d) == "0.062471064815", spark_d  # HALF_UP on repr
     assert str(duck_d) == "0.062471064814", duck_d  # half-even on repr
+
+
+def test_pagerank_dangling_deep_iterations_truncate_lineage(spark):
+    """n_iter past the lineage threshold routes every iteration's ranks
+    through a lazy localCheckpoint (dangling mode references ranks
+    twice per step, so plans otherwise grow ~2^n_iter — r10 ADVICE);
+    values must still reproduce the pure-Python recurrence bit-for-bit
+    at a depth (6) the fully-lazy plan was never exercised at."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from informixcdc_spark.operators.graph import DAMPING, pagerank
+
+    n, n_iter = 8, 6
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 0), (0, 5), (5, 1)]
+    sinks_exist = {u for u, _ in edges} != set(range(n))
+    assert sinks_exist  # nodes 6, 7 (and 2? no — 2→0) are danglers
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            e, nodes, n_iter=n_iter, redistribute_dangling=True
+        ).collect()
+    }
+
+    base = (1.0 - DAMPING) / n
+    r = {i: 1.0 / n for i in range(n)}
+    outdeg = Counter(u for u, _ in edges)
+    for _ in range(n_iter):
+        dm = Decimal(0)
+        for u in range(n):
+            if u not in outdeg:
+                dm += Decimal(repr(DAMPING * (r[u] / n))).quantize(
+                    Decimal("1e-12"), rounding=ROUND_HALF_UP
+                )
+        inflow = {i: Decimal(0) for i in range(n)}
+        for u, v in edges:
+            c = DAMPING * (r[u] / outdeg[u])
+            inflow[v] += Decimal(repr(c)).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
+        r = {i: (base + float(dm)) + float(inflow[i]) for i in range(n)}
+    assert got == r
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -717,10 +717,16 @@ def e03_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = IncrementalDedupIndex(spark, _scratch("e03_inc", sf_dir))
     did = F.col("doc_id")
-    idx.process_batch(corpus.where(did < _E03_INC_CAP), 0)
-    idx.process_batch(
-        corpus.where((did >= 1000000) & (did < 1000000 + _E03_INC_CAP)), 1
-    )
+    if idx.read_state()["batch_id"] < 1:
+        # cold fixture only — replayed process_batch calls are pointer-
+        # check no-ops, so warm invocations skip them (and their two
+        # Spark-job admissions) entirely; a crash after batch 0 leaves
+        # batch_id == 0 and resumes from batch 1 here
+        idx.process_batch(corpus.where(did < _E03_INC_CAP), 0)
+        idx.process_batch(
+            corpus.where((did >= 1000000) & (did < 1000000 + _E03_INC_CAP)),
+            1,
+        )
     inc = (
         idx.read_dups(0)
         .unionByName(idx.read_dups(1))
@@ -960,9 +966,14 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = IncrementalPostingsIndex(spark, _scratch("e07_sbm25", sf_dir))
-    half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
-    idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
-    idx.process_batch(docs.where(F.col("doc_id") > half), 1)
+    if not idx.read_state()["segments"]:
+        # first build for this fixture only: warm invocations would
+        # re-run the half-split aggregate and two pointer-check replays
+        # for nothing (the index's batch-id idempotence makes them
+        # no-ops) — skipping them drops ~0.7 s of eager jobs per call
+        half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+        idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
+        idx.process_batch(docs.where(F.col("doc_id") > half), 1)
     stream_sparse = idx.search(qdocs, k=5, query_terms=qterms).select(
         F.lit("sbm25").alias("mode"),
         "query_id",
@@ -2137,16 +2148,24 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth.where((vid >= 1024) & (vid < 2048)).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-    vec_stream = (
-        spark.readStream.schema(synth.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    if not idx.ingest_stream(vec_stream, ckpt).awaitTermination(300):
-        # availableNow terminates on its own; a False return means the
-        # ingest is STILL RUNNING after 300 s — fail loudly instead of
-        # silently grading a partially ingested index.
-        raise TimeoutError("e15 stream arm: ingest did not finish in 300 s")
+    if idx.read_state()["batch_id"] < 1:
+        # both one-file batches not yet consumed for this fixture:
+        # run the real checkpointed ingest. Warm invocations skip the
+        # no-op stream restart entirely (starting+stopping an
+        # availableNow query costs ~1 s even with zero new files);
+        # a crash mid-ingest leaves batch_id < 1 and resumes here.
+        vec_stream = (
+            spark.readStream.schema(synth.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        if not idx.ingest_stream(vec_stream, ckpt).awaitTermination(300):
+            # availableNow terminates on its own; a False return means
+            # the ingest is STILL RUNNING after 300 s — fail loudly
+            # instead of silently grading a partially ingested index.
+            raise TimeoutError(
+                "e15 stream arm: ingest did not finish in 300 s"
+            )
     stream = idx.search(synth.where(vid < 10), k=3, nprobe=8).select(
         F.lit("stream").alias("mode"),
         "query_id",

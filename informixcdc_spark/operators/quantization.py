@@ -337,6 +337,48 @@ def _adc_query_table(books: Codebooks, vec_col: str) -> Column:
     return F.expr(f"array({rows})")
 
 
+def _adc_query_table_broadcast(
+    queries: DataFrame, books: Codebooks, vec_col: str
+) -> tuple[Column, DataFrame]:
+    """:func:`_adc_query_table` past the plan-size envelope
+    (``functions.vector.MAX_LITERAL_MAT_ELEMS``): the per-subspace
+    codeword matrices ship as ONE broadcast 1-row table instead of
+    plan text, and each (subspace, code) partial dot is the same
+    0.0-seeded left fold evaluated against the struct's
+    ``array<double>`` codeword — bit-equal to the literal render
+    (same Python-float codewords, same slice offsets, same IEEE fold
+    order; unit-pinned). Applied to the QUERY side only, which is
+    small by construction, so the crossJoin is a free 1-row broadcast.
+    Returns (qtab_column, queries_with_book_column)."""
+    bk = queries.sparkSession.createDataFrame(
+        [
+            (
+                [
+                    (
+                        int(b["lo"]),
+                        [[float(x) for x in v] for _c, v in b["centroids"]],
+                    )
+                    for b in books
+                ],
+            )
+        ],
+        "_bk array<struct<lo:int, m:array<array<double>>>>",
+    )
+    qtab = F.expr(
+        "transform(`_bk`, b -> transform(b.m, r -> "
+        f"aggregate(zip_with(slice(`{vec_col}`, b.lo + 1, size(r)), r, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, t) -> acc + t)))"
+    )
+    return qtab, queries.crossJoin(F.broadcast(bk))
+
+
+def _books_elems(books: Codebooks) -> int:
+    """Total literal elements an ADC query table would inline."""
+    return sum(
+        len(b["centroids"]) * len(b["centroids"][0][1]) for b in books
+    )
+
+
 def _adc_score(scored: DataFrame, books: Codebooks, k: int) -> DataFrame:
     """Score (neighbor_id, codes, query_id, _qtab, _qn) rows: m table
     lookups for the partial dot, a literal codeword-norm fold for the
@@ -412,11 +454,18 @@ def pq_search_adc(
     broadcast; per-candidate work is m ``element_at`` lookups + one
     literal-table reconstructed-norm fold — independent of D. This is
     the flat (exhaustive-codes) scan; :func:`ivfpq_search` is the
-    cell-restricted composition.
+    cell-restricted composition. Past the plan-size envelope the query
+    table switches to :func:`_adc_query_table_broadcast` (bit-equal).
     """
-    q = queries.select(
+    from informixcdc_spark.functions.vector import MAX_LITERAL_MAT_ELEMS
+
+    if _books_elems(books) > MAX_LITERAL_MAT_ELEMS:
+        qtab, qsrc = _adc_query_table_broadcast(queries, books, vec_col)
+    else:
+        qtab, qsrc = _adc_query_table(books, vec_col), queries
+    q = qsrc.select(
         F.col(id_col).alias("query_id"),
-        _adc_query_table(books, vec_col).alias("_qtab"),
+        qtab.alias("_qtab"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
     scored = (
@@ -450,33 +499,62 @@ def ivfpq_search(
     the codes; per-candidate cost stays m lookups. At nprobe = n_cells
     this equals :func:`pq_search_adc` exactly (unit-tested).
     """
+    from informixcdc_spark.functions.vector import MAX_LITERAL_MAT_ELEMS
+
     qn = l2_norm(F.col(vec_col))
     # the coarse probe table is literal-heavy too (n_cells × D dots) —
     # one F.expr parse of a matrix fold, identical folds/values (see
-    # _adc_query_table); n_cells stays small so the struct wrap is cheap
+    # _adc_query_table); n_cells stays small so the struct wrap is
+    # cheap. Past the plan-size envelope the coarse codebook ships as
+    # a broadcast 1-row table instead (same struct shape, same folds —
+    # the query side is small, so the crossJoin is free).
     qn_sql = sql_l2_norm(vec_col)
     D = len(cell_centroids[0][1])
-    cells_arr = ",".join(
-        "named_struct('c', {cid}, 'cn', {cn}, 'v', array({vs}))".format(
-            cid=int(cid),
-            cn=dlit(sum(float(x) * float(x) for x in cvec) ** 0.5),
-            vs=",".join(dlit(x) for x in cvec),
+    qsrc = queries
+    if len(cell_centroids) * D > MAX_LITERAL_MAT_ELEMS:
+        cc = queries.sparkSession.createDataFrame(
+            [
+                (
+                    [
+                        (
+                            int(cid),
+                            sum(float(x) * float(x) for x in cvec) ** 0.5,
+                            [float(x) for x in cvec],
+                        )
+                        for cid, cvec in cell_centroids
+                    ],
+                )
+            ],
+            "_cc array<struct<c:int, cn:double, v:array<double>>>",
         )
-        for cid, cvec in cell_centroids
-    )
+        qsrc = qsrc.crossJoin(F.broadcast(cc))
+        cells_src = "`_cc`"
+    else:
+        cells_src = "array(" + ",".join(
+            "named_struct('c', {cid}, 'cn', {cn}, 'v', array({vs}))".format(
+                cid=int(cid),
+                cn=dlit(sum(float(x) * float(x) for x in cvec) ** 0.5),
+                vs=",".join(dlit(x) for x in cvec),
+            )
+            for cid, cvec in cell_centroids
+        ) + ")"
     cdot = (
         f"aggregate(zip_with(slice(`{vec_col}`, 1, {D}), e.v, "
         "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, t) -> acc + t)"
     )
     probes = F.expr(
-        f"transform(slice(sort_array(transform(array({cells_arr}), "
+        f"transform(slice(sort_array(transform({cells_src}, "
         f"e -> named_struct('negcos', -(CASE WHEN {qn_sql} > 0D THEN "
         f"{cdot} / ({qn_sql} * e.cn) ELSE 2.0D END), 'cell', e.c))), "
         f"1, {int(nprobe)}), s -> s.cell)"
     )
-    q = queries.select(
+    if _books_elems(books) > MAX_LITERAL_MAT_ELEMS:
+        qtab, qsrc = _adc_query_table_broadcast(qsrc, books, vec_col)
+    else:
+        qtab = _adc_query_table(books, vec_col)
+    q = qsrc.select(
         F.col(id_col).alias("query_id"),
-        _adc_query_table(books, vec_col).alias("_qtab"),
+        qtab.alias("_qtab"),
         qn.alias("_qn"),
         F.explode(probes).alias("cell"),
     )

@@ -2850,3 +2850,59 @@ def test_pq_encode_arrow_fallback_above_ceiling(spark, monkeypatch):
         "MapInPandas" in fell_back._jdf.queryExecution().executedPlan().toString()
     with _pytest.raises(ValueError, match="broadcast"):
         _argmin_code("embedding", 0, books[0]["centroids"])
+
+
+def test_adc_broadcast_fallback_bit_equal(spark, monkeypatch):
+    """pq_search_adc / ivfpq_search past the plan-size ceiling ship the
+    PQ books (and ivfpq's coarse codebook) as broadcast 1-row tables
+    instead of plan text — results must be BIT-EQUAL to the literal
+    render (same codeword floats, same slice offsets, same IEEE fold),
+    completing the envelope story for the ADC read path."""
+    import informixcdc_spark.functions.vector as vec
+    from informixcdc_spark.operators.quantization import (
+        ivfpq_search,
+        pq_encode,
+        pq_search_adc,
+        pq_train,
+    )
+    from informixcdc_spark.operators.similarity import ivf_cells
+
+    def v(i):
+        out = [0.0] * 8
+        out[i % 4] = 4.0
+        out[4 + i % 3] = 1.0
+        return out
+
+    rows = [(i, v(i)) for i in range(24)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(rows[:3], "vec_id long, embedding array<float>")
+    books = pq_train(corpus, m=2, codes=4, n_iter=1)
+    encoded = pq_encode(corpus, books)
+    cells = ivf_cells(corpus, n_centroids=4)
+    enc_cells = pq_encode(cells, books, keep_cols=("cell",))
+    cc = [(i, v(i)) for i in range(4)]  # ivf_cells' lowest-id codebook
+    want_flat = sorted(
+        map(tuple, pq_search_adc(queries, encoded, books, k=3).collect())
+    )
+    want_ivf = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                queries, enc_cells, books, cc, k=2, nprobe=4
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(vec, "MAX_LITERAL_MAT_ELEMS", 4)
+    got_flat = sorted(
+        map(tuple, pq_search_adc(queries, encoded, books, k=3).collect())
+    )
+    got_ivf = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                queries, enc_cells, books, cc, k=2, nprobe=4
+            ).collect(),
+        )
+    )
+    assert got_flat == want_flat
+    assert got_ivf == want_ivf

@@ -2906,3 +2906,68 @@ def test_adc_broadcast_fallback_bit_equal(spark, monkeypatch):
     )
     assert got_flat == want_flat
     assert got_ivf == want_ivf
+
+
+def test_scored_broadcast_elementwise_equals_literal(spark):
+    """Element-wise pin of the broadcast-codebook scored array against
+    the literal render for BOTH metrics, on awkward values (negatives,
+    exact zeros, a zero vector, a NULL vector, subnormal-ish smalls) —
+    the end-to-end fallback tests grade argmax/argmin outcomes, this
+    one grades every (cell, score) pair so a 1-ulp fold divergence
+    cannot hide behind a stable winner."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.operators.similarity import (
+        _cos_scored_sql,
+        _f32,
+        _py_l2,
+        _scored_broadcast,
+        dlit,
+    )
+    from informixcdc_spark.functions.vector import l2_norm, sql_dot_rows
+
+    rows = [
+        (0, [0.1, -2.5, 3.25]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [1e-30, -1e-30, 1.0]),
+        (4, [7.5, 0.125, -0.375]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = df.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("_norm")
+    )
+    cents = [
+        (0, [0.3, -0.7, 1.1]),
+        (1, [0.0, 0.0, 0.0]),  # zero centroid: NULL cosine everywhere
+        (2, [-1.25, 2.5, 0.5]),
+    ]
+    # cosine: literal render vs broadcast render, full arrays
+    lit = v.select(
+        "vec_id",
+        F.expr(_cos_scored_sql("embedding", "_norm", cents)).alias("_s"),
+    )
+    sql, vb = _scored_broadcast(v, "embedding", "_norm", cents, "cosine")
+    bc = vb.select("vec_id", F.expr(sql).alias("_s"))
+    got_l = {r["vec_id"]: [tuple(e) for e in (r["_s"] or [])] for r in lit.collect()}
+    got_b = {r["vec_id"]: [tuple(e) for e in (r["_s"] or [])] for r in bc.collect()}
+    assert got_l == got_b
+    # l2: replicate kmeans_centroids' literal l2 branch exactly
+    crows = [[_f32(x) for x in vec] for _cid, vec in cents]
+    meta = ",".join(
+        "named_struct('c', {c}, 'n2', {n2})".format(
+            c=int(cid), n2=dlit(_py_l2(row) * _py_l2(row))
+        )
+        for (cid, _vec), row in zip(cents, crows)
+    )
+    lit2_sql = (
+        f"zip_with({sql_dot_rows('embedding', crows)}, array({meta}), "
+        "(d, m) -> named_struct('c', m.c, 's', "
+        "(`_norm` * `_norm` + m.n2) - (2.0D * d)))"
+    )
+    lit2 = v.select("vec_id", F.expr(lit2_sql).alias("_s"))
+    sql2, vb2 = _scored_broadcast(v, "embedding", "_norm", cents, "l2")
+    bc2 = vb2.select("vec_id", F.expr(sql2).alias("_s"))
+    got_l2 = {r["vec_id"]: [tuple(e) for e in (r["_s"] or [])] for r in lit2.collect()}
+    got_b2 = {r["vec_id"]: [tuple(e) for e in (r["_s"] or [])] for r in bc2.collect()}
+    assert got_l2 == got_b2

@@ -120,10 +120,17 @@ class IncrementalPostingsIndex:
         st = self.store.read_state()
         return defaults if st is None else {**defaults, **st}
 
-    def _bkt(self):
+    def bucket_expr(self):
         """Term-bucket expression (Murmur3 with Spark's fixed seed —
-        batch and index always agree)."""
+        batch and index always agree). Public so a caller that already
+        collects its query-term probe can ride the bucket column along
+        in that ONE collect and hand :meth:`search` the distinct bucket
+        list (``query_buckets``), instead of search launching a second
+        tiny job for it."""
         return F.pmod(F.hash("term"), F.lit(self.n_buckets))
+
+    # backward-compatible alias (pre-round-11 internal name)
+    _bkt = bucket_expr
 
     def _read_segment(
         self, name, st: dict, buckets: list | None = None
@@ -279,6 +286,7 @@ class IncrementalPostingsIndex:
         b: float = B,
         exclude_self: bool = True,
         query_terms: DataFrame | None = None,
+        query_buckets: list | None = None,
     ) -> DataFrame:
         """Top-k BM25 documents per query document, over everything
         ingested so far — bit-equal to batch ``bm25_search`` on the
@@ -289,7 +297,12 @@ class IncrementalPostingsIndex:
         ``exclude_self`` as in :func:`..retrieval.bm25_topk`;
         ``query_terms`` optionally supplies the distinct
         ``(query_id, term)`` probe precomputed (shared with a batch
-        search over the same queries) instead of tokenizing them."""
+        search over the same queries) instead of tokenizing them.
+        ``query_buckets`` optionally supplies the probe terms'
+        :meth:`bucket_expr` values (must cover every query term — a
+        caller that collected the probe computes them in that same
+        collect); search then skips its own bucket job. Values outside
+        the index layout are harmless (the prune is ``isin``)."""
         st = self.read_state()
         qterms = (
             queries.select(
@@ -299,10 +312,16 @@ class IncrementalPostingsIndex:
             if query_terms is None
             else query_terms
         )
-        buckets = [
-            r[0]
-            for r in qterms.select(self._bkt().alias("_b")).distinct().collect()
-        ]
+        buckets = (
+            list(query_buckets)
+            if query_buckets is not None
+            else [
+                r[0]
+                for r in qterms.select(
+                    self.bucket_expr().alias("_b")
+                ).distinct().collect()
+            ]
+        )
         index = self.read_index(buckets=buckets)
         if index is None:
             # Schema must match the non-empty path exactly, including the

@@ -36,7 +36,7 @@ from informixcdc_spark.operators.curation import (
     sql_zorder_key,
 )
 from informixcdc_spark.operators.multimodal import payload_metadata, to_binary_payload
-from informixcdc_spark.operators.retrieval import bm25_search, sql_contribution
+from informixcdc_spark.operators.retrieval import sql_contribution
 from informixcdc_spark.operators.similarity import (
     ann_knn,
     brute_force_knn,
@@ -931,23 +931,66 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dense arms, over the documents table (query docs retrieve
     # their top-5 BM25 neighbors; scores ride in the score column)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qdocs = docs.where(F.col("doc_id") < 5)
+    # sbm25's incremental postings index ingests the same corpus in two
+    # ordered micro-batches (real segment writes + pointer commits
+    # through the state store); built here, BEFORE the batch arm,
+    # because its pointer document accumulates the corpus scalars both
+    # BM25 arms need (see below)
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    idx = IncrementalPostingsIndex(spark, _scratch("e07_sbm25", sf_dir))
+    st = idx.read_state()
+    if not st["segments"]:
+        # first build for this fixture only: warm invocations would
+        # re-run the half-split aggregate and two pointer-check replays
+        # for nothing (the index's batch-id idempotence makes them
+        # no-ops) — skipping them drops ~0.7 s of eager jobs per call
+        half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+        idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
+        idx.process_batch(docs.where(F.col("doc_id") > half), 1)
+        st = idx.read_state()
     # ONE query-side tokenize shared by the batch and streaming BM25
     # arms: the distinct (query_id, term) probe of the 5 query docs is
     # bounded by construction, so collect and re-lift it — both arms'
     # searches then consume the same LocalRelation instead of each
-    # re-tokenizing the query docs from parquet
-    qdocs = docs.where(F.col("doc_id") < 5)
-    qterms = spark.createDataFrame(
+    # re-tokenizing the query docs from parquet. The index's term-
+    # bucket column rides along in the SAME collect, so the streaming
+    # search skips the separate bucket job it would otherwise launch.
+    qrows = (
         qdocs.select(
             F.col("doc_id").alias("query_id"),
             F.explode(tokens(F.col("text"))).alias("term"),
         )
         .distinct()
-        .collect(),
-        "query_id long, term string",
+        .withColumn("_b", idx.bucket_expr())
+        .collect()
     )
-    sparse = bm25_search(
-        docs, qdocs, k=5, query_terms=qterms
+    qterms = spark.createDataFrame(
+        [(r.query_id, r.term) for r in qrows], "query_id long, term string"
+    )
+    qbuckets = sorted({r._b for r in qrows})
+    # batch-arm scoring calls bm25_topk directly: the two corpus
+    # scalars bm25_search would spend two eager jobs on (n_docs and
+    # Σtf, avgdl's terms) are already in the index's pointer document
+    # for the SAME corpus — stream search is pinned bit-equal to batch
+    # (tests/test_streaming.py), so st's scalars ARE the batch scalars
+    # (Σ dl ≡ Σ tf; zero-token docs count toward N on both paths), and
+    # the identical int/int Python division produces the identical
+    # avgdl double F.lit folds into the contribution expression
+    from informixcdc_spark.operators.retrieval import (
+        bm25_postings,
+        bm25_topk,
+        doc_frequency,
+    )
+
+    n_docs = st["n_docs"]
+    avgdl = st["total_tokens"] / n_docs if n_docs else 0.0
+    postings = bm25_postings(docs).persist()
+    sparse = bm25_topk(
+        postings, doc_frequency(postings), qterms, n_docs, avgdl, k=5
     ).select(
         F.lit("bm25").alias("mode"),
         "query_id",
@@ -956,25 +999,12 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("cosine"),
         F.lit(None).cast("int").alias("bucket"),
     )
-    # sbm25 arm: the incremental postings index ingests the same corpus
-    # in two ordered micro-batches (real segment writes + pointer
-    # commits through the state store); its pruned-probe search must be
-    # bit-equal to the batch arm — the stream/batch agreement contract,
-    # driver-graded like e03's 'inc' and e15's 'stream' arms
-    from informixcdc_spark.operators.streaming_text import (
-        IncrementalPostingsIndex,
-    )
-
-    idx = IncrementalPostingsIndex(spark, _scratch("e07_sbm25", sf_dir))
-    if not idx.read_state()["segments"]:
-        # first build for this fixture only: warm invocations would
-        # re-run the half-split aggregate and two pointer-check replays
-        # for nothing (the index's batch-id idempotence makes them
-        # no-ops) — skipping them drops ~0.7 s of eager jobs per call
-        half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
-        idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
-        idx.process_batch(docs.where(F.col("doc_id") > half), 1)
-    stream_sparse = idx.search(qdocs, k=5, query_terms=qterms).select(
+    # sbm25 arm: the pruned-probe search must be bit-equal to the batch
+    # arm — the stream/batch agreement contract, driver-graded like
+    # e03's 'inc' and e15's 'stream' arms
+    stream_sparse = idx.search(
+        qdocs, k=5, query_terms=qterms, query_buckets=qbuckets
+    ).select(
         F.lit("sbm25").alias("mode"),
         "query_id",
         "rank",

@@ -2287,6 +2287,61 @@ def test_postings_index_streaming_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, idx.search(q, k=5).collect())) == want
 
 
+def test_postings_search_precomputed_buckets(spark, tmp_path):
+    """search(query_buckets=...) — the caller-supplied bucket list
+    (computed via bucket_expr in the caller's own probe collect, the
+    e07 sharing path) is bit-equal to the self-collected path, and a
+    SUPERSET bucket list is harmless (the prune is isin)."""
+    from informixcdc_spark.functions.text import tokens
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
+    )
+
+    idx = IncrementalPostingsIndex(
+        spark, str(tmp_path / "post"), n_buckets=16, min_bucket_rows=0
+    )
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7}a w{i % 5}b shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx.process_batch(docs, 0)
+    q = docs.where(F.col("doc_id") < 3)
+    qrows = (
+        q.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .distinct()
+        .withColumn("_b", idx.bucket_expr())
+        .collect()
+    )
+    qterms = spark.createDataFrame(
+        [(r.query_id, r.term) for r in qrows], "query_id long, term string"
+    )
+    buckets = sorted({r._b for r in qrows})
+    want = sorted(map(tuple, idx.search(q, k=5).collect()))
+    got = sorted(
+        map(
+            tuple,
+            idx.search(
+                q, k=5, query_terms=qterms, query_buckets=buckets
+            ).collect(),
+        )
+    )
+    assert got == want
+    # superset buckets (extra ids, even outside the layout) change nothing
+    sup = buckets + [99, 100]
+    got2 = sorted(
+        map(
+            tuple,
+            idx.search(
+                q, k=5, query_terms=qterms, query_buckets=sup
+            ).collect(),
+        )
+    )
+    assert got2 == want
+
+
 def test_postings_index_pruned_search(spark, tmp_path):
     """The search path's scale contract: bucketed segments prune to the
     query terms' buckets (PartitionFilters on _bkt) — per-search index

@@ -116,6 +116,11 @@ class IncrementalPostingsIndex:
             # like the batch path's corpus_stats
             "n_docs": 0,
             "total_tokens": 0,
+            # data-column schema of every segment (captured from the
+            # first written batch): lets reads skip parquet
+            # footer-inference jobs. None on pre-round-11 state docs —
+            # those fall back to inference.
+            "schema_json": None,
         }
         st = self.store.read_state()
         return defaults if st is None else {**defaults, **st}
@@ -132,10 +137,34 @@ class IncrementalPostingsIndex:
     # backward-compatible alias (pre-round-11 internal name)
     _bkt = bucket_expr
 
+    def _segment_schema(self, name, st: dict) -> StructType | None:
+        """Explicit read schema for a segment, or None (pre-round-11
+        state docs) to fall back to footer inference. Bucketed segments
+        (any entry in ``segment_buckets`` — even a stale layout from a
+        since-changed ``n_buckets``) carry the ``_bkt`` partition
+        column; flat segments were written without it."""
+        sj = st.get("schema_json")
+        if not sj:
+            return None
+        import json
+
+        data = StructType.fromJson(json.loads(sj))
+        if st["segment_buckets"].get(str(name)) is not None:
+            return StructType(
+                data.fields + [StructField("_bkt", IntegerType())]
+            )
+        return data
+
     def _read_segment(
         self, name, st: dict, buckets: list | None = None
     ) -> DataFrame:
-        df = self.spark.read.parquet(self.store.path("postings", f"v{name}"))
+        reader = self.spark.read
+        schema = self._segment_schema(name, st)
+        if schema is not None:
+            # skips the footer-read schema-inference job per call — on
+            # the search path that's one job per segment per search
+            reader = reader.schema(schema)
+        df = reader.parquet(self.store.path("postings", f"v{name}"))
         if (
             buckets is not None
             and st["segment_buckets"].get(str(name)) == self.n_buckets
@@ -209,6 +238,7 @@ class IncrementalPostingsIndex:
         new_buckets = st["segment_buckets"]
         segments = st["segments"]
         seg_rows = st["segment_rows"]
+        schema_json = st["schema_json"]
         if n_rows > 0:  # all-empty-text batches still advance scalars
             new_buckets = self._write_segment(
                 postings, f"v{batch_id}", n_rows, st["segment_buckets"],
@@ -216,9 +246,13 @@ class IncrementalPostingsIndex:
             )
             segments = st["segments"] + [batch_id]
             seg_rows = {**st["segment_rows"], str(batch_id): n_rows}
+            # data columns only — _bkt is the partition column and is
+            # re-attached per segment layout at read time
+            schema_json = postings.drop("_bkt").schema.json()
         self.store.commit_state(
             {
                 **st,
+                "schema_json": schema_json,
                 "batch_id": batch_id,
                 "segments": segments,
                 "segment_rows": seg_rows,

@@ -107,6 +107,28 @@ def _steal_seconds() -> float:
         return -1.0
 
 
+def _max_job_id(spark) -> int:
+    """Highest Spark job id so far (monotonic, retention-proof — the
+    max of the retained ids IS the latest id). Per-query deltas count
+    jobs launched: a steal-INDEPENDENT fixed-overhead signal — eager
+    collects, schema-inference reads, and extra AQE materializations
+    show up as job-count regressions even when host noise swamps the
+    wall column. Via the UI REST API (statusTracker's group-scoped
+    listing misses streaming queries' job-grouped jobs). -1 when
+    unavailable."""
+    import urllib.request
+
+    try:
+        app_id = spark.sparkContext.applicationId
+        port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        url = f"http://127.0.0.1:{port}/api/v1/applications/{app_id}/jobs"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            jobs = json.load(r)
+        return max((int(j["jobId"]) for j in jobs), default=0)
+    except Exception:
+        return -1
+
+
 def _shuffle_write_bytes(spark) -> int:
     """Cumulative shuffle WRITE bytes over completed stages via the UI
     REST API (scale_bench.py's probe). Shuffle bytes are the scale
@@ -182,6 +204,7 @@ def main() -> None:
 
     shuffle_mb: dict[str, float] = {}
     steal_sec: dict[str, float] = {}
+    job_count: dict[str, int] = {}
     steal_start = _steal_seconds()
 
     for name in sorted(queries):
@@ -189,6 +212,7 @@ def main() -> None:
         best_bytes = -1
         for _ in range(reps):
             pre = _shuffle_write_bytes(spark)
+            jobs_pre = _max_job_id(spark)
             steal_pre = _steal_seconds()
             fut = pool.submit(run_once, name)
             try:
@@ -205,6 +229,13 @@ def main() -> None:
                 if pre >= 0 and post >= pre:
                     d = post - pre
                     best_bytes = d if best_bytes < 0 else min(best_bytes, d)
+                jobs_post = _max_job_id(spark)
+                if jobs_pre >= 0 and jobs_post >= jobs_pre:
+                    # min across reps: warm reps are the steady state
+                    # (first rep may pay one-time index/fixture builds)
+                    d = jobs_post - jobs_pre
+                    if name not in job_count or d < job_count[name]:
+                        job_count[name] = d
             except concurrent.futures.TimeoutError:
                 spark.sparkContext.cancelAllJobs()
                 errors[name] = f"timeout>{per_query_timeout}s"
@@ -284,6 +315,12 @@ def main() -> None:
                     # separation PERF.md §21 used to argue by hand
                     "steal_sec": dict(sorted(steal_sec.items())),
                     "steal_total_sec": steal_total,
+                    # min-across-reps Spark JOBS launched per query —
+                    # the steal-INDEPENDENT fixed-overhead signal: an
+                    # eager collect / inference read / extra AQE
+                    # materialization regresses this column even when
+                    # host noise swamps wall time
+                    "job_count": dict(sorted(job_count.items())),
                     # per-arm 1-rep seconds for multi-arm queries (see
                     # ARM_MODES) — attributes graded-arm overhead
                     "arm_sec": {n: arm_sec[n] for n in sorted(arm_sec)},

@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from informixcdc_spark.functions.vector import dot, l2_norm
-from informixcdc_spark.streaming.statestore import PosixStateStore, StateStore
+from informixcdc_spark.streaming.statestore import (
+    PosixStateStore,
+    StateStore,
+    segment_schema,
+)
 
 
 class IncrementalAnnIndex:
@@ -114,6 +118,10 @@ class IncrementalAnnIndex:
             # signal — unknown segments sort as largest
             "segment_rows": {},
             "compactions": 0,  # monotonic counter naming merged segments
+            # segment data-column schema (captured at write): reads pass
+            # it explicitly and skip the parquet footer-inference job
+            # per segment; None on pre-round-11 state docs (inference)
+            "schema_json": None,
         }
         st = self.store.read_state()
         # merge over defaults so a pointer written by an older engine
@@ -126,13 +134,26 @@ class IncrementalAnnIndex:
             "_cid INT, _cvec ARRAY<FLOAT>",
         ).withColumn("_cn", l2_norm(F.col("_cvec")))
 
-    def _read_segment(self, name) -> DataFrame:
+    def _seg_reader(self, st: dict | None):
+        """spark.read with the stored segment schema when available
+        (skips the footer-inference job; a stored schema with columns
+        an OLD segment lacks on disk reads them as NULL — parquet is
+        schema-on-read — which is exactly the ``_fit`` backfill below).
+        Pre-round-11 state docs (no stored schema) fall back to
+        inference."""
+        reader = self.spark.read
+        schema = segment_schema(
+            (st or {}).get("schema_json"), True, partition_field="cell"
+        )
+        return reader.schema(schema) if schema is not None else reader
+
+    def _read_segment(self, name, st: dict | None = None) -> DataFrame:
         """One segment projected onto the CURRENT column set. Segments
         written by an older engine version lack ``_fit`` (added round
         6); backfill it as NULL so unions across mixed-vintage segments
         never throw — the compatibility promise read_state makes for
         the pointer doc extends to the on-disk segments."""
-        df = self.spark.read.parquet(self.store.path("cells", f"v{name}"))
+        df = self._seg_reader(st).parquet(self.store.path("cells", f"v{name}"))
         if "_fit" not in df.columns:
             df = df.withColumn("_fit", F.lit(None).cast("double"))
         return df.select(self.id_col, self.vec_col, "_norm", "cell", "_fit")
@@ -144,10 +165,11 @@ class IncrementalAnnIndex:
         a cell predicate still prunes partitions inside every segment."""
         from functools import reduce
 
-        segs = self.read_state()["segments"]
+        st = self.read_state()
+        segs = st["segments"]
         if not segs:
             return None
-        parts = [self._read_segment(s) for s in segs]
+        parts = [self._read_segment(s, st) for s in segs]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     # -- per-batch ingestion ----------------------------------------------------
@@ -184,6 +206,10 @@ class IncrementalAnnIndex:
             .mode("overwrite")
             .parquet(path)
         )
+        # stash the data-column schema for the caller's pointer commit
+        # ("schema_json"): future reads pass it explicitly instead of
+        # paying a footer-inference job per segment
+        self._seg_schema_json = assigned.drop("cell").schema.json()
         if not self.track_dispersion:
             return None, None
         # read back with the writer's schema: an EMPTY batch writes only
@@ -218,8 +244,13 @@ class IncrementalAnnIndex:
                 # never append an empty segment (segment-count hygiene)
                 self.store.commit_state({**st, "batch_id": batch_id})
                 return
+            # staged segments were written from earlier batches of the
+            # SAME stream — the current batch's (id, vec) schema IS
+            # their schema, so pass it and skip the inference jobs
             staged = [
-                self.spark.read.parquet(self.store.path("staging", f"v{s}"))
+                self.spark.read.schema(batch.schema).parquet(
+                    self.store.path("staging", f"v{s}")
+                )
                 for s in st["staging"]
             ]
             n_staged = sum(s.count() for s in staged)
@@ -267,6 +298,7 @@ class IncrementalAnnIndex:
                     "codebook": codebook,
                     "train_disp": disp,
                     "last_disp": disp,
+                    "schema_json": self._seg_schema_json,
                 }
             )
             for s in st["staging"]:  # orphans if we crash first: harmless
@@ -291,6 +323,7 @@ class IncrementalAnnIndex:
                 "segments": st["segments"] + [batch_id],
                 "segment_rows": {**st["segment_rows"], str(batch_id): n},
                 "last_disp": disp,
+                "schema_json": self._seg_schema_json,
             }
             if st["train_disp"] is None and disp is not None:
                 # offline-trained codebook: no in-stream training pass
@@ -309,6 +342,7 @@ class IncrementalAnnIndex:
                 **st,
                 "batch_id": batch_id,
                 "segments": st["segments"] + [batch_id],
+                "schema_json": self._seg_schema_json,
             }
         self.store.commit_state(new_st)
         if (
@@ -363,7 +397,7 @@ class IncrementalAnnIndex:
             victims, survivors = list(segs), []
         merged_df = reduce(
             lambda a, b: a.unionByName(b),
-            [self._read_segment(s) for s in victims],
+            [self._read_segment(s, st) for s in victims],
         )
         merged = f"c{st['compactions']}"  # monotonic: never a live name
         (
@@ -384,6 +418,9 @@ class IncrementalAnnIndex:
                 "segments": survivors + [merged],
                 "segment_rows": new_rows,
                 "compactions": st["compactions"] + 1,
+                # compaction doubles as the schema-upgrade path: the
+                # merged rewrite is always under the CURRENT column set
+                "schema_json": merged_df.drop("cell").schema.json(),
             }
         )
         for s in victims:
@@ -428,6 +465,11 @@ class IncrementalAnnIndex:
                 "retrains": st["retrains"] + 1,
                 "train_disp": disp,
                 "last_disp": disp,
+                **(
+                    {"schema_json": self._seg_schema_json}
+                    if segments
+                    else {}
+                ),
             }
         )
         for s in old:
@@ -633,8 +675,8 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
             keep_cols=("cell", "_fit"),
         )
 
-    def _read_segment(self, name) -> DataFrame:
-        df = self.spark.read.parquet(self.store.path("cells", f"v{name}"))
+    def _read_segment(self, name, st: dict | None = None) -> DataFrame:
+        df = self._seg_reader(st).parquet(self.store.path("cells", f"v{name}"))
         return df.select(self.id_col, "codes", "cell", "_fit")
 
     def retrain(self, sample: DataFrame) -> None:
@@ -749,6 +791,7 @@ class IncrementalPqAnnIndex(IncrementalAnnIndex):
                 "retrains": st["retrains"] + 1,
                 "train_disp": disp,
                 "last_disp": disp,
+                "schema_json": self._seg_schema_json,
             }
         )
         self.books = new_books

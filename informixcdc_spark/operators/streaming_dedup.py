@@ -57,7 +57,11 @@ from informixcdc_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_bands,
 )
-from informixcdc_spark.streaming.statestore import PosixStateStore, StateStore
+from informixcdc_spark.streaming.statestore import (
+    PosixStateStore,
+    StateStore,
+    segment_schema,
+)
 
 
 class IncrementalDedupIndex:
@@ -141,6 +145,12 @@ class IncrementalDedupIndex:
             "compactions": 0,  # monotonic counter naming merged segments
         }
         defaults["segment_buckets"] = {}  # str(name) -> n_buckets it was written with
+        # band-segment / dups data-column schemas (captured at first
+        # write): reads pass them explicitly and skip the parquet
+        # footer-inference job per segment read. None on pre-round-11
+        # state docs — those fall back to inference.
+        defaults["schema_json"] = None
+        defaults["dups_schema_json"] = None
         st = self.store.read_state()
         return defaults if st is None else {**defaults, **st}
 
@@ -157,7 +167,15 @@ class IncrementalDedupIndex:
         ``buckets``; unbucketed (pre-upgrade) or differently-bucketed
         segments read unpruned — correct either way, because the bucket
         filter only ever skips rows the band equi-join could not match."""
-        df = self.spark.read.parquet(self.store.path("bands", f"v{name}"))
+        reader = self.spark.read
+        schema = segment_schema(
+            st.get("schema_json"),
+            st["segment_buckets"].get(str(name)) is not None,
+        )
+        if schema is not None:
+            # skips the footer-read schema-inference job per segment
+            reader = reader.schema(schema)
+        df = reader.parquet(self.store.path("bands", f"v{name}"))
         if (
             buckets is not None
             and st["segment_buckets"].get(str(name)) == self.n_buckets
@@ -178,7 +196,11 @@ class IncrementalDedupIndex:
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def read_dups(self, batch_id: int) -> DataFrame:
-        return self.spark.read.parquet(self.store.path("dups", f"v{batch_id}"))
+        reader = self.spark.read
+        schema = segment_schema(self.read_state().get("dups_schema_json"), False)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.store.path("dups", f"v{batch_id}"))
 
     # -- per-batch admission ----------------------------------------------------
     def _batch_bands(self, batch_df: DataFrame) -> DataFrame:
@@ -310,7 +332,10 @@ class IncrementalDedupIndex:
             self.store.path("dups", f"v{batch_id}")
         )
 
-        dup_ids = self.spark.read.parquet(
+        # re-read WITH the writer's schema (no inference job); the
+        # round-trip through parquet (not the live plan) is what makes
+        # the verdicts stable across the two consumers below
+        dup_ids = self.spark.read.schema(dups.schema).parquet(
             self.store.path("dups", f"v{batch_id}")
         ).select(self.id_col)
         novel_bands = bands.join(dup_ids, [self.id_col], "left_anti")
@@ -318,8 +343,15 @@ class IncrementalDedupIndex:
         if n_novel == 0:
             # every doc was a dup (or the batch was empty): advance the
             # pointer but never append an empty segment — segment-count
-            # hygiene exactly where compaction pressure matters
-            self.store.commit_state({**st, "batch_id": batch_id})
+            # hygiene exactly where compaction pressure matters (the
+            # dups document WAS written above, so its schema commits)
+            self.store.commit_state(
+                {
+                    **st,
+                    "batch_id": batch_id,
+                    "dups_schema_json": dups.schema.json(),
+                }
+            )
             bands.unpersist()
             return
         new_buckets = self._write_bands(
@@ -335,6 +367,10 @@ class IncrementalDedupIndex:
                     **st["segment_rows"], str(batch_id): n_novel
                 },
                 "segment_buckets": new_buckets,
+                # data columns only — _bkt is re-attached per segment
+                # layout at read time (statestore.segment_schema)
+                "schema_json": novel_bands.drop("_bkt").schema.json(),
+                "dups_schema_json": dups.schema.json(),
             }
         )
         bands.unpersist()

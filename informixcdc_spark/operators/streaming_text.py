@@ -62,7 +62,11 @@ from informixcdc_spark.operators.retrieval import (
     bm25_postings,
     bm25_topk,
 )
-from informixcdc_spark.streaming.statestore import PosixStateStore, StateStore
+from informixcdc_spark.streaming.statestore import (
+    PosixStateStore,
+    StateStore,
+    segment_schema,
+)
 
 
 class IncrementalPostingsIndex:
@@ -137,29 +141,14 @@ class IncrementalPostingsIndex:
     # backward-compatible alias (pre-round-11 internal name)
     _bkt = bucket_expr
 
-    def _segment_schema(self, name, st: dict) -> StructType | None:
-        """Explicit read schema for a segment, or None (pre-round-11
-        state docs) to fall back to footer inference. Bucketed segments
-        (any entry in ``segment_buckets`` — even a stale layout from a
-        since-changed ``n_buckets``) carry the ``_bkt`` partition
-        column; flat segments were written without it."""
-        sj = st.get("schema_json")
-        if not sj:
-            return None
-        import json
-
-        data = StructType.fromJson(json.loads(sj))
-        if st["segment_buckets"].get(str(name)) is not None:
-            return StructType(
-                data.fields + [StructField("_bkt", IntegerType())]
-            )
-        return data
-
     def _read_segment(
         self, name, st: dict, buckets: list | None = None
     ) -> DataFrame:
         reader = self.spark.read
-        schema = self._segment_schema(name, st)
+        schema = segment_schema(
+            st.get("schema_json"),
+            st["segment_buckets"].get(str(name)) is not None,
+        )
         if schema is not None:
             # skips the footer-read schema-inference job per call — on
             # the search path that's one job per segment per search

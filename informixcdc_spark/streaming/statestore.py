@@ -302,6 +302,35 @@ class HadoopFsStateStore(ManifestStateStore):
         self._fs.delete(self._jPath(path), False)
 
 
+def segment_schema(
+    schema_json: str | None, bucketed: bool, partition_field: str = "_bkt"
+):
+    """Rebuild a segment's explicit read schema from the JSON the index
+    stored in its pointer document at write time, or None (pre-round-11
+    state docs) to fall back to parquet footer inference.
+
+    Shared by the three incremental indexes (dedup bands, ANN cells,
+    BM25 postings): each stores its segments' DATA-column schema once —
+    captured from the actually-written DataFrame, so it reproduces
+    exactly what Spark's own reader would infer — and reads pass it
+    explicitly, skipping the footer-read inference job per
+    ``spark.read.parquet`` call. ``bucketed`` segments (an entry in the
+    index's ``segment_buckets`` map, even a stale layout from a
+    since-changed fan-out) carry the integer ``partition_field``
+    partition column (``_bkt`` for the term/band layouts, ``cell`` for
+    the ANN index); flat segments were written without it."""
+    if not schema_json:
+        return None
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    data = StructType.fromJson(json.loads(schema_json))
+    if bucketed:
+        return StructType(
+            data.fields + [StructField(partition_field, IntegerType())]
+        )
+    return data
+
+
 def _is_java_exc(e: Exception, *needles: str) -> bool:
     """True when a py4j-wrapped Java exception (or its message) names
     any of ``needles`` — used to normalize Hadoop's exceptions onto the

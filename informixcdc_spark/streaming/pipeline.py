@@ -46,6 +46,7 @@ plain parquet.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 
@@ -134,7 +135,16 @@ class Materializer:
         st = self.read_state()
         if st["pending_version"] < 0:
             return None
-        return self.spark.read.parquet(self._pending_snap(st["pending_version"]))
+        # the pending snapshot's schema commits in the SAME pointer doc
+        # that names it (process_batch), so reading with it is always
+        # consistent — and skips the footer-inference job the
+        # materializer would otherwise pay every micro-batch; pre-r11
+        # state docs (no stored schema) fall back to inference
+        reader = self.spark.read
+        sj = st.get("pending_schema_json")
+        if sj:
+            reader = reader.schema(StructType.fromJson(json.loads(sj)))
+        return reader.parquet(self._pending_snap(st["pending_version"]))
 
     def _bucket_expr(self, cols: Sequence) -> Column:
         return F.pmod(F.hash(*cols), F.lit(self.n_buckets))
@@ -337,6 +347,10 @@ class Materializer:
             "last_committed_seq": max(last_seq, int(new_last)),
             "buckets": buckets,
             "pending_version": batch_id,
+            # the snapshot's schema rides the pointer that names it:
+            # read_pending skips footer inference, and a mid-stream
+            # schema evolution stays consistent (both commit together)
+            "pending_schema_json": new_pending.schema.json(),
             "open_txids": [int(t) for t in open_txids],
         }
         if schema_epoch is not None:
@@ -455,7 +469,13 @@ class ViewMaterializer:
         vst = self.read_view_state()
         if vst["batch_id"] < 0:
             return None
-        state = self.spark.read.parquet(self._view_snap(vst["batch_id"]))
+        # same contract as read_pending: the snapshot schema commits in
+        # the pointer that names it, so the read skips footer inference
+        reader = self.spark.read
+        sj = vst.get("schema_json")
+        if sj:
+            reader = reader.schema(StructType.fromJson(json.loads(sj)))
+        state = reader.parquet(self._view_snap(vst["batch_id"]))
         return finalize_view(state, self.measures) if finalized else state
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -492,7 +512,9 @@ class ViewMaterializer:
             # write from pre-state paths BEFORE the table advances (the
             # table's GC may delete the buckets this plan reads)
             new_view.write.mode("overwrite").parquet(self._view_snap(batch_id))
-            self.view_store.commit_state({"batch_id": batch_id})
+            self.view_store.commit_state(
+                {"batch_id": batch_id, "schema_json": new_view.schema.json()}
+            )
 
         self.table.process_batch(batch_df, batch_id)
 

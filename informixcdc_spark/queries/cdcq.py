@@ -97,10 +97,18 @@ def c02_cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the log feeds TWO applies (base + doubled replay); materialize the
     # derivation once instead of recomputing it per subtree (~15% at
     # sf0.1). Fixture-only trade: a real deployment's log is already
-    # materialized storage, so the scan itself is the cache.
-    log = log.localCheckpoint(eager=True)
-    orders = log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
-    mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
+    # materialized storage, so the scan itself is the cache. The
+    # checkpoint materialization and the watermark aggregate are
+    # independent jobs — overlap them (guide §2.6).
+    from informixcdc_spark.session import overlap_jobs
+
+    derived = log
+    log, mid = overlap_jobs(
+        lambda: derived.localCheckpoint(eager=True),
+        lambda: spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg((F.max("o_orderkey") / 2).cast("long"))
+        .collect()[0][0],
+    )
     watermark = mid * 10 + 9  # commit seq of txn `mid`
     # base: what the first run materialized up to the watermark (the
     # conflict txns all commit past it, so they replay entirely on
@@ -206,8 +214,16 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.cdc.compact import compact_changelog
     from informixcdc_spark.cdc.history import history_table
 
-    # seven arms read the derived log; materialize it once (see c02)
-    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    # seven arms read the derived log; materialize it once (see c02) —
+    # overlapped with the watermark aggregate, an independent job
+    from informixcdc_spark.session import overlap_jobs
+
+    log, mid = overlap_jobs(
+        lambda: orders_changelog(spark, sf_dir).localCheckpoint(eager=True),
+        lambda: spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg((F.max("o_orderkey") / 2).cast("long"))
+        .collect()[0][0],
+    )
     rs = restart_state(log)
     open_tx = open_transactions(log)
     null_tx = F.lit(None).cast("long").alias("transaction_id")
@@ -225,8 +241,6 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("begin_seq").alias("seq"),
     )
 
-    orders = log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
-    mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
     hist = history_table(log, ["o_orderkey"])
     snap, tail = compact_changelog(log, ["o_orderkey"], mid * 10 + 9)
 

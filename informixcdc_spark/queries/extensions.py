@@ -902,15 +902,72 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate kNN (the scale path: each query scores only its
     hyperplane-sign bucket, ~1/2^planes of the corpus) in one tagged
     result (r1's e07 + e08 merged for the driver's grading window)."""
+    from informixcdc_spark.session import overlap_jobs
+
     emb = load_table(spark, sf_dir, "embeddings")
+
     # the query fixture is 10 rows by construction: collect it ONCE and
     # re-lift as a LocalRelation so the exact/lsh/rp arms each broadcast
     # it without re-scanning the embeddings parquet per arm (round-10
     # verdict item #5 — e07 arm-overhead sharing); float32 values
     # round-trip the Row boundary bit-exactly under the same schema
-    queries = spark.createDataFrame(
-        emb.where(F.col("vec_id") < 10).collect(), emb.schema
+    def _qfix() -> DataFrame:
+        return spark.createDataFrame(
+            emb.where(F.col("vec_id") < 10).collect(), emb.schema
+        )
+
+    # bm25 arm: sparse lexical retrieval — the inverted-index twin of
+    # the dense arms, over the documents table (query docs retrieve
+    # their top-5 BM25 neighbors; scores ride in the score column)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qdocs = docs.where(F.col("doc_id") < 5)
+    # sbm25's incremental postings index ingests the same corpus in two
+    # ordered micro-batches (real segment writes + pointer commits
+    # through the state store); built here, BEFORE the batch arm,
+    # because its pointer document accumulates the corpus scalars both
+    # BM25 arms need (see below)
+    from informixcdc_spark.operators.streaming_text import (
+        IncrementalPostingsIndex,
     )
+
+    def _probe():
+        idx = IncrementalPostingsIndex(spark, _scratch("e07_sbm25", sf_dir))
+        st = idx.read_state()
+        if not st["segments"]:
+            # first build for this fixture only: warm invocations would
+            # re-run the half-split aggregate and two pointer-check replays
+            # for nothing (the index's batch-id idempotence makes them
+            # no-ops) — skipping them drops ~0.7 s of eager jobs per call
+            half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+            idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
+            idx.process_batch(docs.where(F.col("doc_id") > half), 1)
+            st = idx.read_state()
+        # ONE query-side tokenize shared by the batch and streaming BM25
+        # arms: the distinct (query_id, term) probe of the 5 query docs is
+        # bounded by construction, so collect and re-lift it — both arms'
+        # searches then consume the same LocalRelation instead of each
+        # re-tokenizing the query docs from parquet. The index's term-
+        # bucket column rides along in the SAME collect, so the streaming
+        # search skips the separate bucket job it would otherwise launch.
+        qrows = (
+            qdocs.select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(tokens(F.col("text"))).alias("term"),
+            )
+            .distinct()
+            .withColumn("_b", idx.bucket_expr())
+            .collect()
+        )
+        return idx, st, qrows
+
+    # the dense-side fixture collect and the sparse-side index probe +
+    # query tokenize are independent eager jobs — overlap them (guide
+    # §2.6); both collects return the identical rows either way
+    queries, (idx, st, qrows) = overlap_jobs(_qfix, _probe)
+    qterms = spark.createDataFrame(
+        [(r.query_id, r.term) for r in qrows], "query_id long, term string"
+    )
+    qbuckets = sorted({r._b for r in qrows})
     exact = brute_force_knn(emb, queries, k=5).select(
         F.lit("exact").alias("mode"),
         "query_id",
@@ -927,51 +984,6 @@ def e07_knn_exact_and_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "bucket",
     )
-    # bm25 arm: sparse lexical retrieval — the inverted-index twin of
-    # the dense arms, over the documents table (query docs retrieve
-    # their top-5 BM25 neighbors; scores ride in the score column)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qdocs = docs.where(F.col("doc_id") < 5)
-    # sbm25's incremental postings index ingests the same corpus in two
-    # ordered micro-batches (real segment writes + pointer commits
-    # through the state store); built here, BEFORE the batch arm,
-    # because its pointer document accumulates the corpus scalars both
-    # BM25 arms need (see below)
-    from informixcdc_spark.operators.streaming_text import (
-        IncrementalPostingsIndex,
-    )
-
-    idx = IncrementalPostingsIndex(spark, _scratch("e07_sbm25", sf_dir))
-    st = idx.read_state()
-    if not st["segments"]:
-        # first build for this fixture only: warm invocations would
-        # re-run the half-split aggregate and two pointer-check replays
-        # for nothing (the index's batch-id idempotence makes them
-        # no-ops) — skipping them drops ~0.7 s of eager jobs per call
-        half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
-        idx.process_batch(docs.where(F.col("doc_id") <= half), 0)
-        idx.process_batch(docs.where(F.col("doc_id") > half), 1)
-        st = idx.read_state()
-    # ONE query-side tokenize shared by the batch and streaming BM25
-    # arms: the distinct (query_id, term) probe of the 5 query docs is
-    # bounded by construction, so collect and re-lift it — both arms'
-    # searches then consume the same LocalRelation instead of each
-    # re-tokenizing the query docs from parquet. The index's term-
-    # bucket column rides along in the SAME collect, so the streaming
-    # search skips the separate bucket job it would otherwise launch.
-    qrows = (
-        qdocs.select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(tokens(F.col("text"))).alias("term"),
-        )
-        .distinct()
-        .withColumn("_b", idx.bucket_expr())
-        .collect()
-    )
-    qterms = spark.createDataFrame(
-        [(r.query_id, r.term) for r in qrows], "query_id long, term string"
-    )
-    qbuckets = sorted({r._b for r in qrows})
     # batch-arm scoring calls bm25_topk directly: the two corpus
     # scalars bm25_search would spend two eager jobs on (n_docs and
     # Σtf, avgdl's terms) are already in the index's pointer document
@@ -1612,13 +1624,22 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The weak label reuses heur's token pass (`toked`/`score`) — the
     # corpus is never re-tokenized just to derive _y.
     from informixcdc_spark.operators.classify import nb_train_score
+    from informixcdc_spark.session import overlap_jobs
 
     labeled = toked.select(
         "doc_id",
         "text",
         F.when(score >= 0.7, "keep").otherwise("drop").alias("_y"),
     )
-    nb = nb_train_score(labeled, "_y", "text", labels=["drop", "keep"])
+
+    # NB training (label/prior/likelihood collects) and the LM chain
+    # (trigram counts → persisted bigram scoring pass → threshold
+    # collect) are independent eager job sequences over the same corpus
+    # — overlap them on driver threads (guide §2.6); the collected
+    # models and every derived expression are bit-identical to the
+    # sequential build.
+    def _nb() -> DataFrame:
+        return nb_train_score(labeled, "_y", "text", labels=["drop", "keep"])
     # interpolated trigram LM beside the bigram (operators/lm.py):
     # ONE trigram_lm training pass yields every model table — the
     # bigram scorer consumes its (counts, ctx, V) directly, so the
@@ -1629,31 +1650,38 @@ def e10_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigram_lm,
     )
 
-    model = trigram_lm(docs)
-    _, _, bg_counts, bg_ctx, _, _, vocab = model
-    # CCNet head/middle/tail buckets (round 9/10): tercile thresholds
-    # are order statistics of a sampled scoring pass whose modulus
-    # SCALES with the corpus (max(1, n // 2000) — a bounded ~2000-doc
-    # sample at any scale, never a constant fraction), collected as two
-    # literals; the bucket label itself is a row-local CASE. The bigram
-    # scoring pass runs ONCE: ce_all is persisted (narrow 3-column
-    # frame), the threshold sample is a FILTER of it rather than a
-    # second explode+join chain, and the final collect reads the cache.
-    # n_docs is a parquet count-star (metadata-cheap).
-    n_docs = docs.count()
-    mod = max(1, n_docs // _PPL_SAMPLE_TARGET)
-    # persisted, NOT localCheckpoint (r11, answering r10 ADVICE): both
-    # consumers (threshold sample collect + the final bucket join) read
-    # one materialized pass, and CacheManager dedups identical analyzed
-    # plans — repeated e10 invocations on the same fixture reuse ONE
-    # entry instead of accumulating blocks (verified: 3 persist() of
-    # one plan -> 1 cached RDD; the lm.py token-cache convention),
-    # where a localCheckpoint would eagerly re-materialize per call.
-    ce_all = lm_cross_entropy(docs, bg_counts, bg_ctx, vocab).persist()
-    ce_samp = ce_all.where(F.col("doc_id") % mod == 0)
+    def _lm() -> tuple[DataFrame, DataFrame]:
+        model = trigram_lm(docs)
+        _, _, bg_counts, bg_ctx, _, _, vocab = model
+        # CCNet head/middle/tail buckets (round 9/10): tercile thresholds
+        # are order statistics of a sampled scoring pass whose modulus
+        # SCALES with the corpus (max(1, n // 2000) — a bounded ~2000-doc
+        # sample at any scale, never a constant fraction), collected as two
+        # literals; the bucket label itself is a row-local CASE. The bigram
+        # scoring pass runs ONCE: ce_all is persisted (narrow 3-column
+        # frame), the threshold sample is a FILTER of it rather than a
+        # second explode+join chain, and the final collect reads the cache.
+        # n_docs is a parquet count-star (metadata-cheap).
+        n_docs = docs.count()
+        mod = max(1, n_docs // _PPL_SAMPLE_TARGET)
+        # persisted, NOT localCheckpoint (r11, answering r10 ADVICE): both
+        # consumers (threshold sample collect + the final bucket join) read
+        # one materialized pass, and CacheManager dedups identical analyzed
+        # plans — repeated e10 invocations on the same fixture reuse ONE
+        # entry instead of accumulating blocks (verified: 3 persist() of
+        # one plan -> 1 cached RDD; the lm.py token-cache convention),
+        # where a localCheckpoint would eagerly re-materialize per call.
+        ce_all = lm_cross_entropy(docs, bg_counts, bg_ctx, vocab).persist()
+        ce_samp = ce_all.where(F.col("doc_id") % mod == 0)
+        return (
+            bucket_by_perplexity(ce_all, sample=ce_samp),
+            lm3_cross_entropy(docs, model),
+        )
+
+    nb, (bucket, lm3) = overlap_jobs(_nb, _lm)
     return (
-        heur.join(bucket_by_perplexity(ce_all, sample=ce_samp), "doc_id", "left")
-        .join(lm3_cross_entropy(docs, model), "doc_id", "left")
+        heur.join(bucket, "doc_id", "left")
+        .join(lm3, "doc_id", "left")
         .join(nb, "doc_id", "left")
     )
 
@@ -2108,11 +2136,22 @@ def e13_multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.similarity import ivf_cells_kmeans
+    from informixcdc_spark.session import overlap_jobs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ivf = ivf_knn(emb, query_max_id=10, k=3, n_centroids=8).select(
-        F.lit("ivf").alias("mode"), "*"
-    )
+
+    # Each arm's construction runs its own eager training chain (IVF and
+    # kmeans Lloyd passes, the stream index's state probe, PQ codebook
+    # training, SQ min/max bounds) — five independent job sequences that
+    # the bench showed dominate the query's wall (the union's execution
+    # is sub-second once built). They share only lazy plans (emb/synth/
+    # corp), so overlapping them on driver threads (guide §2.6) leaves
+    # every collected codebook and every arm expression bit-identical.
+    def _ivf() -> DataFrame:
+        return ivf_knn(emb, query_max_id=10, k=3, n_centroids=8).select(
+            F.lit("ivf").alias("mode"), "*"
+        )
+
     # kmeans arm: deterministic clusterable fixture from vec_id alone
     i = F.col("vec_id")
     synth = emb.select(
@@ -2125,18 +2164,20 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("float"),
         ).alias("embedding"),
     )
+
     # n_iter=2: assignment is provably stable after iteration 1 on this
     # fixture (cos ≥ 16/17 vs ≤ 1/17), so the second iteration already
     # demonstrates assign→mean→reassign convergence; more only adds
     # fixed job overhead to the benched arm
-    km = ivf_cells_kmeans(synth, n_centroids=8, n_iter=2).select(
-        F.lit("kmeans").alias("mode"),
-        F.col("vec_id").alias("query_id"),
-        F.lit(0).cast("int").alias("rank"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.lit(None).cast("double").alias("cosine"),
-        F.col("cell").cast("long").alias("cell"),
-    )
+    def _km() -> DataFrame:
+        return ivf_cells_kmeans(synth, n_centroids=8, n_iter=2).select(
+            F.lit("kmeans").alias("mode"),
+            F.col("vec_id").alias("query_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.col("cell").cast("long").alias("cell"),
+        )
     # stream arm (r5 verdict: driver-grade the incremental index; r10:
     # driven through a REAL readStream rather than direct process_batch
     # calls, so the graded arm exercises the actual checkpointed
@@ -2160,50 +2201,55 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from informixcdc_spark.operators.streaming_ann import IncrementalAnnIndex
 
-    scratch = _scratch("e15_stream", sf_dir)
-    idx = IncrementalAnnIndex(
-        spark,
-        scratch,
-        n_centroids=8,
-        track_dispersion=False,
-        codebook=[
-            [c, [1.0 if d == c else 0.0 for d in range(13)]] for c in range(8)
-        ],
-    )
     vid = F.col("vec_id")
-    src = _os.path.join(scratch, "stream_src")
-    ckpt = _os.path.join(scratch, "stream_ckpt")
-    if not _os.path.exists(src):
-        synth.where(vid < 1024).coalesce(1).write.mode("append").parquet(src)
-        synth.where((vid >= 1024) & (vid < 2048)).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    if idx.read_state()["batch_id"] < 1:
-        # both one-file batches not yet consumed for this fixture:
-        # run the real checkpointed ingest. Warm invocations skip the
-        # no-op stream restart entirely (starting+stopping an
-        # availableNow query costs ~1 s even with zero new files);
-        # a crash mid-ingest leaves batch_id < 1 and resumes here.
-        vec_stream = (
-            spark.readStream.schema(synth.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
+
+    def _stream() -> DataFrame:
+        scratch = _scratch("e15_stream", sf_dir)
+        idx = IncrementalAnnIndex(
+            spark,
+            scratch,
+            n_centroids=8,
+            track_dispersion=False,
+            codebook=[
+                [c, [1.0 if d == c else 0.0 for d in range(13)]]
+                for c in range(8)
+            ],
         )
-        if not idx.ingest_stream(vec_stream, ckpt).awaitTermination(300):
-            # availableNow terminates on its own; a False return means
-            # the ingest is STILL RUNNING after 300 s — fail loudly
-            # instead of silently grading a partially ingested index.
-            raise TimeoutError(
-                "e15 stream arm: ingest did not finish in 300 s"
+        src = _os.path.join(scratch, "stream_src")
+        ckpt = _os.path.join(scratch, "stream_ckpt")
+        if not _os.path.exists(src):
+            synth.where(vid < 1024).coalesce(1).write.mode("append").parquet(
+                src
             )
-    stream = idx.search(synth.where(vid < 10), k=3, nprobe=8).select(
-        F.lit("stream").alias("mode"),
-        "query_id",
-        "rank",
-        "neighbor_id",
-        "cosine",
-        F.lit(None).cast("long").alias("cell"),
-    )
+            synth.where((vid >= 1024) & (vid < 2048)).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        if idx.read_state()["batch_id"] < 1:
+            # both one-file batches not yet consumed for this fixture:
+            # run the real checkpointed ingest. Warm invocations skip the
+            # no-op stream restart entirely (starting+stopping an
+            # availableNow query costs ~1 s even with zero new files);
+            # a crash mid-ingest leaves batch_id < 1 and resumes here.
+            vec_stream = (
+                spark.readStream.schema(synth.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            if not idx.ingest_stream(vec_stream, ckpt).awaitTermination(300):
+                # availableNow terminates on its own; a False return means
+                # the ingest is STILL RUNNING after 300 s — fail loudly
+                # instead of silently grading a partially ingested index.
+                raise TimeoutError(
+                    "e15 stream arm: ingest did not finish in 300 s"
+                )
+        return idx.search(synth.where(vid < 10), k=3, nprobe=8).select(
+            F.lit("stream").alias("mode"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            F.lit(None).cast("long").alias("cell"),
+        )
     # pq arm (round 6): product quantization end-to-end — train per-
     # subspace L2 codebooks on the SAME separable fixture (subspace
     # [0,8) holds exactly 8 distinct subvectors, [8,13) exactly 5, so
@@ -2223,17 +2269,42 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synth projection is a trivial scan and the cost is the graded
     # arms' job count, which amortizes at real scale)
     corp = synth.where(vid < 1024)
-    books = pq_train(corp, splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1)
-    pq = pq_search_adc(
-        synth.where(vid < 10), pq_encode(corp, books), books, k=3
-    ).select(
-        F.lit("pq").alias("mode"),
-        "query_id",
-        "rank",
-        "neighbor_id",
-        "cosine",
-        F.lit(None).cast("long").alias("cell"),
-    )
+
+    def _pq_ivfpq() -> tuple[DataFrame, DataFrame]:
+        from informixcdc_spark.operators.quantization import ivfpq_search
+
+        books = pq_train(
+            corp, splits=[(0, 8), (8, 13)], codes=[8, 5], n_iter=1
+        )
+        pq = pq_search_adc(
+            synth.where(vid < 10), pq_encode(corp, books), books, k=3
+        ).select(
+            F.lit("pq").alias("mode"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            F.lit(None).cast("long").alias("cell"),
+        )
+        coarse = [
+            (c, [1.0 if d == c else 0.0 for d in range(13)]) for c in range(8)
+        ]
+        enc_cells = pq_encode(
+            corp.withColumn("cell", (vid % 8).cast("int")),
+            books,
+            keep_cols=("cell",),
+        )
+        ivfpq = ivfpq_search(
+            synth.where(vid < 10), enc_cells, books, coarse, k=3, nprobe=1
+        ).select(
+            F.lit("ivfpq").alias("mode"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            F.lit(None).cast("long").alias("cell"),
+        )
+        return pq, ivfpq
     # ivfpq arm (round 7): the COMPOSED FAISS IVFPQ shape driver-graded
     # at nprobe=1 — coarse-quantize to one-hot cells (cell of vector i
     # is i % 8, dominant-dim separability again), PQ-encode carrying the
@@ -2244,25 +2315,7 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force top-3 — the closed form the oracle states — while the
     # plan actually prunes to ~1/8 of the codes (the 100 TB point of the
     # composition). Shares books and corp with the pq arm: one extra
-    # equi-join, no extra training.
-    from informixcdc_spark.operators.quantization import ivfpq_search
-
-    coarse = [(c, [1.0 if d == c else 0.0 for d in range(13)]) for c in range(8)]
-    enc_cells = pq_encode(
-        corp.withColumn("cell", (vid % 8).cast("int")),
-        books,
-        keep_cols=("cell",),
-    )
-    ivfpq = ivfpq_search(
-        synth.where(vid < 10), enc_cells, books, coarse, k=3, nprobe=1
-    ).select(
-        F.lit("ivfpq").alias("mode"),
-        "query_id",
-        "rank",
-        "neighbor_id",
-        "cosine",
-        F.lit(None).cast("long").alias("cell"),
-    )
+    # equi-join, no extra training — built inside _pq_ivfpq above.
     # sq arm (round 8): scalar quantization, the per-DIMENSION affine
     # byte-code compression next to PQ's per-subspace codewords. On this
     # fixture every dimension's values are {0,4} or {0,1}, so codes are
@@ -2277,16 +2330,21 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_train,
     )
 
-    bounds = sq_train(corp)
-    sq = sq_search(
-        synth.where(vid < 10), sq_encode(corp, bounds), bounds, k=3
-    ).select(
-        F.lit("sq").alias("mode"),
-        "query_id",
-        "rank",
-        "neighbor_id",
-        "cosine",
-        F.lit(None).cast("long").alias("cell"),
+    def _sq() -> DataFrame:
+        bounds = sq_train(corp)
+        return sq_search(
+            synth.where(vid < 10), sq_encode(corp, bounds), bounds, k=3
+        ).select(
+            F.lit("sq").alias("mode"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            F.lit(None).cast("long").alias("cell"),
+        )
+
+    ivf, km, stream, (pq, ivfpq), sq = overlap_jobs(
+        _ivf, _km, _stream, _pq_ivfpq, _sq
     )
     return (
         ivf.unionByName(km)
@@ -2388,47 +2446,62 @@ def _sql_dedup_clusters() -> str:
 def e20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.dedup import dedup_clusters_star
     from informixcdc_spark.operators.graph import pagerank
+    from informixcdc_spark.session import overlap_jobs
 
-    corpus = _docs_corpus(spark, sf_dir)
-    shingled = doc_shingles(corpus, "doc_id", "text")
-    # star_cap linearizes degenerate band buckets (m-1 star pairs
-    # instead of m^2/2) — the connected components, and therefore the
-    # labels the oracle's recursive CTE computes over the EXACT pairs,
-    # are identical (equivalence unit-tested in test_operators.py)
-    pairs = lsh_candidate_pairs(
-        minhash_bands(shingled, "doc_id"), "doc_id", star_cap=64
-    )
-    cc = dedup_clusters_star(pairs, corpus.select("doc_id"), "doc_id").select(
-        F.lit("cc").alias("mode"),
-        "doc_id",
-        "cluster_id",
-        F.lit(None).cast("double").alias("rank"),
-    )
+    # Both arms are construction-heavy (star-contraction rounds sign one
+    # scalar collect per round; pagerank counts nodes, then release_cache
+    # materializes node-sized ranks) and fully independent — cc reads the
+    # perturbed corpus' shingles, pagerank a synthetic edge table derived
+    # from doc_id alone. Overlapping the two eager chains (guide §2.6)
+    # hides one behind the other; every expression, and therefore every
+    # value, is identical to the sequential build.
+    def _cc() -> DataFrame:
+        corpus = _docs_corpus(spark, sf_dir)
+        shingled = doc_shingles(corpus, "doc_id", "text")
+        # star_cap linearizes degenerate band buckets (m-1 star pairs
+        # instead of m^2/2) — the connected components, and therefore the
+        # labels the oracle's recursive CTE computes over the EXACT pairs,
+        # are identical (equivalence unit-tested in test_operators.py)
+        pairs = lsh_candidate_pairs(
+            minhash_bands(shingled, "doc_id"), "doc_id", star_cap=64
+        )
+        return dedup_clusters_star(
+            pairs, corpus.select("doc_id"), "doc_id"
+        ).select(
+            F.lit("cc").alias("mode"),
+            "doc_id",
+            "cluster_id",
+            F.lit(None).cast("double").alias("rank"),
+        )
+
     # pagerank arm: link-graph centrality over the deterministic
     # synthetic multigraph (two arithmetic out-links per document, mod
     # corpus size, self-loops dropped) — the iterative second member of
     # the graph family next to cc's star contraction
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    out = [
-        docs.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * m + c) % n).alias("dst"),
+    def _pr() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = docs.count()
+        out = [
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * m + c) % n).alias("dst"),
+            )
+            for m, c in ((7, 3), (13, 5))
+        ]
+        edges = out[0].unionByName(out[1]).where(F.col("src") != F.col("dst"))
+        return pagerank(
+            edges,
+            docs.select(F.col("doc_id").alias("node")),
+            n_nodes=n,
+            release_cache=True,
+        ).select(
+            F.lit("pagerank").alias("mode"),
+            F.col("node").alias("doc_id"),
+            F.lit(None).cast("long").alias("cluster_id"),
+            "rank",
         )
-        for m, c in ((7, 3), (13, 5))
-    ]
-    edges = out[0].unionByName(out[1]).where(F.col("src") != F.col("dst"))
-    pr = pagerank(
-        edges,
-        docs.select(F.col("doc_id").alias("node")),
-        n_nodes=n,
-        release_cache=True,
-    ).select(
-        F.lit("pagerank").alias("mode"),
-        F.col("node").alias("doc_id"),
-        F.lit(None).cast("long").alias("cluster_id"),
-        "rank",
-    )
+
+    cc, pr = overlap_jobs(_cc, _pr)
     return cc.unionByName(pr)
 
 
@@ -2913,10 +2986,23 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the weight table — without the cache the union's final evaluation
     # runs dsir_log_weights' two scan passes twice (narrow 3-column
     # frame, the e10 ce_all convention: plan-keyed CacheManager entries
-    # dedup across invocations, so blocks never accumulate per fixture)
-    weights = dsir_log_weights(
-        docs.select("doc_id", "text", "lang"), F.col("lang") == "en"
-    ).persist()
+    # dedup across invocations, so blocks never accumulate per fixture).
+    # DSIR training (bucket-count totals collect) and the temperature
+    # arm (stratum-table collect) are independent eager jobs — overlap
+    # them on driver threads (guide §2.6), values unchanged.
+    from informixcdc_spark.session import overlap_jobs
+
+    def _weights() -> DataFrame:
+        return dsir_log_weights(
+            docs.select("doc_id", "text", "lang"), F.col("lang") == "en"
+        ).persist()
+
+    def _temp() -> DataFrame:
+        return temperature_mixture(
+            docs.select("lang"), "lang", alpha=_TEMP_ALPHA
+        )
+
+    weights, tmp_raw = overlap_jobs(_weights, _temp)
     ds = weights.select(
         F.lit("dsir").alias("mode"),
         F.lit(None).cast("string").alias("lang"),
@@ -2950,9 +3036,7 @@ def e26_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # temp: temperature-flattened α-sampling weights per language (the
     # XLM-R / mT5 rule) — one combineable count agg, model-sized after
-    tmp = temperature_mixture(
-        docs.select("lang"), "lang", alpha=_TEMP_ALPHA
-    ).select(
+    tmp = tmp_raw.select(
         F.lit("temp").alias("mode"),
         "lang",
         F.col("n_docs").cast("long").alias("n_total"),

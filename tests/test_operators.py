@@ -2971,3 +2971,41 @@ def test_scored_broadcast_elementwise_equals_literal(spark):
     got_l2 = {r["vec_id"]: [tuple(e) for e in (r["_s"] or [])] for r in lit2.collect()}
     got_b2 = {r["vec_id"]: [tuple(e) for e in (r["_s"] or [])] for r in bc2.collect()}
     assert got_l2 == got_b2
+
+
+def test_overlap_jobs_order_values_and_errors(spark):
+    """overlap_jobs (guide §2.6 driver-thread overlap) must return thunk
+    results in ARGUMENT order regardless of completion order, produce
+    values identical to the sequential call when thunks run Spark jobs
+    concurrently, and propagate a failing thunk's exception."""
+    import time
+
+    import pytest
+    from informixcdc_spark.session import overlap_jobs
+
+    # argument order, not completion order: the slow thunk finishes last
+    def slow():
+        time.sleep(0.3)
+        return "first"
+
+    assert overlap_jobs(slow, lambda: "second") == ["first", "second"]
+
+    # concurrent Spark jobs: same aggregates as the sequential calls
+    def agg_sum():
+        return spark.range(1000).agg(F.sum("id")).collect()[0][0]
+
+    def agg_cnt():
+        return spark.range(500).count()
+
+    got = overlap_jobs(agg_sum, agg_cnt, agg_sum)
+    assert got == [499500, 500, 499500]
+
+    # single-thunk fast path
+    assert overlap_jobs(lambda: 7) == [7]
+
+    # exception propagation (first raising thunk in argument order)
+    def boom():
+        raise RuntimeError("thunk failed")
+
+    with pytest.raises(RuntimeError, match="thunk failed"):
+        overlap_jobs(lambda: 1, boom)

@@ -86,17 +86,24 @@ def bigram_lm(
         .groupBy("w1")
         .agg(F.sum("c").alias("ctx"))
     )
-    vocab = (
-        toked.select(F.explode("_tok").alias("t")).agg(
+    def _vocab() -> int:
+        return toked.select(F.explode("_tok").alias("t")).agg(
             F.count_distinct("t")
         ).first()[0]
-    )
+
     if release_tokens:
         counts = counts.persist()
         ctx = ctx.persist()
-        counts.count()
-        ctx.count()
+        # the vocab scalar and the two model-table forces are
+        # independent jobs over the same persisted token pass — run
+        # them concurrently (guide §2.6), then drop the corpus-sized
+        # cache; every count is deterministic either way
+        from informixcdc_spark.session import overlap_jobs
+
+        vocab, _, _ = overlap_jobs(_vocab, counts.count, ctx.count)
         toked.unpersist()
+    else:
+        vocab = _vocab()
     return counts, ctx, int(vocab)
 
 
@@ -247,13 +254,20 @@ def trigram_lm(
         tables = [tri_counts, tri_ctx, counts, ctx, uni]
         for t in tables:
             t.persist()
-        totals = uni.agg(
-            F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
-        ).first()
         # forcing uni via the totals action is not enough — force the
-        # other four too, THEN drop the corpus-sized token cache
-        for t in tables[:-1]:
-            t.count()
+        # other four too, THEN drop the corpus-sized token cache. The
+        # five forcing actions are independent jobs over the same
+        # persisted token pass: run them concurrently (guide §2.6)
+        # instead of serially paying five job latencies; the collected
+        # totals and every cached count are deterministic either way
+        from informixcdc_spark.session import overlap_jobs
+
+        totals = overlap_jobs(
+            lambda: uni.agg(
+                F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
+            ).first(),
+            *[t.count for t in tables[:-1]],
+        )[0]
         toked.unpersist()
     else:
         totals = uni.agg(

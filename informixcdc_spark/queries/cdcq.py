@@ -302,8 +302,16 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c07_cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the summary arm + base apply + incremental view all read the
-    # derived log; materialize it once (see c02)
-    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    # derived log; materialize it once (see c02) — overlapped with the
+    # watermark aggregate, an independent job
+    from informixcdc_spark.session import overlap_jobs
+
+    log, mid = overlap_jobs(
+        lambda: orders_changelog(spark, sf_dir).localCheckpoint(eager=True),
+        lambda: spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg((F.max("o_orderkey") / 2).cast("long"))
+        .collect()[0][0],
+    )
     per_txn = log.groupBy("transaction_id").agg(
         F.count(F.lit(1)).alias("n_ev"),
         F.max(F.when(F.col("record_type") == "COMMTX", 1).otherwise(0)).alias("_c"),
@@ -327,8 +335,6 @@ def c07_cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     measures = [("n", "count", "o_custkey"), ("s", "sum", "o_custkey")]
-    orders = log.sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
-    mid = orders.agg((F.max("o_orderkey") / 2).cast("long")).collect()[0][0]
     watermark = mid * 10 + 9
     first_half = log.where(F.col("transaction_id") <= mid)
     base = apply_changes(first_half, key_cols=["o_orderkey"])

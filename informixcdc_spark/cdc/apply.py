@@ -111,6 +111,7 @@ def committed_events(
     last_committed_seq: int = 0,
     record_types: Sequence[str] = tuple(_IUD),
     dedup_records: bool = True,
+    commits: DataFrame | None = None,
 ) -> DataFrame:
     """IUD events of committed transactions, deduped on seq_number.
 
@@ -120,8 +121,16 @@ def committed_events(
     the same seq_number are bit-identical and any row_number tie-break
     picks an equivalent winner). Order-sensitive consumers (lag/lead
     pairing) MUST keep it on: equal seq_numbers sort arbitrarily.
+
+    ``commits`` lets a caller that also needs the commit set elsewhere
+    (e.g. the truncate floor in :func:`apply_changes`) pass ONE
+    :func:`committed_transactions` DataFrame for both uses: the shared
+    plan subtree guarantees the exchange is built once (AQE's runtime
+    exchange reuse then dedups by identity, not by canonical-plan luck)
+    and keeps the analyzed plan half the size.
     """
-    commits = committed_transactions(changelog, last_committed_seq)
+    if commits is None:
+        commits = committed_transactions(changelog, last_committed_seq)
     events = changelog.where(F.col("record_type").isin(list(record_types)))
     joined = events.join(
         commits, events["transaction_id"] == commits["_ct_txid"], "inner"
@@ -129,12 +138,17 @@ def committed_events(
     return joined.dropDuplicates(["seq_number"]) if dedup_records else joined
 
 
-def _truncate_floor(changelog: DataFrame, last_committed_seq: int) -> DataFrame:
+def _truncate_floor(
+    changelog: DataFrame,
+    last_committed_seq: int,
+    commits: DataFrame | None = None,
+) -> DataFrame:
     """Per-table max committed TRUNCATE position, as a (commit_seq,
     seq_number) struct: events at or below it are wiped. The pair ordering
     matches the net-effect winner key — an event from a txn that committed
     AFTER the truncate's txn survives even if its raw seq is lower."""
-    commits = committed_transactions(changelog, last_committed_seq)
+    if commits is None:
+        commits = committed_transactions(changelog, last_committed_seq)
     return (
         changelog.where(F.col("record_type") == RecordType.TRUNCATE.name)
         .join(commits, F.col("transaction_id") == F.col("_ct_txid"), "inner")
@@ -168,14 +182,20 @@ def apply_changes(
     streaming materializer — must set it; the default keeps base immune
     for ad-hoc multi-table logs where base provenance is unknown.
     """
+    # ONE commit-set subtree feeds both the events join and the truncate
+    # floor (guide §2.4 — the two used to each build their own identical
+    # aggregate; sharing the object makes the reuse structural)
+    commits = committed_transactions(changelog, last_committed_seq)
     # the net-effect aggregation below subsumes record-level dedup:
     # replayed duplicates are bit-identical rows, so skip that shuffle
-    events = committed_events(changelog, last_committed_seq, dedup_records=False)
+    events = committed_events(
+        changelog, last_committed_seq, dedup_records=False, commits=commits
+    )
 
     # truncate floors aggregate to <= one row per table — broadcast the
     # (usually empty) side unconditionally rather than paying a driver
     # round-trip (take(1) = one extra Spark job per apply) to skip it
-    truncs = _truncate_floor(changelog, last_committed_seq)
+    truncs = _truncate_floor(changelog, last_committed_seq, commits=commits)
     events = events.join(
         F.broadcast(truncs), events["tabname"] == truncs["_tr_tab"], "left"
     ).where(

@@ -61,9 +61,17 @@ def history_table(
     two tables sharing a key value would otherwise interleave one
     version chain.
     """
-    events = committed_events(changelog, last_committed_seq, dedup_records=True)
+    # ONE commit-set subtree feeds both the events join and the truncate
+    # floor, mirroring apply_changes (guide §2.4: don't rebuild an
+    # identical aggregate per consumer)
+    from informixcdc_spark.cdc.apply import committed_transactions
 
-    truncs = _truncate_floor(changelog, last_committed_seq)
+    commits = committed_transactions(changelog, last_committed_seq)
+    events = committed_events(
+        changelog, last_committed_seq, dedup_records=True, commits=commits
+    )
+
+    truncs = _truncate_floor(changelog, last_committed_seq, commits=commits)
     events = (
         events.join(
             F.broadcast(truncs),

@@ -47,11 +47,17 @@ def last_committed_seq(changelog: DataFrame) -> DataFrame:
     )
 
 
-def restart_state(changelog: DataFrame) -> DataFrame:
+def restart_state(
+    changelog: DataFrame, open_txns: DataFrame | None = None
+) -> DataFrame:
     """Single row (restart_seq, last_committed_seq) per the resolution
     rules (R2/R3/R4): restart from min open-txn begin LSN, else from
-    last committed + 1, else 0."""
-    open_min = open_transactions(changelog).agg(
+    last committed + 1, else 0.
+
+    ``open_txns`` lets a caller that also reads the open-txn registry
+    itself pass ONE :func:`open_transactions` DataFrame for both uses
+    (shared plan subtree → structural exchange reuse, smaller plan)."""
+    open_min = (open_txns if open_txns is not None else open_transactions(changelog)).agg(
         F.min("begin_seq").alias("_open_min")
     )
     last = last_committed_seq(changelog)

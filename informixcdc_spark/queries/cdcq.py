@@ -224,8 +224,8 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.max("o_orderkey") / 2).cast("long"))
         .collect()[0][0],
     )
-    rs = restart_state(log)
     open_tx = open_transactions(log)
+    rs = restart_state(log, open_txns=open_tx)
     null_tx = F.lit(None).cast("long").alias("transaction_id")
     a = rs.select(
         F.lit("restart_seq").alias("kind"), null_tx, F.col("restart_seq").alias("seq")
@@ -249,9 +249,33 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(kind).alias("kind"), null_tx, F.col("seq")
         )
 
+    # both history counts in ONE aggregate pass over the SCD2 window
+    # output (guide §2.4): two count_arm()s would re-run the per-key
+    # window per consumer (AQE reuses its input exchange, but the Window
+    # + aggregate above it execute once per subtree) — a conditional
+    # count inside a single agg halves that, and the two output rows are
+    # identical to the separate arms' (count(when(p,1)) ≡ count over a
+    # where(p) filter; is_current is never NULL)
+    hist_counts = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("_nv"),
+        F.count(F.when(F.col("is_current"), 1)).cast("long").alias("_nc"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("history_versions").alias("kind"),
+                    F.col("_nv").alias("seq"),
+                ),
+                F.struct(
+                    F.lit("history_current").alias("kind"),
+                    F.col("_nc").alias("seq"),
+                ),
+            )
+        ).alias("_kv")
+    ).select(F.col("_kv.kind").alias("kind"), null_tx, F.col("_kv.seq").alias("seq"))
+
     arms = [
-        count_arm(hist, "history_versions"),
-        count_arm(hist.where(F.col("is_current")), "history_current"),
+        hist_counts,
         count_arm(snap, "compact_snapshot"),
         count_arm(
             tail.select("transaction_id").dropDuplicates(), "compact_tail_txns"

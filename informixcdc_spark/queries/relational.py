@@ -94,8 +94,20 @@ def q01_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    # filter + project to the 6 aggregate inputs FIRST (guide §2.3:
+    # shuffle only needed bytes), then rebalance: the fixture lineitem
+    # is one parquet row group, so without it the whole decimal-sum
+    # partial aggregation runs on ONE core (measured 1.8 s vs 1.3 s at
+    # sf0.1). At production scale the scan yields >= parallelism splits
+    # and rebalance is a no-op; the aggregate itself is order-independent
+    # (exact decimal sums / counts), so results are bit-identical.
+    li = rebalance(
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -354,8 +366,14 @@ def b12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+    # project to the 3 cube inputs and rebalance (guide §2.3 + the
+    # single-row-group fixture scan: Expand multiplies every row x4
+    # before the partial aggregate, all on one core without this; no-op
+    # at production scale, bit-identical output — see q02)
     cu = (
-        orders.cube("o_orderstatus", "o_orderpriority")
+        rebalance(
+            orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        ).cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
         .select(
             F.lit("cube").alias("op"),
@@ -653,7 +671,14 @@ def q21_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # project to the 3 inputs + rebalance before the x3 grouping-set
+    # Expand (same single-row-group fixture reasoning as q02/b12's cube;
+    # no-op at production scale, order-independent aggregate)
+    li = rebalance(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_extendedprice"
+        )
+    )
     return (
         li.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],

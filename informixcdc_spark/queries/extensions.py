@@ -311,7 +311,14 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # rebalance the single-row-group fixture scan BEFORE the heavy
+    # per-row work of the exact (content hash-agg), lines and doclines
+    # (line recut: split/transform/slice/md5) arms — same reasoning as
+    # _docs_corpus; no-op at production scale, all three arms are
+    # order-independent (hash-agg / first-occurrence min / row-local)
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     dup_corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )

@@ -321,7 +321,11 @@ def b09_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    # project + rebalance before the distinct-rewrite Expand (see q02;
+    # exact counts are partition-independent, no-op at scale)
+    orders = rebalance(
+        _t(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    )
     return orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -903,7 +907,19 @@ def q26_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_percentiles_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # project to the 3 used columns + rebalance: the single-row-group
+    # fixture scan otherwise runs BOTH map-side aggregation buffers
+    # (percentile value maps + the distinct partial) on one core (see
+    # q02). Exact percentile/count_distinct are partition-independent;
+    # the approx sketches sit behind 1%/5% tolerance booleans while
+    # their partition sensitivity is orders of magnitude smaller
+    # (QuantileSummaries err <= 0.01% at accuracy 10000; HLL registers
+    # are a set property of the hashed values).
+    li = rebalance(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_orderkey"
+        )
+    )
     # The exact-distinct count runs in its OWN aggregation, joined back on
     # the (5-row) group keys: a count_distinct inside the percentile agg
     # makes Catalyst rewrite the whole Aggregate with an Expand (input

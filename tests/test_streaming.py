@@ -1727,7 +1727,13 @@ def test_64_table_stream_scales_with_touched_tables(spark, tmp_path):
     )
     j64 = jobs_in("mt64-b0", lambda: mt64.process_batch(env1, 0))
     j2 = jobs_in("mt2-b0", lambda: mt2.process_batch(env1, 0))
-    assert j64 == j2, (j64, j2)  # 62 idle tables cost zero jobs
+    # 62 idle tables must cost zero EXTRA jobs (a per-table cost would
+    # show as j64 - j2 ≈ +62). Not strict equality: AQE prunes the
+    # (empty) truncate-floor broadcast job only when its upstream stage
+    # result lands before downstream planning — a timing race that
+    # jitters either run's count by one under host load (observed
+    # 31 vs 32 once in a loaded full-suite run, == in solo re-runs).
+    assert abs(j64 - j2) <= 1, (j64, j2)
 
     # functional: the two touched tables materialized, the rest untouched
     assert {r["id"]: r["val"] for r in mt64.read_target("t01").collect()} == {1: "a"}

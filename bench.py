@@ -28,6 +28,7 @@ def format_line(
     errors: dict[str, str],
     sf: float,
     steal_total: float | None = None,
+    steal_query: dict[str, float] | None = None,
 ) -> str:
     """One compact JSON line, guaranteed under the driver's stdout tail.
 
@@ -59,11 +60,24 @@ def format_line(
         # host-contention context for the wall numbers (cpu-seconds of
         # /proc/stat steal over the whole measured run)
         out["steal_sec"] = steal_total
+    if steal_query:
+        # /proc/stat steal observed during each query's RECORDED (best)
+        # rep: ~0 means that wall number is host-clean, large means the
+        # point is contention-confounded and should be discarded by any
+        # mechanical consumer (r11 verdict item 1 — both r11 driver runs
+        # were voided by unquantified-per-point neighbor steal)
+        out["steal"] = {short(n): s for n, s in sorted(steal_query.items())}
     if errors:
         out["errors"] = {short(n): e[:80] for n, e in sorted(errors.items())[:8]}
     line = json.dumps(out)
     if len(line) > 1900:  # belt-and-braces: never exceed the driver tail
-        out.pop("errors", None)
+        # drop detail in diagnostic-first order; the metric/queries core
+        # of the contract line survives as long as possible
+        for k in ("steal", "errors"):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                return line
         out["queries"] = {}
         line = json.dumps(out)
     return line
@@ -190,6 +204,24 @@ def main() -> None:
     # while cutting the recorded total's host-noise swing further.
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
+    # Steal-robust retries (r11 verdict item 1): when the recorded
+    # (best) rep ran under host steal above this bound, the wall number
+    # measured the neighbors, not the code — take extra reps hunting for
+    # a clean one, bounded by a rep cap and a per-query wall budget so a
+    # permanently-contended host still finishes the bench. Additions
+    # only: the timed region per rep and the best-of-reps rule are
+    # unchanged (steal slows a rep down, never speeds it up, so min-wall
+    # still picks the cleanest rep available).
+    steal_clean_bound = float(os.environ.get("SPARK_GRAFT_STEAL_BOUND", "0.5"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_MAX_REPS", "6"))
+    retry_budget_sec = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "90"))
+    # and a RUN-level cap on total extra-rep wall: under steady low-grade
+    # contention every query is "confounded", and doubling 43 queries'
+    # reps would push the whole bench past the driver's run window — the
+    # global budget bounds the worst case at old-duration + this many
+    # seconds of retries
+    retry_total_sec = float(os.environ.get("SPARK_GRAFT_RETRY_TOTAL", "240"))
+    retry_total_spent = 0.0
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
 
@@ -209,22 +241,44 @@ def main() -> None:
 
     for name in sorted(queries):
         best = float("inf")
+        best_steal = -1.0
         best_bytes = -1
-        for _ in range(reps):
+        rep_i = 0
+        extra_spent = 0.0
+        while True:
+            if rep_i >= reps:
+                # steal-robust extension: the base reps are done; keep
+                # going only while the recorded rep is confounded and
+                # budget remains (r11 verdict item 1)
+                if (
+                    best == float("inf")
+                    or best_steal <= steal_clean_bound
+                    or rep_i >= max_reps
+                    or extra_spent >= retry_budget_sec
+                    or retry_total_spent >= retry_total_sec
+                ):
+                    break
+            rep_i += 1
             pre = _shuffle_write_bytes(spark)
             jobs_pre = _max_job_id(spark)
             steal_pre = _steal_seconds()
             fut = pool.submit(run_once, name)
             try:
                 took = fut.result(timeout=per_query_timeout)
-                if steal_pre >= 0:
-                    # steal observed DURING the rep that gets recorded:
-                    # when the best rep's steal is ~0 the wall number is
-                    # host-clean; a large value flags a confounded point
-                    steal_now = _steal_seconds() - steal_pre
-                    if took < best:
+                if rep_i > reps:
+                    extra_spent += took
+                    retry_total_spent += took
+                # steal observed DURING the rep that gets recorded:
+                # when the best rep's steal is ~0 the wall number is
+                # host-clean; a large value flags a confounded point
+                steal_now = (
+                    _steal_seconds() - steal_pre if steal_pre >= 0 else -1.0
+                )
+                if took < best:
+                    best = took
+                    best_steal = steal_now
+                    if steal_now >= 0:
                         steal_sec[name] = round(steal_now, 2)
-                best = min(best, took)
                 post = _shuffle_write_bytes(spark)
                 if pre >= 0 and post >= pre:
                     d = post - pre
@@ -288,7 +342,9 @@ def main() -> None:
     steal_total = (
         round(_steal_seconds() - steal_start, 2) if steal_start >= 0 else -1.0
     )
-    print(format_line(per_query, errors, sf, steal_total), flush=True)
+    print(
+        format_line(per_query, errors, sf, steal_total, steal_sec), flush=True
+    )
     # Full-resolution artifact (complete names, untruncated errors) —
     # the stdout line is capped to the driver's 2000-char tail, so
     # round-over-round per-query regressions are answerable only from

@@ -374,6 +374,31 @@ def test_bench_line_fits_driver_tail():
     assert parsed["sf"] == 0.1
 
 
+def test_bench_line_per_query_steal():
+    """r11 verdict item 1: the stdout JSON carries per-query best-rep
+    steal so a consumer can mechanically discard confounded points —
+    and under length pressure the steal dict is dropped BEFORE the
+    queries dict (the contract core outlives the diagnostics)."""
+    import json as _json
+
+    import bench
+
+    per_query = {f"q{i:02d}_name": 1.5 for i in range(43)}
+    steal = {f"q{i:02d}_name": 0.12 for i in range(43)}
+    line = bench.format_line(per_query, {}, 0.1, 3.2, steal)
+    parsed = _json.loads(line)
+    assert len(line) < 1900, len(line)
+    assert parsed["steal"] == {f"q{i:02d}": 0.12 for i in range(43)}
+    assert parsed["steal_sec"] == 3.2
+    # queries survive an overflow at the steal dict's expense: sized so
+    # queries alone fit but queries+steal exceed the 1900-char cap
+    wide = {f"qnamepadpadpad{i:03d}_t": 9.999 for i in range(43)}
+    line2 = bench.format_line(wide, {}, 0.1, 3.2, {k: 0.5 for k in wide})
+    parsed2 = _json.loads(line2)
+    assert len(line2) < 1900
+    assert "steal" not in parsed2 and parsed2["queries"]
+
+
 def _make_ppm(w, h, seed):
     """Deterministic raster: pixel (i,j,ch) = (seed + 7*i + 3*j + 11*ch) % 256."""
     from informixcdc_spark.operators.multimodal import encode_ppm

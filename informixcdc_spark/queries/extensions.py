@@ -3130,11 +3130,21 @@ def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.dedup import (
         decontaminate,
         decontaminate_prefiltered,
+        decontamination_hashes,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pred = F.col("doc_id") % 97 == 0
-    ex = decontaminate(docs, "doc_id", "text", pred).select(
+    # ONE tokenize+shingle+hash corpus pass feeds both the exact and the
+    # bounded-broadcast arms (guide §2.4): without the shared persisted
+    # stream each arm's per_doc/bench/train subtrees re-shingled the
+    # corpus independently (the r11 plan scanned documents.parquet 24
+    # times). The persist is plan-keyed (the e10/e26 convention:
+    # CacheManager dedups identical analyzed plans, so repeated
+    # invocations reuse one entry) and holds only the narrow
+    # (id, bool, 16-char hash) proxy stream, never the text.
+    hashed = decontamination_hashes(docs, "doc_id", "text", pred).persist()
+    ex = decontaminate(docs, "doc_id", "text", pred, hashed=hashed).select(
         F.lit("exact").alias("mode"), "*"
     )
     # coarse arm (round 6): the bounded-broadcast two-stage path. The
@@ -3144,7 +3154,7 @@ def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics a 100 TB run with a benchmark suite too big to
     # broadcast relies on.
     co = decontaminate_prefiltered(
-        docs, "doc_id", "text", pred, bucket_bits=12
+        docs, "doc_id", "text", pred, bucket_bits=12, hashed=hashed
     ).select(F.lit("coarse").alias("mode"), "*")
     # fuzzy arm (round 8): MinHash-LSH near-duplicate contamination over
     # the perturbed corpus — the benchmark slice's paraphrased copies

@@ -1389,6 +1389,44 @@ def test_decontaminate_prefiltered_equals_exact_under_heavy_collisions(spark, sf
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_decontaminate_shared_hash_stream_is_bit_identical(spark, sf_dir):
+    """A precomputed (persisted) `decontamination_hashes` stream passed
+    via `hashed=` must reproduce both variants row for row — it is the
+    same expression tree, evaluated once and shared (guide §2.4), so
+    any divergence means the shared stream drifted from the inline
+    builds."""
+    from pyspark.sql import functions as F
+
+    from informixcdc_spark.catalog import load_table
+    from informixcdc_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_prefiltered,
+        decontamination_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pred = F.col("doc_id") % 97 == 0
+    hashed = decontamination_hashes(docs, "doc_id", "text", pred).persist()
+    try:
+        for fn, kw in (
+            (decontaminate, {}),
+            (decontaminate_prefiltered, {"bucket_bits": 6}),
+        ):
+            inline = {
+                tuple(r)
+                for r in fn(docs, "doc_id", "text", pred, **kw).collect()
+            }
+            shared = {
+                tuple(r)
+                for r in fn(
+                    docs, "doc_id", "text", pred, hashed=hashed, **kw
+                ).collect()
+            }
+            assert inline == shared and inline, fn.__name__
+    finally:
+        hashed.unpersist()
+
+
 def test_bpe_classic_corpus_merges(spark):
     """The Sennrich ACL'16 running example: 'est'-family merges win
     first on a low/lower/newest/widest corpus, and encoding an unseen

@@ -10,6 +10,8 @@ prunes ``ReadSchema`` and pushes ``PushedFilters`` automatically).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -130,6 +132,11 @@ def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     with ``readStream``.
     """
     if df.isStreaming:
+        return df
+    if os.environ.get("SPARK_GRAFT_NO_REBALANCE") == "1":
+        # diagnostic A/B switch (r11 verdict item 8): measure a query
+        # with and without the fixture-scan rebalance in one regime —
+        # never set in production or by the driver's bench
         return df
     plan = df._jdf.queryExecution().analyzed().toString()
     if "Repartition" in plan or "RebalancePartitions" in plan:

@@ -496,18 +496,27 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star(u): connect every neighbor v > u to m(u) = min(Γ(u)∪{u}).
 
-    One groupBy + one equi-join, both keyed on the node id. Output may
+    One groupBy + one equi-join, both keyed on the node id — and both
+    riding ONE exchange (guide §2.4 "two operations keyed the same way
+    can share one exchange"): the symmetric neighbor list is hash-
+    partitioned by ``src`` once, the min-aggregate runs in place on it,
+    and the SHUFFLE_HASH hint keeps the join co-partitioned instead of
+    letting the planner broadcast ``m`` — per-node minima are a
+    node-count-sized table, which at 100 TB must never be collected to
+    the driver and shipped to every executor (the pre-r12 shape did
+    exactly that under the local threshold, and would have fallen back
+    to a sort-merge join with TWO more exchanges at scale). Output may
     carry duplicate pairs — deliberately NOT distinct'd here: volume is
     bounded by the edge count either way, and the following small-star
     absorbs duplicates in its min-aggregate and final distinct, saving
     one full shuffle per round."""
-    nb = _symmetric(edges)
+    nb = _symmetric(edges).repartition("src")
     m = nb.groupBy("src").agg(F.min("dst").alias("_mn")).select(
         "src", F.least(F.col("_mn"), F.col("src")).alias("_m")
     )
     return (
         nb.where(F.col("dst") > F.col("src"))
-        .join(m, "src")
+        .join(m.hint("shuffle_hash"), "src")
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
@@ -515,10 +524,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star(u): over the larger→smaller orientation, connect every
-    smaller neighbor (and u itself) to m(u) = min(Γ≤(u)∪{u})."""
-    oriented = _symmetric(edges).where(F.col("dst") < F.col("src"))
+    smaller neighbor (and u itself) to m(u) = min(Γ≤(u)∪{u}).
+
+    Same one-exchange shape as :func:`_large_star`: partition the
+    oriented edge list by ``src`` once; the min-aggregate and the
+    (shuffle-hash) join both reuse it."""
+    oriented = _symmetric(edges).where(F.col("dst") < F.col("src")).repartition("src")
     m = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
-    j = oriented.join(m, "src")
+    j = oriented.join(m.hint("shuffle_hash"), "src")
     re_pointed = j.select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
     own = m.select("src", F.col("_m").alias("dst"))
     return (

@@ -1882,9 +1882,19 @@ def e12_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, [1.0 if d == c else 0.0 for d in range(64)])
         for c in range(_SEMDEDUP_CELLS)
     ]
-    sem = semantic_dedup(
-        corpus, axes, threshold=0.95, release_cache=True
-    ).select(
+    # Lazy semdedup arm (r11 verdict item 3): release_cache=True forced
+    # an EAGER localCheckpoint at construction — a sequential driver-side
+    # job chain (assign persist → pair join → checkpoint) that ran
+    # before the lsh arm's plan even existed, and re-ran in full on
+    # every invocation (localCheckpoint is not plan-keyed). Left lazy,
+    # ONE noop action executes both arms' independent stages
+    # concurrently inside a single job DAG (the §2.6 back-fill without
+    # threads), and the operator's internal plan-keyed assignment
+    # persist (CacheManager dedups identical analyzed plans — the
+    # e10/e26 convention) holds the only reused state. Verdict rows are
+    # bit-identical: localCheckpoint never changed values, only when
+    # they were computed.
+    sem = semantic_dedup(corpus, axes, threshold=0.95).select(
         F.lit("semdedup").alias("mode"),
         F.col("vec_id").alias("id_a"),
         F.col("dup_of").alias("id_b"),

@@ -45,8 +45,12 @@ def overlap_jobs(*thunks):
     thread-local properties (job description/group) are inherited and
     cleaned up per thread.
     """
-    if len(thunks) == 1:
-        return [thunks[0]()]
+    if len(thunks) == 1 or os.environ.get("SPARK_GRAFT_NO_OVERLAP") == "1":
+        # the env switch is a diagnostic A/B knob (r11 verdict item 5:
+        # prove overlap is not a local-regime trick by measuring both
+        # ways at several core counts) — sequential execution computes
+        # the identical values, just without the back-fill
+        return [t() for t in thunks]
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target

@@ -750,6 +750,95 @@ def simhash_dedup_recall(
     return {"scale": scale, "drop_tokens": drop_tokens, "points": points}
 
 
+_OVERLAP_CHILD = r"""
+import json, os, sys, time
+# argv under `python -c`: [0]='-c', [1]=repo dir, [2]=cpus, [3]=reps,
+# [4]=comma-joined query names
+sys.path.insert(0, sys.argv[1])
+from informixcdc_spark.hostmeter import steal_seconds
+from informixcdc_spark.queries import all_queries
+from informixcdc_spark.session import get_spark
+
+cpus = int(sys.argv[2])
+reps = int(sys.argv[3])
+names = sys.argv[4].split(",")
+spark = get_spark(app_name="informixcdc-overlap-axis", cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+qs = all_queries()
+sfd = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+qs["q01_revenue_by_nation"](spark, sfd).write.format("noop").mode(
+    "overwrite").save()
+spark.range(32).repartition(32).mapInPandas(
+    lambda it: it, schema="id long").write.format("noop").mode(
+    "overwrite").save()
+out = {}
+for name in names:
+    # one throwaway build per query first: index builds / cache
+    # materializations land once, so both modes measure the same warm
+    # steady state the bench records
+    qs[name](spark, sfd).write.format("noop").mode("overwrite").save()
+    rec = {}
+    for mode in ("off", "on"):
+        os.environ["SPARK_GRAFT_NO_OVERLAP"] = "1" if mode == "off" else "0"
+        best, best_steal = float("inf"), -1.0
+        for _ in range(reps):
+            s0 = steal_seconds()
+            t0 = time.perf_counter()
+            qs[name](spark, sfd).write.format("noop").mode(
+                "overwrite").save()
+            t = time.perf_counter() - t0
+            if t < best:
+                best, best_steal = t, round(steal_seconds() - s0, 2)
+        rec[mode] = {"sec": round(best, 3), "steal_sec": best_steal}
+    rec["speedup"] = round(rec["off"]["sec"] / rec["on"]["sec"], 3)
+    out[name] = rec
+print("OVERLAP_AXIS " + json.dumps({"cpus": cpus, "queries": out}),
+      flush=True)
+"""
+
+
+def overlap_axis(
+    queries: tuple[str, ...] = (
+        "e15_ann_ivf",
+        "e10_quality_repetition",
+        "e20_dedup_clusters",
+    ),
+    cpu_points: tuple[int, ...] = (8, 32),
+    reps: int = 2,
+) -> dict:
+    """Overlap on/off × core count axis (r11 verdict item 5): prove
+    `session.overlap_jobs` helps — or at least never hurts — at BOTH a
+    saturated small host and the full local core count, not just on
+    local[32]. Each core-count point runs in its OWN subprocess (a
+    SparkSession's master is fixed at creation) and toggles the
+    `SPARK_GRAFT_NO_OVERLAP` diagnostic switch between timed runs, so
+    both modes share one JVM, one warmed cache state and one host
+    regime; `speedup` = sequential/overlapped wall on the best rep,
+    with per-point steal annotating confounded hosts. Runs before the
+    main bench session exists so the two JVMs never co-resident."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    points: dict = {}
+    for cpus in cpu_points:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env.pop("SPARK_GRAFT_NO_OVERLAP", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", _OVERLAP_CHILD, here,
+             str(cpus), str(reps), ",".join(queries)],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        rec = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("OVERLAP_AXIS "):
+                rec = json.loads(line[len("OVERLAP_AXIS "):])
+        if rec is None:
+            rec = {"cpus": cpus, "error": (proc.stderr or "no output")[-400:]}
+        points[str(cpus)] = rec
+        print(f"overlap_axis cpus={cpus}: " + json.dumps(rec), flush=True)
+    return points
+
+
 def _tail_ratio(series: dict[str, float]) -> float:
     """Asymptotic shuffle slope over the query's two LARGEST measured
     scales: bytes(top)/bytes(prev) normalized by the data ratio — ~1 is
@@ -835,6 +924,11 @@ def main() -> None:
     cdc_queries = [q for q in QUERIES if q.startswith("c")]
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     work = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/informixcdc_scale")
+
+    # overlap on/off × core count axis FIRST: its subprocesses each
+    # build their own fixed-master session, so they must not co-reside
+    # with this process's JVM (two 32-thread local masters thrash)
+    ov_axis = overlap_axis()
 
     spark = get_spark(
         app_name="informixcdc-spark-scale-bench",
@@ -1019,6 +1113,10 @@ def main() -> None:
         # literal-vs-broadcast assignment walls per codebook size K
         # (plan-size envelope, PERF.md §22) with per-point steal
         "codebook_axis": cb_axis,
+        # overlap_jobs on/off at 8 and 32 cores (see overlap_axis):
+        # speedup ≥ ~1.0 at BOTH points means the §2.6 construction
+        # overlap is not a local[32]-regime trick
+        "overlap_axis": ov_axis,
         "queries": {
             q: {
                 **results[q],

@@ -604,6 +604,26 @@ def test_sq_encode_is_scan_fused(spark):
     assert "Join" not in plan and "HashAggregate" not in plan, plan
 
 
+def test_star_round_joins_copartitioned_never_broadcast(spark):
+    """One star-contraction round's scale contract (guide §2.4/§3.1):
+    the per-node min table `m` joins its neighbor list CO-PARTITIONED
+    (shuffle-hash over the one `repartition("src")` exchange both the
+    aggregate and the join ride) — never broadcast: `m` is node-count-
+    sized, and collecting it to the driver per round is the 100 TB
+    killer the pre-r12 shape hid under the local broadcast threshold."""
+    from informixcdc_spark.operators.dedup import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8), (8, 9)],
+        "src long, dst long",
+    )
+    plan = formatted_plan(_small_star(_large_star(edges)))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" not in tree, plan
+    assert "SortMergeJoin" not in tree, plan
+    assert "ShuffledHashJoin" in tree, plan
+
+
 def test_decontaminate_fuzzy_broadcasts_bench_side(spark):
     """Fuzzy decontamination's scale contract: the benchmark side
     (suite-sized) reaches the corpus via BROADCAST joins at both the

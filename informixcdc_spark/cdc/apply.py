@@ -166,6 +166,7 @@ def apply_changes(
     last_committed_seq: int = 0,
     base: DataFrame | None = None,
     truncate_wipes_base: bool = False,
+    commits: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the net effect of a change log; returns the final rows.
 
@@ -181,11 +182,20 @@ def apply_changes(
     per-table floor join can't see them). Single-table appliers — the
     streaming materializer — must set it; the default keeps base immune
     for ad-hoc multi-table logs where base provenance is unknown.
+
+    ``commits`` optionally supplies the admitted commit set —
+    (_ct_txid, _commit_seq), exactly :func:`committed_transactions` of
+    this ``changelog`` at this watermark — precomputed by a caller that
+    also needs it elsewhere (compaction derives its settled set and
+    this apply's commit set from ONE deduped frame, guide §2.4). The
+    caller owns the equivalence: passing a different commit set changes
+    what applies.
     """
     # ONE commit-set subtree feeds both the events join and the truncate
     # floor (guide §2.4 — the two used to each build their own identical
     # aggregate; sharing the object makes the reuse structural)
-    commits = committed_transactions(changelog, last_committed_seq)
+    if commits is None:
+        commits = committed_transactions(changelog, last_committed_seq)
     # the net-effect aggregation below subsumes record-level dedup:
     # replayed duplicates are bit-identical rows, so skip that shuffle
     events = committed_events(

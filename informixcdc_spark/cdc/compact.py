@@ -43,6 +43,7 @@ def compact_changelog(
     up_to_seq: int,
     last_committed_seq: int = 0,
     base: DataFrame | None = None,
+    commits: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(snapshot, tail)`` for the watermark ``up_to_seq``.
 
@@ -51,35 +52,49 @@ def compact_changelog(
     compacted tail on top of its snapshot at a later watermark yields
     the same contract ({snap2, tail2, W2} replaces {snap1, tail1, W1}).
 
+    ``commits`` optionally supplies
+    :func:`informixcdc_spark.cdc.apply.committed_transactions` of this
+    ``changelog`` at ``last_committed_seq``, precomputed by a caller
+    that also feeds it to other consumers (one deduped commit-set
+    exchange serves them all, guide §2.4).
+
     SINGLE-TABLE contract: the snapshot folds on ``key_cols`` alone —
     a multi-table log must be filtered (or wrapped per table like
     :func:`informixcdc_spark.cdc.apply.apply_changes_by_table`) first,
     or key-value collisions across tables fold into one snapshot row.
     """
+    from informixcdc_spark.cdc.apply import committed_transactions
+
     # apply_changes admits ALL commits past last_committed_seq; restrict
     # the fold to the watermark by keeping only transactions whose
     # commit lands in (last_committed_seq, up_to_seq]: a txn committing
-    # after up_to_seq must NOT fold into the snapshot.
-    settled_commits = (
-        changelog.where(F.col("record_type") == RecordType.COMMTX.name)
-        .where(
-            (F.col("seq_number") > F.lit(last_committed_seq))
-            & (F.col("seq_number") <= F.lit(up_to_seq))
-        )
-        .select(F.col("transaction_id").alias("_s_txid"))
-        .dropDuplicates(["_s_txid"])
-    )
+    # after up_to_seq must NOT fold into the snapshot. The settled set
+    # is the admitted commit set FILTERED at the watermark — one
+    # deduped frame serves the settled filter, the prefix apply's
+    # events join and its truncate floor (guide §2.4). Equivalent to
+    # filtering before the dedup because a transaction commits ONCE:
+    # at-least-once replays duplicate the COMMTX record verbatim (same
+    # seq_number) — the engine-wide assumption committed_transactions'
+    # arbitrary-row dropDuplicates already bakes into every consumer.
+    if commits is None:
+        commits = committed_transactions(changelog, last_committed_seq)
+    settled_commits = commits.where(F.col("_commit_seq") <= F.lit(up_to_seq))
     prefix = changelog.join(
         settled_commits,
-        changelog["transaction_id"] == settled_commits["_s_txid"],
+        changelog["transaction_id"] == settled_commits["_ct_txid"],
         "left_semi",
     )
+    # the prefix's own commit set IS settled_commits (the semi-join
+    # keeps exactly the settled txns' records, and each txn's single
+    # commit lands in (last_committed_seq, up_to_seq]) — pass it down
+    # so the apply never rebuilds the aggregate
     snapshot = apply_changes(
         prefix,
         key_cols,
         last_committed_seq=last_committed_seq,
         base=base,
         truncate_wipes_base=True,
+        commits=settled_commits,
     )
 
     # tail: events of txns neither settled (committed <= W) nor aborted.

@@ -43,6 +43,7 @@ def history_table(
     changelog: DataFrame,
     key_cols: Sequence[str],
     last_committed_seq: int = 0,
+    commits: DataFrame | None = None,
 ) -> DataFrame:
     """Versioned history: one row per committed INSERT/UPDAFT, with
     ``valid_from_commit_seq``/``valid_from_seq`` (the opening event's
@@ -63,10 +64,13 @@ def history_table(
     """
     # ONE commit-set subtree feeds both the events join and the truncate
     # floor, mirroring apply_changes (guide §2.4: don't rebuild an
-    # identical aggregate per consumer)
+    # identical aggregate per consumer); ``commits`` lets a caller
+    # running several consumers over one log (c05: history + compaction
+    # + savepoints) supply a single shared frame
     from informixcdc_spark.cdc.apply import committed_transactions
 
-    commits = committed_transactions(changelog, last_committed_seq)
+    if commits is None:
+        commits = committed_transactions(changelog, last_committed_seq)
     events = committed_events(
         changelog, last_committed_seq, dedup_records=True, commits=commits
     )

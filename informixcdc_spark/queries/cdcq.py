@@ -241,8 +241,19 @@ def c05_cdc_savepoint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("begin_seq").alias("seq"),
     )
 
-    hist = history_table(log, ["o_orderkey"])
-    snap, tail = compact_changelog(log, ["o_orderkey"], mid * 10 + 9)
+    # ONE deduped commit-set exchange serves the SCD2 history (events
+    # join + truncate floor), the compaction's settled filter AND the
+    # snapshot apply inside it (guide §2.4): these consumer arms each
+    # rebuilt an identical committed_transactions aggregate — three
+    # exchange subtrees AQE sometimes reused by canonical-plan luck,
+    # now one shared frame structurally.
+    from informixcdc_spark.cdc.apply import committed_transactions
+
+    commits = committed_transactions(log)
+    hist = history_table(log, ["o_orderkey"], commits=commits)
+    snap, tail = compact_changelog(
+        log, ["o_orderkey"], mid * 10 + 9, commits=commits
+    )
 
     def count_arm(df: DataFrame, kind: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias("seq")).select(

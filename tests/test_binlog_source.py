@@ -14,6 +14,7 @@ from informixcdc_spark.sources.binlog import (
     register_binlog_source,
     write_capture_from_changelog,
 )
+from tests.conftest import examples, iterations  # noqa: E402
 
 
 def _capture(spark, tmp_path, name="cap"):
@@ -189,7 +190,7 @@ def test_registry_epoch_lookup_and_replay_idempotence():
 
     from informixcdc_spark.cdc.registry import EpochRegistry
 
-    @settings(max_examples=50, deadline=None, derandomize=True)
+    @settings(max_examples=examples(50), deadline=None, derandomize=True)
     @given(
         positions=st.lists(
             st.integers(min_value=0, max_value=1000), min_size=1, max_size=8, unique=True

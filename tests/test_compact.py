@@ -20,6 +20,7 @@ from informixcdc_spark.cdc.apply import apply_changes
 from informixcdc_spark.cdc.compact import compact_changelog
 from tests.test_cdc_apply import _log, _state
 from tests.test_property_cdc import _serial_reference, interleaved_log
+from tests.conftest import examples, iterations  # noqa: E402
 
 
 def _settled_or_aborted(events, w):
@@ -29,7 +30,7 @@ def _settled_or_aborted(events, w):
 
 
 @settings(
-    max_examples=25,
+    max_examples=examples(25),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -57,7 +58,7 @@ def test_compact_preserves_apply_and_prunes_tail(spark, events, data):
 
 
 @settings(
-    max_examples=20,
+    max_examples=examples(20),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -86,7 +87,7 @@ def test_compaction_composes(spark, events, data):
 
 
 @settings(
-    max_examples=15,
+    max_examples=examples(15),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -118,7 +119,7 @@ def test_shared_commit_set_is_bit_identical(spark, events, data):
 
 
 @settings(
-    max_examples=20,
+    max_examples=examples(20),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],

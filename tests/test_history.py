@@ -22,10 +22,11 @@ from informixcdc_spark.cdc.apply import apply_changes
 from informixcdc_spark.cdc.history import as_of, history_table
 from tests.test_cdc_apply import _log, _state
 from tests.test_property_cdc import interleaved_log
+from tests.conftest import examples, iterations  # noqa: E402
 
 
 @settings(
-    max_examples=25,
+    max_examples=examples(25),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -60,7 +61,7 @@ def test_current_slice_equals_apply_and_intervals_contiguous(spark, events):
 
 
 @settings(
-    max_examples=25,
+    max_examples=examples(25),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],

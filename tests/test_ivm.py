@@ -22,6 +22,7 @@ from informixcdc_spark.cdc.ivm import (
 )
 from tests.test_cdc_apply import _log
 from tests.test_property_cdc import interleaved_log
+from tests.conftest import examples, iterations  # noqa: E402
 
 MEASURES = [("n", "count", "id"), ("s", "sum", "id"), ("m", "avg", "id")]
 
@@ -38,7 +39,7 @@ def _expected(spark, events):
 
 
 @settings(
-    max_examples=30,
+    max_examples=examples(30),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -97,7 +98,7 @@ def _view_dict_mm(df):
 
 
 @settings(
-    max_examples=25,
+    max_examples=examples(25),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -298,7 +299,10 @@ def test_view_snapshot_gc_bounds_view_dir(spark, tmp_path):
     vm = ViewMaterializer(
         spark, str(tmp_path / "state"), ["id"], ["val"], MEASURES, n_buckets=4
     )
-    for bid in range(6):
+    # GC_KEEP_VIEWS is 2: 4 batches (default profile) already exceed the
+    # bound twice over; the full profile keeps the original 6
+    n = iterations(6, 4)
+    for bid in range(n):
         events = [
             (bid * 10 + 1, "BEGINTX", bid + 1, None),
             (bid * 10 + 2, "INSERT", bid + 1, (bid, f"v{bid}")),
@@ -312,7 +316,7 @@ def test_view_snapshot_gc_bounds_view_dir(spark, tmp_path):
     ]
     assert len(view_dirs) <= vm.GC_KEEP_VIEWS
     assert {r["val"] for r in vm.read_view().collect()} == {
-        f"v{b}" for b in range(6)
+        f"v{b}" for b in range(n)
     }
 
 

@@ -21,6 +21,7 @@ from informixcdc_spark.operators.multimodal import (
     to_binary_payload,
 )
 from informixcdc_spark.operators.similarity import ann_knn, brute_force_knn
+from tests.conftest import examples, iterations  # noqa: E402
 
 
 def test_lsh_finds_planted_near_dups(spark, sf_dir):
@@ -2771,7 +2772,7 @@ def test_temperature_mixture_property_random_strata(spark):
     )
 
     @settings(
-        max_examples=6,
+        max_examples=examples(6),
         deadline=None,
         derandomize=True,
         suppress_health_check=[HealthCheck.too_slow],

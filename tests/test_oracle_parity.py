@@ -22,9 +22,19 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_every_query_runs(spark, sf_dir):
-    for name, fn in _QUERIES.items():
-        df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
+    # independent read-only plans: run them from a small driver pool
+    # (guide §2.6 — same assertion per query, ~4x the wall of the
+    # serial loop saved; also exercises concurrent construction)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def one(item):
+        name, fn = item
+        assert fn(spark, sf_dir).count() >= 0, name
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(inheritable_thread_target(one), _QUERIES.items()))
 
 
 def test_entry_smoke(spark):
@@ -57,9 +67,16 @@ def test_bench_arm_map_matches_registry(spark, sf_dir):
     mode literals each multi-arm query emits, and the mode filter must
     prune the other union branches (no stale arms, no missed arms)."""
     import bench
+    from concurrent.futures import ThreadPoolExecutor
 
-    for name, arms in bench.ARM_MODES.items():
+    from pyspark import inheritable_thread_target
+
+    def one(item):
+        name, arms = item
         df = _QUERIES[name](spark, sf_dir)
         assert "mode" in df.columns, name
         got = {r[0] for r in df.select("mode").distinct().collect()}
         assert got == set(arms), (name, sorted(got), arms)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(inheritable_thread_target(one), bench.ARM_MODES.items()))

@@ -12,6 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from informixcdc_spark.operators.bpe import EOW
+from tests.conftest import examples, iterations  # noqa: E402
 
 _WORD = st.text(alphabet="abc", min_size=1, max_size=5)
 _DOC = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
@@ -65,7 +66,7 @@ def _ref_encode(text, merges):
 
 
 @settings(
-    max_examples=12,
+    max_examples=examples(12),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -89,7 +90,7 @@ def test_bpe_train_and_encode_match_reference(spark, corpus):
 
 
 @settings(
-    max_examples=12,
+    max_examples=examples(12),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],

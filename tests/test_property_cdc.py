@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from informixcdc_spark.cdc.apply import apply_changes
 from tests.test_cdc_apply import _log, _state
+from tests.conftest import examples, iterations  # noqa: E402
 
 _KEYS = st.integers(min_value=0, max_value=5)
 # ~1/7 of ops is a TRUNCATE (no key): wipes every row of the table whose
@@ -93,7 +94,7 @@ def _serial_reference(events):
 # committed" on a lucky random seed — the CI profile is deterministic with
 # a real example budget, so a pass at commit time means a pass in verify
 @settings(
-    max_examples=30,
+    max_examples=examples(30),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -105,7 +106,7 @@ def test_random_interleavings_match_serial_model(spark, events):
 
 
 @settings(
-    max_examples=20,
+    max_examples=examples(20),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -120,7 +121,7 @@ def test_replayed_stream_is_idempotent(spark, events):
 
 
 @settings(
-    max_examples=50,
+    max_examples=examples(50),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -230,7 +231,7 @@ def _pairs_reference(events):
 
 
 @settings(
-    max_examples=30,
+    max_examples=examples(30),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -266,7 +267,7 @@ def _restart_reference(events):
 
 
 @settings(
-    max_examples=30,
+    max_examples=examples(30),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],

@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 
 from informixcdc_spark.cdc.binary import decode_row_image, encode_row_image
 from informixcdc_spark.cdc.typemap import parse_ddl
+from tests.conftest import examples, iterations  # noqa: E402
 
 DDL = (
     "c_serial8 serial8, c_int8 int8, c_bigint bigint, c_char char(16), "
@@ -82,7 +83,7 @@ def row_values(draw):
     }
 
 
-@settings(max_examples=300, derandomize=True, deadline=None)
+@settings(max_examples=examples(300), derandomize=True, deadline=None)
 @given(row_values())
 def test_row_image_roundtrip_fuzz(values):
     out = decode_row_image(COLS, encode_row_image(COLS, values), 0)
@@ -134,13 +135,13 @@ def record_stream(draw):
     return recs
 
 
-@settings(max_examples=200, derandomize=True, deadline=None)
+@settings(max_examples=examples(200), derandomize=True, deadline=None)
 @given(record_stream())
 def test_split_stream_reframes_concatenation(recs):
     assert list(split_stream(b"".join(recs))) == recs
 
 
-@settings(max_examples=200, derandomize=True, deadline=None)
+@settings(max_examples=examples(200), derandomize=True, deadline=None)
 @given(record_stream(), st.data())
 def test_split_stream_never_yields_truncated_tail(recs, data):
     buf = b"".join(recs)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from tests.conftest import examples, iterations  # noqa: E402
 
 _N_NODES = 24
 _EDGES = st.lists(
@@ -39,7 +40,7 @@ def _union_find_labels(edges, n_nodes):
 
 
 @settings(
-    max_examples=25,
+    max_examples=examples(25),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -77,7 +78,7 @@ def test_duplicate_spans_matches_bruteforce(spark):
     token = st.sampled_from(["a", "b", "c", "d"])
 
     @settings(
-        max_examples=6,
+        max_examples=examples(6),
         derandomize=True,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
@@ -120,7 +121,7 @@ def test_duplicate_spans_matches_bruteforce(spark):
 
 
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -165,7 +166,7 @@ def test_pagerank_matches_pure_python(spark, edges):
 
 
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -267,7 +268,7 @@ def test_sql_pagerank_dangling_twin_matches_engine(spark):
 
 
 @settings(
-    max_examples=20,
+    max_examples=examples(20),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -309,7 +310,7 @@ def test_chunk_tokens_matches_pure_python(spark, lens, size, overlap):
 
 
 @settings(
-    max_examples=20,
+    max_examples=examples(20),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],

@@ -14,6 +14,7 @@ import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from tests.conftest import examples, iterations  # noqa: E402
 
 _SPLITS = [(0, 3), (3, 7)]  # D = 7, two uneven subspaces
 _PALETTE = st.lists(  # per-subspace palette of distinct integer subvecs
@@ -53,7 +54,7 @@ def _brute_force_ref(vecs, queries, k):
 
 
 @settings(
-    max_examples=20,
+    max_examples=examples(20),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
@@ -125,7 +126,7 @@ def test_adc_bit_equals_brute_force_when_reconstruction_exact(
 
 
 @settings(
-    max_examples=12,
+    max_examples=examples(12),
     derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],

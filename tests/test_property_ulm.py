@@ -15,6 +15,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from informixcdc_spark.operators.ulm import UlmModel, ulm_encode, ulm_train, ulm_viterbi
+from tests.conftest import examples, iterations  # noqa: E402
 
 _WORD = st.text(alphabet="abc", min_size=1, max_size=6)
 _DOC = st.lists(_WORD, min_size=1, max_size=10).map(" ".join)
@@ -90,7 +91,7 @@ def _ref_train(texts, vocab_size, n_iter, max_piece_len, seed_size, min_count):
 
 
 @settings(
-    max_examples=12,
+    max_examples=examples(12),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
@@ -296,7 +297,7 @@ def _ref_train_soft(
 
 
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],

@@ -17,6 +17,7 @@ from informixcdc_spark.streaming.statestore import (
     PosixStateStore,
 )
 from tests.test_cdc_apply import SCHEMA, _log
+from tests.conftest import FULL_PROFILE, examples, iterations  # noqa: E402
 
 ROW = StructType([StructField("id", LongType()), StructField("val", StringType())])
 
@@ -796,7 +797,7 @@ def test_crash_anywhere_recovers_exactly_once(spark, tmp_path, store_cls):
         pass
 
     @settings(
-        max_examples=8,
+        max_examples=examples(8),
         derandomize=True,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
@@ -1088,6 +1089,11 @@ def test_dedup_admission_exactly_once_across_splits(spark, tmp_path):
 
     ids = list(range(12))  # group = id % 3; minima 0,1,2
     splits = [[3, 9], [1, 2, 4, 7], [6], [4, 8], [2, 3, 5, 7, 9, 11], [12]]
+    if not FULL_PROFILE:
+        # default profile: the 4 structurally distinct shapes (two-cut,
+        # one-cut, max-cut, no-cut); the full profile adds the two
+        # other uneven four/two-batch layouts
+        splits = [[3, 9], [6], [2, 3, 5, 7, 9, 11], [12]]
     for si, cut in enumerate(splits):
         idx = IncrementalDedupIndex(
             spark, str(tmp_path / f"ix{si}"), n_buckets=8,
@@ -1307,12 +1313,17 @@ def test_ann_drift_metric(spark, tmp_path):
 
 
 def test_dedup_index_auto_compaction(spark, tmp_path):
-    """50 micro-batches through the dedup gate with auto-compaction on:
-    the segment list stays bounded by the threshold (compaction fires
-    from inside process_batch, crash-safe via the pointer protocol),
-    all-dup batches append NO segment, and dup detection over the
-    compacted index is unchanged — every duplicate of an earlier doc is
-    still flagged with the right representative."""
+    """Many micro-batches through the dedup gate with auto-compaction
+    on: the segment list stays bounded by the threshold (compaction
+    fires from inside process_batch, crash-safe via the pointer
+    protocol), all-dup batches append NO segment, and dup detection
+    over the compacted index is unchanged — every duplicate of an
+    earlier doc is still flagged with the right representative.
+
+    Batch budget: 50 in the full profile; 25 by default — the pattern
+    repeats with period 5 and the threshold is 6, so 25 batches still
+    drive 3+ full compaction cycles (every post-threshold behavior the
+    assertions exercise) at half the wall."""
     from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 
     def doc(i):
@@ -1321,12 +1332,13 @@ def test_dedup_index_auto_compaction(spark, tmp_path):
             f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g"
         )
 
+    n = iterations(50, 25)
     idx = IncrementalDedupIndex(
         spark, str(tmp_path / "index"), auto_compact_segments=6
     )
     dup_verdicts = {}
     max_segments = 0
-    for b in range(50):
+    for b in range(n):
         if b % 5 == 4:
             rows = [(b * 10, doc(b - 1))]  # exact copy of the previous doc
         else:
@@ -1340,15 +1352,15 @@ def test_dedup_index_auto_compaction(spark, tmp_path):
         max_segments = max(max_segments, len(idx.read_state()["segments"]))
 
     assert max_segments <= 6  # bounded throughout, not just at the end
-    for b in range(50):
+    for b in range(n):
         if b % 5 == 4:  # the copy batches: flagged against the original
             assert dup_verdicts[b] == {b * 10: (b - 1) * 10}, b
         else:
             assert dup_verdicts[b] == {}, b
     # all-dup batches appended no segment: fewer segments ever existed
-    # than batches ran, and the index holds exactly the 40 novel docs
+    # than batches ran, and the index holds exactly the novel docs
     novel = idx.read_index().select("doc_id").distinct().count()
-    assert novel == 40
+    assert novel == n - n // 5
 
 
 def test_ann_index_auto_compaction(spark, tmp_path):
@@ -1479,16 +1491,20 @@ def test_crash_recovery_on_hadoopfs_store(spark, tmp_path):
 
 
 def test_dedup_index_crash_anywhere_recovers(spark, tmp_path):
-    """Hypothesis over crash schedules for the incremental dedup gate
+    """EXHAUSTIVE crash schedules for the incremental dedup gate
     (the caffd80 materializer harness ported to IncrementalDedupIndex):
-    split a dup-structured corpus into random micro-batches, crash the
-    pointer commit at a random batch (the dups/bands segments may have
+    split a dup-structured corpus into micro-batches, crash the
+    pointer commit at a batch (the dups/bands segments may have
     landed, the pointer has not), replay from that batch — the final
     admission verdicts AND the indexed doc set must equal a crash-free
-    run of the same schedule: no doc admitted twice, no dup lost."""
-    from hypothesis import HealthCheck, given, settings
-    from hypothesis import strategies as st
+    run of the same schedule: no doc admitted twice, no dup lost.
 
+    r12: the original hypothesis form sampled 20 examples from a space
+    of exactly 10 distinct (n_batches, crash_at) schedules (the corpus
+    and the split rule are fixed), re-running identical crash-free
+    baselines per example. Enumerating ALL 10 schedules with the 4
+    distinct baselines memoized is strictly stronger coverage at a
+    third of the Spark work."""
     from informixcdc_spark.operators.streaming_dedup import IncrementalDedupIndex
 
     class _Crash(Exception):
@@ -1535,26 +1551,21 @@ def test_dedup_index_crash_anywhere_recovers(spark, tmp_path):
         )
         return dups, indexed
 
-    @settings(
-        max_examples=20,
-        derandomize=True,
-        deadline=None,
-        suppress_health_check=[HealthCheck.too_slow],
-    )
-    @given(st.data())
-    def prop(data):
-        n_batches = data.draw(st.integers(min_value=1, max_value=4))
-        crash_at = data.draw(st.integers(min_value=0, max_value=n_batches - 1))
-        case = data.draw(st.integers(min_value=0, max_value=10**6))
+    clean_by_n = {}
+    for n_batches in range(1, 5):
         per = max(1, (len(rows) + n_batches - 1) // n_batches)
         batches = [rows[i * per : (i + 1) * per] for i in range(n_batches)]
         batches = [b for b in batches if b]
-
-        crashed = run(str(tmp_path / f"c{case}"), batches, crash_at)
-        clean = run(str(tmp_path / f"k{case}"), batches, crash_at=-1)
-        assert crashed == clean
-
-    prop()
+        # one crash-free baseline per schedule shape, shared by every
+        # crash point over it
+        clean_by_n[n_batches] = run(
+            str(tmp_path / f"k{n_batches}"), batches, crash_at=-1
+        )
+        for crash_at in range(n_batches):
+            crashed = run(
+                str(tmp_path / f"c{n_batches}_{crash_at}"), batches, crash_at
+            )
+            assert crashed == clean_by_n[n_batches], (n_batches, crash_at)
 
 
 def test_multi_table_stream_schema_evolution(spark, tmp_path):

@@ -554,7 +554,6 @@ def chunk_tokens(
     tokens AND let the final chunk start past the document's end
     (an empty phantom chunk) — fail loudly instead.
     """
-    from informixcdc_spark.catalog import rebalance
     from informixcdc_spark.functions.text import tokens
 
     if not 1 <= stride <= size:
@@ -562,7 +561,11 @@ def chunk_tokens(
             f"stride must be in [1, size]; got stride={stride}, size={size}"
         )
 
-    toked = rebalance(docs).select(
+    # no input rebalance: r12 A/B measured it x0.69 against a24 — the
+    # chunk explode is row-local array arithmetic cheap enough that
+    # shuffling the text first loses at fixture scale, and at production
+    # scale the scan is already split
+    toked = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_tok")
     )
     n = F.size("_tok")

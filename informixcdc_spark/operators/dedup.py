@@ -125,8 +125,13 @@ def doc_shingles(
     shuffle. `size(tokens) >= k` is equivalent (word_shingles emits empty
     iff fewer than k tokens) and cheap enough to evaluate at the scan."""
     extras = [F.col(c) for c in keep]
+    # no rebalance of the input: the r12 on/off A/B measured the
+    # round-robin exchange of the text payload as a net loss for every
+    # benched shingle consumer (e27 x0.66, e03 x0.91, e20 x0.89 with it
+    # on) — the shingle explode's own downstream shuffle spreads the
+    # work anyway, and at production scale the scan is already split
     toked = (
-        rebalance(df)
+        df
         .select(F.col(id_col), *extras, tokens(F.col(text_col)).alias("_tok"))
         .where(F.size("_tok") >= k)
     )
@@ -878,7 +883,10 @@ def duplicate_span_census(
       documents shorter than ``window`` tokens.
     """
     n_win = F.size("_tok") - F.lit(window - 1)
-    toks = rebalance(df).select(
+    # no input rebalance (see doc_shingles: the text-payload exchange
+    # measured as a net loss on the r12 A/B; e01's census consumers read
+    # the persisted wins table, which spreads the joins regardless)
+    toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_tok")
     )
     wins = (
@@ -1051,7 +1059,11 @@ def line_dedup(
     """
     import re
 
-    lines = rebalance(df).select(
+    # no input rebalance: the posexplode output shuffles into the
+    # per-line winner aggregate anyway — the r12 on/off A/B measured the
+    # extra text-payload exchange as a net loss for e01 (x0.62 with it
+    # on), and at production scale the scan is already split
+    lines = df.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.col(text_col), re.escape(sep))

@@ -31,7 +31,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from informixcdc_spark.catalog import rebalance
 
 #: metadata schema carried next to every binary payload
 META_SCHEMA = "doc_id BIGINT, n_bytes INT, head_checksum INT, kind STRING"
@@ -42,8 +41,14 @@ FEATURE_SCHEMA = "doc_id BIGINT, n_bytes INT, feature ARRAY<FLOAT>"
 
 def to_binary_payload(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Wrap a column as an opaque binary payload (here: utf-8 bytes of
-    text standing in for image/audio bytes)."""
-    return rebalance(df).select(
+    text standing in for image/audio bytes).
+
+    No internal rebalance: the r12 on/off A/B measured the payload
+    exchange as a net loss for the light Arrow walk (e19 x0.62 with it
+    on); a caller whose downstream Python pass is heavy enough to
+    amortize it (e13's full feature decode, x1.48) rebalances its own
+    input before wrapping."""
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(payload_col), "utf-8").alias("payload"),
     )

@@ -111,10 +111,14 @@ def _scratch(name: str, sf_dir: str) -> str:
 
 
 def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rebalance BEFORE deriving the perturbed copies: their tokenization
-    # is a projection that would otherwise run inside the single-split
-    # parquet scan stage, serializing the whole corpus build
-    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NO rebalance: the r12 interleaved on/off A/B on the grading host
+    # measured the round-robin exchange of the TEXT payload as a net
+    # loss for every consumer of this corpus (e01 x0.62, e03 x0.91,
+    # e20 x0.89, e27 x0.66 with rebalance ON) — shuffling the heavy
+    # payload costs more than the single-split map parallelism buys
+    # (guide §8's rule applied in reverse); no-op at production scale
+    # anyway, where the scan yields >= parallelism splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.unionByName(perturbed_copies(docs, "doc_id", "text"))
 
 
@@ -311,14 +315,13 @@ def e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
-    # rebalance the single-row-group fixture scan BEFORE the heavy
-    # per-row work of the exact (content hash-agg), lines and doclines
-    # (line recut: split/transform/slice/md5) arms — same reasoning as
-    # _docs_corpus; no-op at production scale, all three arms are
-    # order-independent (hash-agg / first-occurrence min / row-local)
-    docs = rebalance(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # NO rebalance on the direct docs input: the r12 on/off A/B measured
+    # it as a net 1.53x LOSS for e01 at sf0.1 — the exchange ships the
+    # heavy text payload (the exact thing guide §8 says never to shuffle
+    # for placement) and the arms' partial aggregates collapse the
+    # single-split scan cheaply anyway; at production scale the scan
+    # yields >= parallelism splits and a rebalance would no-op there too
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup_corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
@@ -1140,7 +1143,9 @@ _E09_ULM_LOGP = {
     """,
 )
 def e09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no rebalance: r12 A/B measured it x0.70 against e09 (the encode
+    # folds are cheap enough per row that shuffling text loses)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = tokens(F.col("text"))
     tok_lens = F.transform(tok, lambda t: F.length(t))
     total_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x)
@@ -2395,7 +2400,9 @@ def e15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e19_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.multimodal import frame_sample
 
-    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    # no rebalance: r12 A/B measured it x0.62 against e19 — the frame
+    # walk is a single cheap Arrow pass and the payload exchange loses
+    docs = load_table(spark, sf_dir, "documents")
     return frame_sample(to_binary_payload(docs, "doc_id", "text"))
 
 
@@ -2562,7 +2569,10 @@ _SQL_QUALITY_EXPR = """
 def e21_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.textstats import quality_score_exprs
 
-    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no rebalance: r12 A/B measured it x0.48 against e21 (the pipeline
+    # shuffles on content hash right after; the extra payload exchange
+    # only doubles the text movement)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
@@ -3202,7 +3212,9 @@ def e27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e29_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.operators.curation import domain_cap
 
-    docs = rebalance(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    # no rebalance: r12 A/B measured it x0.65 against e29 — the input is
+    # two narrow columns and the cap's own keyed shuffle follows anyway
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return domain_cap(docs, "source", "doc_id", k=10)
 
 

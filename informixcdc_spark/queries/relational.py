@@ -95,13 +95,15 @@ def q01_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter + project to the 6 aggregate inputs FIRST (guide §2.3:
-    # shuffle only needed bytes), then rebalance: the fixture lineitem
-    # is one parquet row group, so without it the whole decimal-sum
-    # partial aggregation runs on ONE core (measured 1.8 s vs 1.3 s at
-    # sf0.1). At production scale the scan yields >= parallelism splits
-    # and rebalance is a no-op; the aggregate itself is order-independent
-    # (exact decimal sums / counts), so results are bit-identical.
-    li = rebalance(
+    # shuffle only needed bytes). NO rebalance before the aggregate: the
+    # r12 on/off A/B on the grading host (OPTIMIZATION_r12.md) measured
+    # the added exchange as a net LOSS at sf0.1 for every light-map-work
+    # aggregate (decimal sums here; the partial aggregate collapses the
+    # single-split scan to a 6-row partial, so one core of map work is
+    # cheaper than shuffling the projected rows) — and at production
+    # scale the scan yields >= parallelism splits anyway, so the
+    # rebalance would no-op there too.
+    li = (
         _t(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .select(
@@ -321,11 +323,10 @@ def b09_set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # project + rebalance before the distinct-rewrite Expand (see q02;
-    # exact counts are partition-independent, no-op at scale)
-    orders = rebalance(
-        _t(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
-    )
+    # project before the distinct-rewrite Expand (guide §2.3); no
+    # rebalance — the r12 A/B measured the extra exchange as a net loss
+    # at sf0.1 (see q02), and it no-ops at production scale regardless
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
     return orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -370,14 +371,12 @@ def b12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
-    # project to the 3 cube inputs and rebalance (guide §2.3 + the
-    # single-row-group fixture scan: Expand multiplies every row x4
-    # before the partial aggregate, all on one core without this; no-op
-    # at production scale, bit-identical output — see q02)
+    # project to the 3 cube inputs (guide §2.3); no rebalance before the
+    # x4 Expand — the r12 A/B measured the extra exchange as a net loss
+    # at sf0.1 (see q02), and it no-ops at production scale regardless
     cu = (
-        rebalance(
-            orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
-        ).cube("o_orderstatus", "o_orderpriority")
+        orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
         .select(
             F.lit("cube").alias("op"),
@@ -675,13 +674,11 @@ def q21_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # project to the 3 inputs + rebalance before the x3 grouping-set
-    # Expand (same single-row-group fixture reasoning as q02/b12's cube;
-    # no-op at production scale, order-independent aggregate)
-    li = rebalance(
-        _t(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_linestatus", "l_extendedprice"
-        )
+    # project to the 3 inputs before the x3 grouping-set Expand (guide
+    # §2.3); no rebalance — the r12 A/B measured the extra exchange as a
+    # net loss at sf0.1 (see q02), no-op at production scale regardless
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
     )
     return (
         li.groupingSets(
@@ -907,18 +904,14 @@ def q26_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_percentiles_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # project to the 3 used columns + rebalance: the single-row-group
-    # fixture scan otherwise runs BOTH map-side aggregation buffers
-    # (percentile value maps + the distinct partial) on one core (see
-    # q02). Exact percentile/count_distinct are partition-independent;
-    # the approx sketches sit behind 1%/5% tolerance booleans while
-    # their partition sensitivity is orders of magnitude smaller
-    # (QuantileSummaries err <= 0.01% at accuracy 10000; HLL registers
-    # are a set property of the hashed values).
-    li = rebalance(
-        _t(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_extendedprice", "l_orderkey"
-        )
+    # project to the 3 used columns (guide §2.3); no rebalance — the r12
+    # on/off A/B measured the extra exchange as a net 1.26x LOSS for b27
+    # at sf0.1 (the rebalance widened the per-partition percentile
+    # value-map partials from one deduped map to 32 overlapping ones:
+    # +22 MB shuffle in the r11 ledger), and it no-ops at production
+    # scale regardless.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
     )
     # The exact-distinct count runs in its OWN aggregation, joined back on
     # the (5-row) group keys: a count_distinct inside the percentile agg
@@ -1021,7 +1014,10 @@ def q28_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from informixcdc_spark.functions.text import tokens
 
-    docs = rebalance(_t(spark, sf_dir, "documents").select("lang", "text"))
+    # no rebalance: r12 A/B measured it x0.64 against b19 — the
+    # posexplode output shuffles into the (lang, tok) aggregate anyway,
+    # so the extra text-payload exchange only adds movement
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
     tok = docs.select("lang", F.posexplode(tokens("text")).alias("pos", "tok"))
     return (
         tok.groupBy("lang", "tok")
